@@ -1,0 +1,160 @@
+package graft.contracts
+
+import org.apache.spark.sql.types._
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.reflect.runtime.{universe => ru}
+
+/** A contract definition error: the Scala type cannot model a Spark record
+  * (unsupported leaf, non-case-class, non-atomic map key). Raised eagerly the
+  * first time a contract is summoned — the Scala-2 stand-in for the
+  * reference's compile-time `report.errorAndAbort`
+  * (reference: ContractsCore.scala:153-156, SparkCore.scala:252-255).
+  */
+final class UnsupportedContractType(message: String) extends IllegalArgumentException(message)
+
+/** Typeclass: the normalized [[TypeShape]] and Spark `StructType` of a
+  * contract case class `T`.
+  *
+  * The reference derives this with a Scala 3 `quotes.reflect` macro
+  * (reference: ContractsCore.scala:116-203, SparkCore.scala:200-299). On
+  * Scala 2.13 we walk the same type structure with `scala.reflect.runtime`
+  * at first summon (driver-side, O(schema), memoized per type) — the
+  * documented compile-time ⇒ construction-time mechanism shift.
+  */
+trait ShapeOf[T] extends Serializable {
+  def shape: TypeShape.Struct
+  def struct: StructType
+}
+
+object ShapeOf {
+
+  def apply[T](implicit ev: ShapeOf[T]): ShapeOf[T] = ev
+
+  private val cache = new ConcurrentHashMap[String, ShapeOf[_]]()
+
+  // WeakTypeTag so locally-defined contract case classes (common in tests
+  // and notebooks) derive too; contracts are always concrete types.
+  implicit def derive[T](implicit tt: ru.WeakTypeTag[T]): ShapeOf[T] = {
+    val key = tt.tpe.toString
+    cache
+      .computeIfAbsent(key, _ => materialize(tt.tpe))
+      .asInstanceOf[ShapeOf[T]]
+  }
+
+  private def materialize(tpe: ru.Type): ShapeOf[Any] = {
+    val s = ru.synchronized { // runtime reflection: serialize walks defensively
+      shapeOfType(tpe) match {
+        case struct: TypeShape.Struct => struct
+        case other =>
+          throw new UnsupportedContractType(
+            s"Contract must be a case class, got: $tpe (${TypeShape.render(other)})"
+          )
+      }
+    }
+    val st = TypeShape.toStructType(s)
+    new ShapeOf[Any] {
+      val shape: TypeShape.Struct = s
+      val struct: StructType = st
+    }
+  }
+
+  private val supportedLeafTypes =
+    "String, Int, Long, Short, Byte, Double, Float, Boolean, BigDecimal, " +
+      "java.math.BigDecimal, java.sql.Date, java.time.LocalDate, " +
+      "java.sql.Timestamp, java.time.Instant, java.time.LocalDateTime"
+
+  /** Leaf table per SURVEY.md §1.2 (reference: SparkCore.scala:238-255). */
+  private def leafDataType(t: ru.Type): Option[DataType] = {
+    import ru._
+    if (t =:= typeOf[String]) Some(StringType)
+    else if (t =:= typeOf[Int]) Some(IntegerType)
+    else if (t =:= typeOf[Long]) Some(LongType)
+    else if (t =:= typeOf[Short]) Some(ShortType)
+    else if (t =:= typeOf[Byte]) Some(ByteType)
+    else if (t =:= typeOf[Double]) Some(DoubleType)
+    else if (t =:= typeOf[Float]) Some(FloatType)
+    else if (t =:= typeOf[Boolean]) Some(BooleanType)
+    else if (t =:= typeOf[BigDecimal] || t =:= typeOf[java.math.BigDecimal])
+      Some(DecimalType.SYSTEM_DEFAULT)
+    else if (t =:= typeOf[java.sql.Date] || t =:= typeOf[java.time.LocalDate])
+      Some(DateType)
+    else if (t =:= typeOf[java.sql.Timestamp] || t =:= typeOf[java.time.Instant])
+      Some(TimestampType)
+    else if (t =:= typeOf[java.time.LocalDateTime]) Some(TimestampNTZType)
+    else None
+  }
+
+  private def isAtomicKey(t: ru.Type): Boolean = {
+    import ru._
+    t =:= typeOf[String] || t =:= typeOf[Int] || t =:= typeOf[Long] ||
+    t =:= typeOf[Short] || t =:= typeOf[Byte] || t =:= typeOf[Boolean]
+  }
+
+  private def isSeqLike(t: ru.Type): Boolean = {
+    import ru._
+    t <:< typeOf[Seq[_]] || t <:< typeOf[Set[_]] || t <:< typeOf[Array[_]]
+  }
+
+  private def isCaseClass(t: ru.Type): Boolean = {
+    val sym = t.typeSymbol
+    sym.isClass && sym.asClass.isCaseClass
+  }
+
+  /** `Type => TypeShape` walk mirroring the reference macro's classification
+    * order: Option, then sequence family, then Map[atomic, _], then nested
+    * case class, then leaf (reference: ContractsCore.scala:176-203).
+    */
+  private def shapeOfType(raw: ru.Type): TypeShape = {
+    import ru._
+    val t = raw.dealias
+    if (t <:< typeOf[Option[_]]) TypeShape.Optional(shapeOfType(t.typeArgs.head))
+    else if (isSeqLike(t)) {
+      val elem = t.typeArgs.headOption.getOrElse(
+        throw new UnsupportedContractType(s"Missing type arg for sequence in $t")
+      )
+      TypeShape.Sequence(shapeOfType(elem))
+    } else if (t <:< typeOf[Map[_, _]]) {
+      t.typeArgs match {
+        case k :: v :: Nil =>
+          if (!isAtomicKey(k))
+            throw new UnsupportedContractType(
+              s"Unsupported Map key type for $t. Allowed keys: String, Int, Long, Short, Byte, Boolean."
+            )
+          val keyLeaf = TypeShape.Leaf(leafDataType(k).get)
+          TypeShape.MapOf(keyLeaf, shapeOfType(v))
+        case _ =>
+          throw new UnsupportedContractType(s"Map requires two type args: $t")
+      }
+    } else if (leafDataType(t).isDefined) {
+      // Leaf before case-class: BigDecimal & friends are case-class-like but atomic.
+      TypeShape.Leaf(leafDataType(t).get)
+    } else if (isCaseClass(t)) {
+      structShapeOf(t)
+    } else {
+      throw new UnsupportedContractType(
+        s"Unsupported structural leaf type in contract derivation: $t. " +
+          s"Supported leaf types: $supportedLeafTypes. Supported container shapes: " +
+          "case classes, Option, List/Seq/Vector/Array/Set, and Map[atomic, _]."
+      )
+    }
+  }
+
+  private def structShapeOf(t: ru.Type): TypeShape.Struct = {
+    import ru._
+    val ctor = t
+      .decl(termNames.CONSTRUCTOR)
+      .alternatives
+      .collectFirst { case m: MethodSymbol if m.isPrimaryConstructor => m }
+      .getOrElse(throw new UnsupportedContractType(s"No primary constructor for $t"))
+    val fields = ctor.paramLists.flatten.map { p =>
+      val name = p.name.decodedName.toString
+      val ptpe = p.typeSignatureIn(t).dealias
+      val hasDefault = p.asTerm.isParamWithDefault
+      val (unwrapped, isOpt) =
+        if (ptpe <:< typeOf[Option[_]]) (ptpe.typeArgs.head, true) else (ptpe, false)
+      FieldShape(name, shapeOfType(unwrapped), hasDefault, isOpt)
+    }
+    TypeShape.Struct(fields)
+  }
+}
