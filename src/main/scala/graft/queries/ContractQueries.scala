@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft.contracts._
+import graft.model.Tables._
+import graft.pipeline.PipelineBuilder
+import graft.sources.{TypedIO, TypedSink, TypedSource}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One driver-verifiable query per contract-engine operator O1–O22
+  * (SURVEY.md §2.1). The operator under test is the contract machinery the
+  * query routes through — typed scans, pinned transforms, policy sinks,
+  * comparators, structural diffs; the row payload is the SQL-expressible
+  * oracle handle (reference behavior: SparkCore.scala:346-360, 404-432;
+  * ContractsCore.scala:237-435).
+  */
+object ContractQueries {
+
+  import QueryDef._
+
+  // ---- contracts used by the queries (stable object scope for ShapeOf) ----
+  final case class CustomerSlim(c_custkey: Long, c_name: String, c_acctbal: Double)
+  final case class SupplierSlim(s_suppkey: Long, s_name: String, s_acctbal: Double)
+  final case class SupplierSlimPlus(
+      s_suppkey: Long,
+      s_name: String,
+      s_acctbal: Double,
+      s_note: Option[String] = None
+  )
+  final case class PartTyped(p_partkey: Long, p_brand: String, p_retailprice: Double)
+  // Declaration order ≠ select order: the Exact (unordered-CI) pin must accept.
+  final case class PartReordered(p_retailprice: Double, p_partkey: Long, p_brand: String)
+  final case class NationRenamed(id: Int, name: String, region: Int)
+  final case class NationPos(key: Int, label: String, reg: Int)
+  final case class LineitemKeys(l_orderkey: Long, l_linenumber: Int, l_quantity: Double)
+  final case class EventSlim(event_id: Long, user_id: Long, event_type: String)
+  final case class DocTokens(doc_id: Long, tokens: Seq[String])
+
+  // o17: one field per supported leaf + each container shape (SURVEY §1.2).
+  final case class Inner(x: Int, y: Option[String])
+  final case class AllTypes(
+      s: String,
+      i: Int,
+      l: Long,
+      sh: Short,
+      by: Byte,
+      d: Double,
+      f: Float,
+      b: Boolean,
+      dec: BigDecimal,
+      dt: java.sql.Date,
+      ts: java.sql.Timestamp,
+      ldt: java.time.LocalDateTime,
+      opt: Option[Int],
+      tags: Seq[String],
+      attrs: Map[String, Long],
+      nested: Inner
+  )
+
+  // o18: nested drift mirroring the reference's deep-path fixtures
+  // (reference: SchemaConformsSpec.scala:325-342 — items[].payload<value>.code).
+  final case class PayloadOut(code: Int, note: String)
+  final case class PayloadIn(code: String, level: Option[Int] = None)
+  final case class ItemOut(id: Long, payload: Map[String, PayloadOut])
+  final case class ItemIn(id: Long, payload: Map[String, PayloadIn])
+  final case class DocOut(doc: String, items: Seq[ItemOut])
+  final case class DocIn(doc: String, items: Seq[ItemIn], owner: String)
+
+  final case class POut(a: Int, b: String, c: Double)
+  final case class PIn(a: Int, c: Double, b: String)
+  final case class PosOut(a: Int, b: String)
+  final case class PosIn(x: Int, y: Int)
+  final case class BOut(req: String, extraCol: Int)
+  final case class BIn(req: String, opt: Option[Int], dflt: Int = 5)
+
+  // Diagnostic payload rows for o16-o22.
+  final case class DiffRow(kind: String, path: String, detail: String)
+  final case class ShapeRow(field_name: String, spark_type: String)
+  final case class DupRow(dup_cluster: String)
+  final case class LineRow(line_no: Int, line: String)
+
+  private def diffRows(report: SchemaCompare.DriftReport): Seq[DiffRow] =
+    report.missing.map(m => DiffRow("missing", m.path, TypeShape.render(m.field.shape))) ++
+      report.extra.map(e => DiffRow("extra", e.path, e.name)) ++
+      report.mismatch.map(x => DiffRow("mismatch", x.path, s"expected ${x.expected}, found ${x.found}"))
+
+  private def valuesSql(rows: Seq[Product], cols: Seq[String]): String = {
+    val body = rows
+      .map(r => r.productIterator.map {
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case i: Int    => i.toString
+        case other     => other.toString
+      }.mkString("(", ", ", ")"))
+      .mkString(", ")
+    s"SELECT * FROM (VALUES $body) AS t(${cols.mkString(", ")})"
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    // O1 — typed scan: contract schema forced on the reader, default pin.
+    QueryDef(
+      "o1_typed_scan",
+      Some("SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"),
+      (spark, sf) => TypedIO.readDF(TypedSource[CustomerRow]("parquet", s"$sf/customer.parquet"))(spark, implicitly)
+    ),
+    // O2 — typed parquet sink: pipeline write + re-read round trip.
+    QueryDef(
+      "o2_typed_sink",
+      Some("SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 2 = 0"),
+      (spark, sf) => {
+        val out = tmpDir("o2")
+        val run = PipelineBuilder[Nothing]("o2")
+          .addSource(TypedSource[CustomerRow]("parquet", s"$sf/customer.parquet"))
+          .transformAs[CustomerRow]("even keys")(_.filter(col("c_custkey") % 2 === 0))
+          .addSink[CustomerRow, SchemaPolicy.ExactT](TypedSink[CustomerRow](s"$out/c"))
+          .build
+        run(spark)
+        spark.read.parquet(s"$out/c")
+      }
+    ),
+    // O3 — Dataset read/write helpers: parquet ⇄ Dataset[A] round trip.
+    QueryDef(
+      "o3_dataset_rw",
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
+      (spark, sf) => {
+        implicit val s: SparkSession = spark
+        import spark.implicits._
+        val out = tmpDir("o3")
+        val ds = TypedIO.read[NationRow](s"$sf/nation.parquet")
+        TypedIO.write(ds, TypedSink[NationRow](s"$out/n"))
+        TypedIO.read[NationRow](s"$out/n").toDF()
+      }
+    ),
+    // O4 — pinned transform: projection declared as a narrower contract.
+    QueryDef(
+      "o4_pinned_transform",
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer"),
+      (spark, sf) => {
+        val out = tmpDir("o4")
+        PipelineBuilder[Nothing]("o4")
+          .addSource(TypedSource[CustomerRow]("parquet", s"$sf/customer.parquet"))
+          .transformAs[CustomerSlim]("project")(_.select("c_custkey", "c_name", "c_acctbal"))
+          .addSink[CustomerSlim, SchemaPolicy.ExactT](TypedSink[CustomerSlim](s"$out/c"))
+          .build(implicitly)(spark)
+      }
+    ),
+    // O5 — noTransform pass-through keeps the source contract.
+    QueryDef(
+      "o5_no_transform",
+      Some("SELECT r_regionkey, r_name FROM region"),
+      (spark, sf) => {
+        val out = tmpDir("o5")
+        PipelineBuilder[Nothing]("o5")
+          .addSource(TypedSource[RegionRow]("parquet", s"$sf/region.parquet"))
+          .noTransform
+          .addSink[RegionRow, SchemaPolicy.ExactT](TypedSink[RegionRow](s"$out/r"))
+          .build(implicitly)(spark)
+      }
+    ),
+    // O6 — sink attach + construction-time fuse under Backward: the sink
+    // contract's extra optional field is allowed to be absent.
+    QueryDef(
+      "o6_policy_sink_roundtrip",
+      Some("SELECT s_suppkey, s_name, s_acctbal FROM supplier"),
+      (spark, sf) => {
+        val out = tmpDir("o6")
+        val run = PipelineBuilder[Nothing]("o6")
+          .addSource(TypedSource[SupplierRow]("parquet", s"$sf/supplier.parquet"))
+          .transformAs[SupplierSlim]("project")(_.select("s_suppkey", "s_name", "s_acctbal"))
+          .addSink[SupplierSlimPlus, SchemaPolicy.BackwardT](TypedSink[SupplierSlimPlus](s"$out/s"))
+          .build
+        run(spark)
+        spark.read.parquet(s"$out/s")
+      }
+    ),
+    // O7 — pipeline assembly: multi-step fold source→transform→sink.
+    QueryDef(
+      "o7_pipeline_build",
+      Some("SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_size > 25"),
+      (spark, sf) => {
+        val out = tmpDir("o7")
+        PipelineBuilder[Nothing]("o7")
+          .addSource(TypedSource[PartRow]("parquet", s"$sf/part.parquet"))
+          .transformAs[PartTyped]("filter+project")(
+            _.filter(col("p_size") > 25).select("p_partkey", "p_brand", "p_retailprice")
+          )
+          .addSink[PartTyped, SchemaPolicy.ExactT](TypedSink[PartTyped](s"$out/p"))
+          .build(implicitly)(spark)
+      }
+    ),
+    // O8 — default pin on an inferred-schema read (unordered CI, nullability
+    // ignored, nested optionality compared).
+    QueryDef(
+      "o8_default_pin",
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"),
+      (spark, sf) => {
+        val df = table(spark, sf, "orders")
+        SchemaCheck.assertMatchesContract[OrdersRow](df)
+        df.select("o_orderkey", "o_custkey", "o_totalprice")
+      }
+    ),
+    // O9 — policy-aware pin: Backward accepts producer extras.
+    QueryDef(
+      "o9_policy_pin",
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 25"),
+      (spark, sf) => {
+        val df = table(spark, sf, "lineitem")
+        SchemaCheck.assertMatchesContract[LineitemKeys, SchemaPolicy.BackwardT](df)
+        df.filter(col("l_quantity") >= 25).select("l_orderkey", "l_linenumber", "l_quantity")
+      }
+    ),
+    // O10 — unordered comparator: select order ≠ contract declaration order.
+    QueryDef(
+      "o10_unordered",
+      Some("SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_size <= 25"),
+      (spark, sf) => {
+        val out = tmpDir("o10")
+        PipelineBuilder[Nothing]("o10")
+          .addSource(TypedSource[PartRow]("parquet", s"$sf/part.parquet"))
+          .transformAs[PartReordered]("reordered projection")(
+            _.filter(col("p_size") <= 25).select("p_partkey", "p_brand", "p_retailprice")
+          )
+          .addSink[PartReordered, SchemaPolicy.ExactT](TypedSink[PartReordered](s"$out/p"))
+          .build(implicitly)(spark)
+      }
+    ),
+    // O11 — ordered comparator at the sink.
+    QueryDef(
+      "o11_ordered",
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3"),
+      (spark, sf) => {
+        val out = tmpDir("o11")
+        PipelineBuilder[Nothing]("o11")
+          .addSource(TypedSource[NationRow]("parquet", s"$sf/nation.parquet"))
+          .transformAs[NationRow]("filter")(_.filter(col("n_regionkey") < 3))
+          .addSink[NationRow, SchemaPolicy.ExactOrderedT](TypedSink[NationRow](s"$out/n"))
+          .build(implicitly)(spark)
+      }
+    ),
+    // O12 — by-position comparator: names differ, types line up.
+    QueryDef(
+      "o12_by_position",
+      Some("SELECT n_nationkey AS id, n_name AS name, n_regionkey AS region FROM nation"),
+      (spark, sf) => {
+        val out = tmpDir("o12")
+        PipelineBuilder[Nothing]("o12")
+          .addSource(TypedSource[NationRow]("parquet", s"$sf/nation.parquet"))
+          .transformAs[NationRenamed]("rename")(
+            _.select(
+              col("n_nationkey").as("id"),
+              col("n_name").as("name"),
+              col("n_regionkey").as("region")
+            )
+          )
+          .addSink[NationPos, SchemaPolicy.ExactByPositionT](TypedSink[NationPos](s"$out/n"))
+          .build(implicitly)(spark)
+      }
+    ),
+    // O13 — Backward comparator: full producer vs narrower contract.
+    QueryDef(
+      "o13_backward",
+      Some("SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer WHERE c_acctbal > 0"),
+      (spark, sf) => {
+        val df = table(spark, sf, "customer")
+        SchemaCheck.assertMatchesContract[CustomerSlim, SchemaPolicy.BackwardT](df)
+        df.filter(col("c_acctbal") > 0)
+      }
+    ),
+    // O14 — Forward comparator: producer subset of the contract.
+    QueryDef(
+      "o14_forward",
+      Some("SELECT event_id, user_id, event_type FROM events"),
+      (spark, sf) => {
+        val df = table(spark, sf, "events").select("event_id", "user_id", "event_type")
+        SchemaCheck.assertMatchesContract[EventRow, SchemaPolicy.ForwardT](df)
+        df
+      }
+    ),
+    // O15 — deep DataType equality: the pin compares the nested
+    // ArrayType(..., containsNull) produced by split() against the contract.
+    QueryDef(
+      "o15_deep_equality",
+      Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val nested = docs.select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        SchemaCheck.assertMatchesContract[DocTokens](nested)
+        nested.select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+      }
+    ),
+    // O16 — duplicate-name detector over a deliberately duplicated schema.
+    QueryDef(
+      "o16_duplicate_names",
+      Some(valuesSql(Seq(Tuple1("ID,id")), Seq("dup_cluster"))),
+      (spark, sf) => {
+        val df = table(spark, sf, "customer")
+          .select(col("c_custkey").as("id"), col("c_nationkey").as("ID"))
+        val clusters = RuntimeSchemaComparator.duplicateNames(df.schema, caseInsensitive = true)
+        spark.createDataFrame(clusters.map(c => DupRow(c.mkString(","))))
+      }
+    ),
+    // O17 — shape extraction: full leaf table + container shapes (§1.2).
+    QueryDef(
+      "o17_shape_extraction", {
+        val rows = ShapeOf[AllTypes].struct.fields.toSeq.map(f => ShapeRow(f.name, f.dataType.simpleString))
+        Some(valuesSql(rows, Seq("field_name", "spark_type")))
+      },
+      (spark, _) => {
+        val rows = ShapeOf[AllTypes].struct.fields.toSeq.map(f => ShapeRow(f.name, f.dataType.simpleString))
+        spark.createDataFrame(rows)
+      }
+    ),
+    // O18 — by-name structural diff with deep container paths.
+    QueryDef(
+      "o18_diff_by_name", {
+        val rows = diffRows(SchemaConforms.diff[DocOut, DocIn, SchemaPolicy.ExactT])
+        Some(valuesSql(rows, Seq("kind", "path", "detail")))
+      },
+      (spark, _) => spark.createDataFrame(diffRows(SchemaConforms.diff[DocOut, DocIn, SchemaPolicy.ExactT]))
+    ),
+    // O19 — ordered structural diff: @i(name) paths.
+    QueryDef(
+      "o19_diff_ordered", {
+        val rows = diffRows(SchemaConforms.diff[POut, PIn, SchemaPolicy.ExactOrderedT])
+        Some(valuesSql(rows, Seq("kind", "path", "detail")))
+      },
+      (spark, _) => spark.createDataFrame(diffRows(SchemaConforms.diff[POut, PIn, SchemaPolicy.ExactOrderedT]))
+    ),
+    // O20 — by-position structural diff: @i paths.
+    QueryDef(
+      "o20_diff_by_position", {
+        val rows = diffRows(SchemaConforms.diff[PosOut, PosIn, SchemaPolicy.ExactByPositionT])
+        Some(valuesSql(rows, Seq("kind", "path", "detail")))
+      },
+      (spark, _) => spark.createDataFrame(diffRows(SchemaConforms.diff[PosOut, PosIn, SchemaPolicy.ExactByPositionT]))
+    ),
+    // O21 — policy post-filter: the same drifting pair is fatal under Exact
+    // and conformant under Backward (optional/default Missing + Extra dropped).
+    QueryDef(
+      "o21_policy_filter", {
+        val exact = diffRows(SchemaConforms.diff[BOut, BIn, SchemaPolicy.ExactT])
+          .map(r => DiffRow(s"Exact:${r.kind}", r.path, r.detail))
+        val backward = diffRows(SchemaConforms.diff[BOut, BIn, SchemaPolicy.BackwardT])
+          .map(r => DiffRow(s"Backward:${r.kind}", r.path, r.detail))
+        val verdict = DiffRow("Backward:conforms", SchemaConforms.diff[BOut, BIn, SchemaPolicy.BackwardT].conforms.toString, "")
+        Some(valuesSql(exact ++ backward :+ verdict, Seq("kind", "path", "detail")))
+      },
+      (spark, _) => {
+        val exact = diffRows(SchemaConforms.diff[BOut, BIn, SchemaPolicy.ExactT])
+          .map(r => DiffRow(s"Exact:${r.kind}", r.path, r.detail))
+        val backward = diffRows(SchemaConforms.diff[BOut, BIn, SchemaPolicy.BackwardT])
+          .map(r => DiffRow(s"Backward:${r.kind}", r.path, r.detail))
+        val verdict = DiffRow("Backward:conforms", SchemaConforms.diff[BOut, BIn, SchemaPolicy.BackwardT].conforms.toString, "")
+        spark.createDataFrame(exact ++ backward :+ verdict)
+      }
+    ),
+    // O22 — drift report renderer: exact rendered lines are the payload.
+    QueryDef(
+      "o22_drift_report", {
+        val lines = SchemaConforms.diff[DocOut, DocIn, SchemaPolicy.ExactT]
+          .render("producer", "contract").linesIterator.toSeq
+        val rows = lines.zipWithIndex.map { case (l, i) => LineRow(i, l) }
+        Some(valuesSql(rows, Seq("line_no", "line")))
+      },
+      (spark, _) => {
+        val lines = SchemaConforms.diff[DocOut, DocIn, SchemaPolicy.ExactT]
+          .render("producer", "contract").linesIterator.toSeq
+        spark.createDataFrame(lines.zipWithIndex.map { case (l, i) => LineRow(i, l) })
+      }
+    )
+  )
+}

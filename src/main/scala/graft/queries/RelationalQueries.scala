@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational surface the reference leaves to Spark built-ins inside
+  * pinned transforms (SURVEY.md §2.2): aggregation, joins (broadcast +
+  * shuffle), window functions, sessionization, semi/anti joins, set ops,
+  * rollup/cube, sort/limit. These double as the benchmark headliners.
+  *
+  * Scale notes (designed for a 1000-executor / 100 TB cluster, tested on
+  * local[32]):
+  *   - dimension tables (region/nation/customer/supplier/part) are broadcast
+  *     — no shuffle of the fact side for those joins; only genuinely large
+  *     joins (orders⋈lineitem) shuffle on their keys;
+  *   - aggregates are partial (map-side combine) by construction — declared
+  *     `groupBy().agg()` lets Catalyst plan HashAggregate partial/final;
+  *   - double sums route through DECIMAL(18,2) so results are
+  *     order-independent (needed for the DuckDB oracle AND for deterministic
+  *     re-runs under AQE re-partitioning at scale);
+  *   - windows partition by high-cardinality keys (o_custkey/user_id), never
+  *     a global ORDER BY without PARTITION BY.
+  */
+object RelationalQueries {
+
+  import QueryDef._
+
+  /** Exact revenue term: decimal math is order-independent, so the sum is
+    * deterministic under any partitioning.
+    */
+  private def revenue =
+    col("l_extendedprice").cast("decimal(18,2)") * (lit(1) - col("l_discount").cast("decimal(4,2)"))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  private def registerViews(spark: SparkSession, sf: String, names: String*): Unit =
+    names.foreach(n => table(spark, sf, n).createOrReplaceTempView(n))
+
+  def all: Seq[QueryDef] = Seq(
+    // Pricing-summary aggregation (TPC-H Q1 flavor): partial+final hash agg,
+    // no join, 6 output rows.
+    QueryDef(
+      "q1_pricing_summary",
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(l_quantity) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "lineitem")
+          .filter(col("l_shipdate").cast("date") <= to_date(lit("2000-12-01")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"), // integral doubles: exact in fp
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+            sum(revenue).cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order")
+          )
+    ),
+    // Shipping-priority top-K (TPC-H Q3 flavor): broadcast dim join +
+    // shuffled fact join + agg + deterministic top-10.
+    QueryDef(
+      "q3_shipping_priority",
+      Some(
+        s"""SELECT l_orderkey,
+           |  CAST(sum($revenueSql) AS DOUBLE) AS revenue
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+           |  AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
+           |GROUP BY l_orderkey
+           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+      ),
+      (spark, sf) => {
+        val cust = table(spark, sf, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = table(spark, sf, "orders")
+          .filter(col("o_orderdate").cast("date") < to_date(lit("1998-03-15")))
+        val li = table(spark, sf, "lineitem")
+          .filter(col("l_shipdate").cast("date") > to_date(lit("1996-03-15")))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey")
+          .agg(sum(revenue).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      }
+    ),
+    // Local-supplier volume (TPC-H Q5 flavor): 5-way join, broadcast all
+    // dims, shuffle only orders⋈lineitem.
+    QueryDef(
+      "q5_local_supplier_volume",
+      Some(
+        s"""SELECT n_name, CAST(sum($revenueSql) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY n_name""".stripMargin
+      ),
+      (spark, sf) => {
+        val nation = table(spark, sf, "nation")
+        val region = table(spark, sf, "region").filter(col("r_name") === "ASIA")
+        val asiaNations = broadcast(
+          nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        )
+        table(spark, sf, "lineitem")
+          .join(table(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(table(spark, sf, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(
+            broadcast(table(spark, sf, "customer")),
+            col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey")
+          )
+          .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(revenue).cast("double").as("revenue"))
+      }
+    ),
+    // Window function: per-customer top-3 orders by value.
+    QueryDef(
+      "q_window_top_orders",
+      Some(
+        """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) t WHERE rn <= 3""".stripMargin
+      ),
+      (spark, sf) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(spark, sf, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "rn")
+      }
+    ),
+    // Sessionization over the event stream table: lag + gap>30min breaks.
+    // events.ts is read as Long nanoseconds (nanosAsLong); the oracle uses
+    // epoch_ns() for the same integer value.
+    QueryDef(
+      "q_sessionize",
+      Some(
+        """WITH d AS (
+          |  SELECT user_id,
+          |    CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+          |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) > 1800000000000
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM events)
+          |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM d GROUP BY user_id""".stripMargin
+      ),
+      (spark, sf) => {
+        registerViews(spark, sf, "events")
+        spark.sql(
+          """WITH d AS (
+            |  SELECT user_id,
+            |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+            |         THEN 1 ELSE 0 END AS brk
+            |  FROM events)
+            |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM d GROUP BY user_id""".stripMargin
+        )
+      }
+    ),
+    // Event-type aggregation: exact count + min/max (order-independent).
+    QueryDef(
+      "q_event_stats",
+      Some(
+        """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+          |  min(value) AS min_value, max(value) AS max_value
+          |FROM events GROUP BY event_type""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "events")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct("user_id").as("n_users"),
+            min("value").as("min_value"),
+            max("value").as("max_value")
+          )
+    ),
+    // Left-semi join: customers with at least one order.
+    QueryDef(
+      "q_semi_join",
+      Some("SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+      (spark, sf) =>
+        table(spark, sf, "customer")
+          .join(table(spark, sf, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey")
+    ),
+    // Left-anti join: orders with no lineitem rows.
+    QueryDef(
+      "q_anti_join",
+      Some("SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)"),
+      (spark, sf) =>
+        table(spark, sf, "orders")
+          .join(table(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .select("o_orderkey")
+    ),
+    // Set operations: INTERSECT then EXCEPT (distinct set semantics).
+    QueryDef(
+      "q_set_ops",
+      Some(
+        """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          |INTERSECT
+          |SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+          |EXCEPT
+          |SELECT c_custkey FROM customer WHERE c_nationkey = 3""".stripMargin
+      ),
+      (spark, sf) => {
+        val c = table(spark, sf, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+          .intersect(c.filter(col("c_acctbal") > 1000).select("c_custkey"))
+          .except(c.filter(col("c_nationkey") === 3).select("c_custkey"))
+      }
+    ),
+    // ROLLUP over a broadcast dim join.
+    QueryDef(
+      "q_rollup",
+      Some(
+        """SELECT n_name, c_mktsegment, count(*) AS n
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin
+      ),
+      (spark, sf) => {
+        registerViews(spark, sf, "customer", "nation")
+        spark.sql(
+          """SELECT n_name, c_mktsegment, count(*) AS n
+            |FROM customer JOIN nation ON c_nationkey = n_nationkey
+            |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin
+        )
+      }
+    ),
+    // CUBE over the fact table.
+    QueryDef(
+      "q_cube",
+      Some(
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    ),
+    // Sort + limit with deterministic tie-break.
+    QueryDef(
+      "q_top_customers",
+      Some(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10"
+      ),
+      (spark, sf) =>
+        table(spark, sf, "customer")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .limit(10)
+          .select("c_custkey", "c_name", "c_acctbal")
+    )
+  )
+}
