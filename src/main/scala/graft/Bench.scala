@@ -1,24 +1,91 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries over SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line with per-query seconds. Failures are reported under
+  * "errors" and excluded from the total (a broken query must never look
+  * like a fast one).
+  *
+  * Execution is forced through the noop sink so every output column is
+  * materialized — `count()` would let Spark skip projection work entirely.
+  */
 object Bench {
+
+  /** Heavy/representative subset of the registry. */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_window_top_orders",
+    "q_sessionize",
+    "q_event_stats",
+    "o1_typed_scan",
+    "o2_typed_sink",
+    "llm_text_stats",
+    "llm_simhash",
+    "llm_dedup_minhash",
+    "llm_dedup_ngram",
+    "llm_ann_top1",
+    "llm_ann_lsh",
+    "llm_multimodal"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Session warmup: absorb codegen/classloading/parquet-footer costs so
+    // the first timed query isn't charged for them.
+    spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
+
+    val queries = SparkEntry.queries
+    val results: Seq[(String, Either[String, Double])] = headline.flatMap { name =>
+      queries.get(name).map { fn =>
+        System.err.println(s"[bench] running $name")
+        val t0 = System.nanoTime()
+        val r: Either[String, Double] =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+        r.foreach(s => System.err.println(f"[bench] $name: $s%.2f s"))
+        r.left.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
+        name -> r
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'          => "\\\""
+        case '\\'         => "\\\\"
+        case '\n'         => "\\n"
+        case '\r'         => "\\r"
+        case '\t'         => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c            => c.toString
+      } + "\""
+
+    val ok = results.collect { case (n, Right(s)) => n -> s }
+    val errs = results.collect { case (n, Left(m)) => n -> m }
+    val qs = ok.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+    val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+    )
     spark.stop()
   }
 }

@@ -33,8 +33,12 @@ object ShapeOf {
 
   private val cache = new ConcurrentHashMap[String, ShapeOf[_]]()
 
-  // WeakTypeTag so locally-defined contract case classes (common in tests
-  // and notebooks) derive too; contracts are always concrete types.
+  // WeakTypeTag rather than TypeTag so derivation also works where a full
+  // TypeTag can't materialize; note that method-local case classes reify as
+  // free types under Scala 2 runtime reflection and are rejected with an
+  // explicit error in `materialize` — contracts must live at a stable
+  // (object/package) scope, unlike the reference's compile-time macro which
+  // handles local classes.
   implicit def derive[T](implicit tt: ru.WeakTypeTag[T]): ShapeOf[T] = {
     val key = tt.tpe.toString
     cache
@@ -43,6 +47,17 @@ object ShapeOf {
   }
 
   private def materialize(tpe: ru.Type): ShapeOf[Any] = {
+    // Method-local / abstract contract types reify as free types under
+    // Scala 2 runtime reflection and cannot be walked — fail with a clear
+    // scoping error instead of a misleading "unsupported leaf" one.
+    def isFree(s: ru.Symbol): Boolean =
+      s.toString.startsWith("free ") || (s != ru.NoSymbol && s.owner == ru.NoSymbol && !s.isClass)
+    if (tpe.exists(t => isFree(t.typeSymbol)))
+      throw new UnsupportedContractType(
+        s"Contract type $tpe is method-local or abstract; Scala 2 runtime " +
+          "reflection cannot derive its shape. Define contract case classes " +
+          "at a stable (object/package) scope."
+      )
     val s = ru.synchronized { // runtime reflection: serialize walks defensively
       shapeOfType(tpe) match {
         case struct: TypeShape.Struct => struct
@@ -62,7 +77,8 @@ object ShapeOf {
   private val supportedLeafTypes =
     "String, Int, Long, Short, Byte, Double, Float, Boolean, BigDecimal, " +
       "java.math.BigDecimal, java.sql.Date, java.time.LocalDate, " +
-      "java.sql.Timestamp, java.time.Instant, java.time.LocalDateTime"
+      "java.sql.Timestamp, java.time.Instant, java.time.LocalDateTime, " +
+      "Array[Byte]"
 
   /** Leaf table per SURVEY.md §1.2 (reference: SparkCore.scala:238-255). */
   private def leafDataType(t: ru.Type): Option[DataType] = {
@@ -109,6 +125,10 @@ object ShapeOf {
     import ru._
     val t = raw.dealias
     if (t <:< typeOf[Option[_]]) TypeShape.Optional(shapeOfType(t.typeArgs.head))
+    // Array[Byte] is BinaryType on the data plane (matches Spark's encoder
+    // mapping), NOT ArrayType(ByteType) — checked before the sequence family.
+    // This is the multimodal payload leaf (opaque image/audio/video bytes).
+    else if (t =:= typeOf[Array[Byte]]) TypeShape.Leaf(BinaryType)
     else if (isSeqLike(t)) {
       val elem = t.typeArgs.headOption.getOrElse(
         throw new UnsupportedContractType(s"Missing type arg for sequence in $t")

@@ -1,0 +1,185 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash-LSH near-dup, SimHash near-dup, exact n-gram Jaccard.
+  *
+  * 100 TB design rules baked in:
+  *   - NO all-pairs comparison anywhere. Candidate pairs come from bucketed
+  *     equi-joins (LSH bands / shared shingles / SimHash bands) — the only
+  *     shuffles are on those bucket keys.
+  *   - exact dedup shuffles a 32-char content hash, never the document body
+  *     twice (the window ranks within hash partitions).
+  *   - skew guard: pathological buckets (e.g. a boilerplate shingle shared
+  *     by millions of docs) are dropped via `maxBucket`/`maxDf` caps —
+  *     at 100 TB an uncapped hot bucket is a guaranteed straggler.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `tieBreak` per identical
+    * `key`. One shuffle on the content hash; window within hash partitions.
+    */
+  def dedupExact(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tieBreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact k-token-shingle Jaccard similar pairs via an inverted-index
+    * self-join: explode distinct shingles, equi-join on the shingle,
+    * count shared shingles per pair, compute exact Jaccard, keep >= tau.
+    *
+    * Exact (not approximate): every pair with Jaccard >= tau shares at
+    * least one shingle, so the inverted index finds it. Cost is bounded by
+    * the shingle document-frequency distribution — cap it with `maxDf`
+    * (drops shingles appearing in more than maxDf docs; boilerplate
+    * shingles add candidates, not discrimination). maxDf = 0 disables the
+    * cap (needed when an exact oracle must match).
+    *
+    * Returns (a, b, jaccard) with a < b. The Jaccard double is an
+    * int/int division — deterministic across engines.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tau: Double,
+      maxDf: Int = 0
+  ): DataFrame = {
+    val withSh = df.select(col(idCol).as("__id"), Fingerprints.shingles(col(textCol), k).as("__sh"))
+    val exploded = withSh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val filtered =
+      if (maxDf <= 0) exploded
+      else {
+        val dfreq = exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
+        exploded.join(dfreq.filter(col("__df") <= maxDf).select("__s"), "__s")
+      }
+    val counts = withSh.select(col("__id"), size(col("__sh")).as("__n"))
+    val left = filtered.select(col("__id").as("a"), col("__s"))
+    val right = filtered.select(col("__id").as("b"), col("__s").as("__s2"))
+    val inter = left
+      .join(right, col("__s") === col("__s2") && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(counts.withColumnRenamed("__id", "a").withColumnRenamed("__n", "__na"), "a")
+      .join(counts.withColumnRenamed("__id", "b").withColumnRenamed("__n", "__nb"), "b")
+      .withColumn(
+        "jaccard",
+        col("__inter").cast("double") / (col("__na") + col("__nb") - col("__inter")).cast("double")
+      )
+      .filter(col("jaccard") >= tau)
+      .select("a", "b", "jaccard")
+  }
+
+  /** MinHash-LSH near-dup pairs: banded signature bucketing generates
+    * candidates (never all-pairs), then candidates are verified with the
+    * exact shingle Jaccard, keeping >= tau.
+    *
+    * With numHashes=128, bands=32 (r=4): P(candidate | jaccard = 0.8)
+    * = 1-(1-0.8^4)^32 ≈ 1-5e-8 — recall at the threshold is effectively 1,
+    * while pairs far below tau rarely surface (and verification removes
+    * any that do, so precision is exact).
+    *
+    * `maxBucket` drops pathological LSH buckets (straggler guard; 0 = off).
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      tau: Double = 0.8,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val withSh = df.select(col(idCol).as("__id"), Fingerprints.shingles(col(textCol), k).as("__sh"))
+    val sig = withSh
+      .filter(size(col("__sh")) > 0)
+      .select(col("__id"), col("__sh"), Fingerprints.minhashSignature(col("__sh"), numHashes).as("__sig"))
+    // Persisted: both sides of the candidate self-join read this, and
+    // without a cache each side would recompute the full signature pass
+    // (numHashes × shingles hashes per doc — the expensive step). The
+    // cached projection is ids + band hashes only, never the text: tiny
+    // even at 100 TB corpus scale (rows = docs × bands).
+    val banded = sig.select(
+      col("__id"),
+      posexplode(Fingerprints.bandKeys(col("__sig"), bands, r)).as(Seq("__band", "__key"))
+    ).persist()
+    val buckets =
+      if (maxBucket <= 0) banded
+      else {
+        val sizes = banded.groupBy("__band", "__key").agg(count(lit(1)).as("__bs"))
+        banded.join(sizes.filter(col("__bs") <= maxBucket).select("__band", "__key"), Seq("__band", "__key"))
+      }
+    val candA = buckets.select(col("__band"), col("__key"), col("__id").as("a"))
+    val candB = buckets.select(col("__band").as("__band2"), col("__key").as("__key2"), col("__id").as("b"))
+    val candidates = candA
+      .join(candB, col("__band") === col("__band2") && col("__key") === col("__key2") && col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    verifyJaccard(candidates, sig.select(col("__id"), col("__sh")), tau)
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit simhash into `bands` slices
+    * (pigeonhole guarantees any pair within Hamming distance < bands shares
+    * a band), bucket-join, then verify exact Hamming distance <= maxHamming.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val sims = df.select(col(idCol).as("__id"), Fingerprints.simhash64(col(textCol)).as("__sim"))
+    val banded = sims.select(
+      col("__id"),
+      col("__sim"),
+      posexplode(Fingerprints.simhashBands(col("__sim"), bands)).as(Seq("__band", "__key"))
+    )
+    val a = banded.select(col("__band"), col("__key"), col("__id").as("a"), col("__sim").as("__sima"))
+    val b = banded.select(
+      col("__band").as("__band2"),
+      col("__key").as("__key2"),
+      col("__id").as("b"),
+      col("__sim").as("__simb")
+    )
+    a.join(b, col("__band") === col("__band2") && col("__key") === col("__key2") && col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("__sima").bitwiseXOR(col("__simb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: join the two shingle
+    * sets back and compute |A∩B| / |A∪B| per pair (row-local array math —
+    * the arrays are per-document, small, and only candidate pairs pay it).
+    */
+  def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame, tau: Double): DataFrame =
+    pairs
+      .join(shingleSets.select(col("__id").as("a"), col("__sh").as("__sha")), "a")
+      .join(shingleSets.select(col("__id").as("b"), col("__sh").as("__shb")), "b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))).cast("double")
+      )
+      .filter(col("jaccard") >= tau)
+      .select("a", "b", "jaccard")
+
+  /** Greedy near-dup removal from a pair list: drop every doc that has a
+    * similar neighbor with a smaller id. Cheap (one semi-join), and the
+    * same rule is ANSI-SQL-expressible for the oracle. NOTE: this is the
+    * standard greedy approximation, not connected components — a doc whose
+    * only smaller neighbor was itself dropped stays dropped.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,134 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Document fingerprinting: content hashes, k-token shingles, MinHash
+  * signatures, SimHash. All pure per-row column expressions (higher-order
+  * functions over split tokens) — no UDFs, no shuffles; signatures for a
+  * 100 TB corpus compute map-side at full parallelism.
+  */
+object Fingerprints {
+
+  // functions.shiftright/shiftleft take a literal Int shift; these accept a
+  // column (lambda variable) shift via the SQL function registry.
+  private def shr(x: Column, n: Column): Column = call_function("shiftright", x, n)
+  private def shl(x: Column, n: Column): Column = call_function("shiftleft", x, n)
+
+  /** Exact-content key: hex MD5 (cross-engine reproducible) — the groupBy
+    * key for exact dedup at scale (hash the content, never shuffle the
+    * content itself).
+    */
+  def contentKeyMd5(text: Column): Column = md5(text)
+
+  /** 64-bit content fingerprint (xxhash64, seed 42). */
+  def contentKey64(text: Column): Column = xxhash64(text)
+
+  /** Rolling-hash-style fingerprint: order-sensitive combination of token
+    * hashes (h = (h*31 + xxhash64(token)) mod 2^57), so token order matters
+    * — unlike a bag-of-tokens hash. The 57-bit mask keeps every
+    * intermediate below 2^63, so the expression is safe under ANSI mode
+    * (Spark 4 default) where a wrapping long multiply would throw.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val mask = (1L << 57) - 1
+    aggregate(
+      TextStats.tokens(text),
+      lit(0L),
+      (acc, t) => (acc * lit(31L) + xxhash64(t).bitwiseAND(lit(mask))).bitwiseAND(lit(mask))
+    )
+  }
+
+  /** Distinct k-token shingles: `w_i w_i+1 ... w_i+k-1` joined by spaces.
+    * Guarded for docs shorter than k tokens (empty set, matches the SQL
+    * oracle's `range(len-k+1)` semantics).
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextStats.tokens(text)
+    val n = size(toks)
+    when(
+      n >= k,
+      array_distinct(
+        transform(
+          sequence(lit(0), n - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)
+        )
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: for seed s in [0, numHashes), the minimum of
+    * xxhash64(shingle, seed=s) over the doc's shingle set. Backed by the
+    * native Catalyst expression [[graft.functions.MinHashSignature]] — a
+    * row-local primitive loop, O(numHashes × shingles) per doc, fully
+    * map-side (the HOF formulation below is ~150× slower).
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    graft.functions.native.minhashSignature(shinglesCol, numHashes)
+
+  /** Interpreted HOF formulation of the MinHash signature — kept as the
+    * readable reference and for benchmarks; same shape, different hash
+    * seeding, ~µs per hash instead of ~ns.
+    */
+  def minhashSignatureHof(shinglesCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shinglesCol, sh => xxhash64(sh, s)))
+    )
+
+  /** LSH band keys from a MinHash signature: `bands` hashes, each over a
+    * contiguous slice of `rowsPerBand` signature entries. Docs sharing any
+    * band key become candidate pairs — the O(n²) all-pairs comparison is
+    * replaced by a bucketed equi-join on (band_index, band_key).
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))
+    )
+
+  /** 64-bit SimHash over tokens: per-token xxhash64 (seed 42), vote each
+    * bit ±1, take the sign. Near-duplicate docs land at small Hamming
+    * distance. Native expression; bit-identical to [[simhash64Hof]] (the
+    * spec asserts this).
+    */
+  def simhash64(text: Column): Column =
+    graft.functions.native.simhash64(TextStats.tokens(text))
+
+  /** Interpreted HOF formulation of SimHash — reference implementation. */
+  def simhash64Hof(text: Column): Column = {
+    val toks = TextStats.tokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          sequence(lit(0L), lit(63L)),
+          (a, i) =>
+            a + when((shr(xxhash64(t), i.cast("int")).bitwiseAND(lit(1L))) === 1L, lit(1L))
+              .otherwise(lit(-1L))
+        )
+    )
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) =>
+        acc + when(element_at(votes, i + 1) > 0, shl(lit(1L), i.cast("int"))).otherwise(lit(0L))
+    )
+  }
+
+  /** SimHash band keys: split the 64-bit hash into `bands` equal bit
+    * slices; docs within Hamming distance d < bands share at least one
+    * band (pigeonhole) — the bucketed-join candidate generator for
+    * Hamming-ball near-dup at scale.
+    */
+  def simhashBands(sim: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => shr(sim, b.cast("int") * width).bitwiseAND(lit(mask))
+    )
+  }
+}

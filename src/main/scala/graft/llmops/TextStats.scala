@@ -1,0 +1,86 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID. Beyond-reference surface
+  * (SURVEY.md §7.2.9); everything is built from codegen'd Spark expressions
+  * — no per-row UDFs, no shuffles, embarrassingly parallel at any scale.
+  *
+  * Determinism note: every derived column is a per-row expression
+  * (length / split / ratios), so results are identical under any
+  * partitioning — safe for the DuckDB oracle and for re-runs under AQE.
+  */
+object TextStats {
+
+  /** Whitespace tokens (single-space corpus; swap the pattern for real data). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword count heuristic: word-piece boundaries approximated by
+    * alternation between letter runs, digit runs, and punctuation — counted
+    * with one regexp pass, no UDF.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Per-document stats, all per-row expressions. */
+  def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_calc", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn(
+        "avg_token_len",
+        (length(t) - size(toks) + 1).cast("double") / size(toks).cast("double")
+      )
+      .withColumn(
+        "distinct_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+      )
+  }
+
+  /** Stopword lists per language for the language-ID heuristic. Tiny on
+    * purpose: they ride into the plan as array literals (broadcast with the
+    * task binary — zero data movement).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "sur"),
+    "es" -> Seq("el", "los", "y", "es", "en", "para", "una", "con", "por", "se"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他")
+  )
+
+  /** Stopword-hit count for one language (n-gram-free heuristic: token-set
+    * intersection against the language's stopword list).
+    */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    size(array_intersect(tokens(text), array(words.map(lit): _*))).cast("long")
+  }
+
+  /** Predicted language: argmax of stopword hits with a deterministic
+    * tie-break (list order above — 'en' wins ties). Heuristic language ID à
+    * la n-gram profiles, expressible as one codegen'd CASE chain.
+    */
+  def langId(text: Column): Column = {
+    val hits = stopwords.map { case (lang, _) => lang -> stopwordHits(text, lang) }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((lang, h), acc) => when(h === best, lit(lang)).otherwise(acc) }
+  }
+
+  /** Composite quality score in [0,1]: longer docs with diverse tokens and
+    * some stopword mass score higher. Per-row double arithmetic —
+    * deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopMass = least(stopwordHits(text, "en").cast("double") / lit(4.0), lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * stopMass, 6)
+  }
+}
