@@ -66,7 +66,7 @@ object SchemaConforms {
 trait PolicyRuntime[P <: SchemaPolicy] extends Serializable {
   def policy: SchemaPolicy
   def ok(found: StructType, expected: StructType): Boolean =
-    SchemaCompare.conforms(TypeShape.fromStructType(found), TypeShape.fromStructType(expected), policy)
+    FastConforms.ok(found, expected, policy)
 }
 
 object PolicyRuntime {
@@ -81,16 +81,10 @@ object PolicyRuntime {
 object RuntimeSchemaComparator {
 
   private def conforms(found: StructType, expected: StructType, policy: SchemaPolicy): Boolean =
-    SchemaCompare.conforms(TypeShape.fromStructType(found), TypeShape.fromStructType(expected), policy)
+    FastConforms.ok(found, expected, policy)
 
-  /** CS-unordered = same CS name set ∧ Forward (every found field deep-equal
-    * in expected); no policy object is CS-unordered, so compose directly.
-    */
   def unordered(found: StructType, expected: StructType, caseInsensitive: Boolean): Boolean =
-    if (caseInsensitive) conforms(found, expected, SchemaPolicy.Exact)
-    else
-      found.fieldNames.toSet == expected.fieldNames.toSet &&
-      conforms(found, expected, SchemaPolicy.Forward)
+    conforms(found, expected, if (caseInsensitive) SchemaPolicy.Exact else SchemaPolicy.ExactUnorderedCS)
 
   def ordered(found: StructType, expected: StructType, caseInsensitive: Boolean): Boolean =
     conforms(found, expected, if (caseInsensitive) SchemaPolicy.ExactOrderedCI else SchemaPolicy.ExactOrdered)
@@ -118,15 +112,28 @@ object SchemaCheck {
     * nested collection optionality preserved.
     */
   def assertMatchesContract[C](df: DataFrame)(implicit sch: ShapeOf[C]): Unit =
-    assertMatches(df.schema, sch.shape, SchemaPolicy.Exact, "contract")
+    assertMatches(df.schema, sch.struct, sch.shape, SchemaPolicy.Exact, "contract")
 
   /** Policy-aware pin. */
   def assertMatchesContract[C, P <: SchemaPolicy with Singleton](
       df: DataFrame
   )(implicit sch: ShapeOf[C], p: ValueOf[P]): Unit =
-    assertMatches(df.schema, sch.shape, p.value, s"policy ${p.value.name}")
+    assertMatches(df.schema, sch.struct, sch.shape, p.value, s"policy ${p.value.name}")
 
-  def assertMatches(found: StructType, expected: TypeShape.Struct, policy: SchemaPolicy, what: String): Unit = {
+  def assertMatches(found: StructType, expected: TypeShape.Struct, policy: SchemaPolicy, what: String): Unit =
+    assertMatches(found, TypeShape.toStructType(expected), expected, policy, what)
+
+  def assertMatches(
+      found: StructType,
+      expectedStruct: StructType,
+      expected: TypeShape.Struct,
+      policy: SchemaPolicy,
+      what: String
+  ): Unit = {
+    // Fast boolean check first (zero-allocation, contract struct memoized);
+    // the diff engine only runs on the failure path, where rich rendering
+    // is worth its cost.
+    if (FastConforms.ok(found, expectedStruct, policy)) return
     val report = SchemaCompare.diff(TypeShape.fromStructType(found), expected, policy)
     if (!report.conforms) {
       val expectedStruct = TypeShape.toStructType(expected)

@@ -66,6 +66,15 @@ object SchemaPolicy {
     override val isFull = true
   }
 
+  /** Internal: case-sensitive unordered-by-name comparison. Not part of the
+    * reference's 8-policy surface (none of its public policies is
+    * CS-unordered); it gives `RuntimeSchemaComparator.unordered(found,
+    * expected, caseInsensitive = false)` a real policy instead of a
+    * name-set + Forward encoding, so the comparator micro-bench times the
+    * actual code path.
+    */
+  private[graft] case object ExactUnorderedCS extends SchemaPolicy
+
   // Short type aliases for call sites: addSink[Contract, SchemaPolicy.BackwardT](...)
   type ExactT = Exact.type
   type ExactUnorderedCIT = ExactUnorderedCI.type
