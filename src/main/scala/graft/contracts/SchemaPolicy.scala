@@ -11,8 +11,8 @@ package graft.contracts
   *   - Backward — producer extras allowed; contract fields may be missing
   *     only if optional or defaulted. Case-sensitive by design.
   *   - Forward — producer must be a subset of the contract. Case-sensitive.
-  *   - Full — escape hatch; accepts everything (the check still runs so
-  *     duplicate-name diagnostics surface, but no diff is fatal).
+  *   - Full — escape hatch; accepts everything, including duplicate field
+  *     names (all diff categories are dropped, so nothing surfaces).
   *
   * Each policy is a singleton object so it can be used both at the value
   * level (`SchemaPolicy.Backward`) and the type level (`Backward.type`,

@@ -1,0 +1,155 @@
+package graft.llmops
+
+import graft.SparkTestSession
+import graft.contracts.ContractViolation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the llmops operator family on hand-checkable corpora;
+  * the driver-level DuckDB oracles (LlmQueries) cover the full testdata.
+  */
+class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "ab")                                           // shorter than shingle width
+  ).toDF("doc_id", "text")
+
+  test("dedupExact keeps the smallest id per identical text") {
+    val out = Dedup
+      .dedupExact(docs, Fingerprints.contentKeyMd5(col("text")), col("doc_id"))
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 dropped (dup of 1)
+  }
+
+  test("ngramJaccardPairs computes the exact jaccard") {
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.5)
+      .as[(Long, Long, Double)]
+      .collect()
+      .sortBy(p => (p._1, p._2))
+    // docs 1,2,4: 7 shingles each; 1 vs 2 share 6 (last differs) -> 6/8
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val j12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(j12 == 6.0 / 8.0)
+    val j14 = pairs.find(p => p._1 == 1L && p._2 == 4L).get._3
+    assert(j14 == 1.0)
+  }
+
+  test("minhashNearDupPairs finds the planted near-dups and nothing else") {
+    val pairs = Dedup
+      .minhashNearDupPairs(docs, "doc_id", "text", k = 3, numHashes = 64, bands = 16, tau = 0.7)
+      .as[(Long, Long, Double)]
+      .collect()
+      .map(p => (p._1, p._2))
+      .sorted
+    assert(pairs.toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("dropNearDuplicates keeps docs with no smaller similar neighbor") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 64, 16, 0.7)
+    val kept = Dedup
+      .dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("simhash: native expression is bit-identical to the HOF reference") {
+    val rows = docs
+      .select(
+        Fingerprints.simhash64(col("text")).as("native"),
+        Fingerprints.simhash64Hof(col("text")).as("hof")
+      )
+      .as[(Long, Long)]
+      .collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("simhash of identical docs is identical; near-dups land within small hamming") {
+    val pairs = Dedup
+      .simhashNearDupPairs(docs, "doc_id", "text", bands = 4, maxHamming = 10)
+      .as[(Long, Long, Int)]
+      .collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 4L)) == 0)
+    // (1,2) surfaces only if a band collides — when it does, hamming is small
+    m.get((1L, 2L)).foreach(h => assert(h <= 10))
+  }
+
+  test("cosine: native expression is bit-identical to the HOF reference") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), 2L, Seq(-1.0f, 0.5f, 2.0f)),
+      (2L, Seq(0.1f, -0.2f, 0.3f), 3L, Seq(0.4f, 0.5f, -0.6f))
+    ).toDF("a", "va", "b", "vb")
+    val rows = vecs
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("native"),
+        Similarity.cosineHof(col("va"), col("vb")).as("hof")
+      )
+      .as[(Double, Double)]
+      .collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("bruteTopK ranks by cosine with deterministic ties") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top1 = Similarity
+      .bruteTopK(vecs, "vec_id", "embedding", k = 1)
+      .select("qid", "nid")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(top1(1L) == 2L)
+    assert(top1(2L) == 1L)
+    assert(top1(3L) == 2L) // cos(3,1)=0 < cos(3,2)>0
+  }
+
+  test("textStats and langId") {
+    val df = Seq((1L, "the cat is in the hat")).toDF("doc_id", "text")
+    val r = TextStats
+      .withStats(df)
+      .select("n_chars_calc", "n_tokens", "n_distinct_tokens")
+      .as[(Long, Long, Long)]
+      .head()
+    assert(r == ((21L, 6L, 5L)))
+    val lang = df.select(TextStats.langId(col("text"))).as[String].head()
+    assert(lang == "en")
+    val de = Seq((1L, "der hund ist nicht da")).toDF("doc_id", "text")
+    assert(de.select(TextStats.langId(col("text"))).as[String].head() == "de")
+  }
+
+  test("multimodal: binary payload + metadata pass the contract; stub features are deterministic") {
+    val media = Multimodal.attachBinary(docs)
+    val feats = Multimodal.extractFeaturesStub(media)
+    val row = feats.filter(col("doc_id") === 1L).head()
+    val expectBytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length
+    assert(row.getAs[Long]("byte_len") == expectBytes)
+    assert(row.getAs[String]("mime") == "text/plain")
+    assert(row.getAs[Long]("fake_width") == expectBytes % 1024 + 1)
+    // drifted producer (no payload/meta) must fail the contract pin
+    intercept[ContractViolation] {
+      graft.contracts.SchemaCheck.assertMatchesContract[Multimodal.MediaRow](docs)
+    }
+  }
+
+  test("shingles of docs shorter than k are empty (no crash, no pairs)") {
+    val short = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(short, "doc_id", "text", 3, 0.1).count() == 0)
+    assert(Dedup.minhashNearDupPairs(short, "doc_id", "text", 3, 16, 4, 0.5).count() == 0)
+  }
+}
