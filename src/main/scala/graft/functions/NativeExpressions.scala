@@ -26,6 +26,9 @@ object native {
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
 
+  def tokenShingles(tokens: Column, k: Int): Column =
+    ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(tokens), k))
+
   def arrayDot(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
@@ -66,6 +69,44 @@ final case class MinHashSignature(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Distinct k-token shingles joined by single spaces, first-occurrence
+  * order (identical to the `array_distinct(transform(...concat_ws...))`
+  * HOF formulation and to DuckDB's `list_distinct(list_transform(...))`
+  * oracle). Docs shorter than k tokens yield an empty array. Input
+  * array<string>, output array<string>.
+  */
+final case class TokenShingles(child: Expression, k: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "token_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        window(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
     copy(child = newChild)
 }
 

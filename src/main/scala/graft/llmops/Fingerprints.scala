@@ -39,11 +39,17 @@ object Fingerprints {
     )
   }
 
-  /** Distinct k-token shingles: `w_i w_i+1 ... w_i+k-1` joined by spaces.
-    * Guarded for docs shorter than k tokens (empty set, matches the SQL
-    * oracle's `range(len-k+1)` semantics).
+  /** Distinct k-token shingles: `w_i w_i+1 ... w_i+k-1` joined by spaces,
+    * first-occurrence order; docs shorter than k tokens get an empty set
+    * (matches the SQL oracle's `range(len-k+1)` semantics). Native
+    * expression ([[graft.functions.TokenShingles]]); [[shinglesHof]] is the
+    * semantically identical reference.
     */
-  def shingles(text: Column, k: Int): Column = {
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.native.tokenShingles(TextStats.tokens(text), k)
+
+  /** Interpreted HOF formulation of [[shingles]] — reference implementation. */
+  def shinglesHof(text: Column, k: Int): Column = {
     val toks = TextStats.tokens(text)
     val n = size(toks)
     when(

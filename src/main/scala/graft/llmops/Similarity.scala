@@ -95,25 +95,23 @@ object Similarity {
     }
     // Persisted for the same reason as Dedup.minhashNearDupPairs: the
     // candidate self-join reads this twice; caching avoids recomputing the
-    // tables × planes dot products per side. Holds ids, vectors, and
-    // bucket keys (vectors are carried so candidates don't need a third
-    // join back to the base table).
+    // tables × planes dot products per side. Holds only ids + bucket keys
+    // — candidate pairs dedup as bare id pairs (cheap) and the vectors
+    // join back afterwards, so the wide embedding arrays never ride
+    // through the candidate shuffle/dedup.
     val banded = base
-      .select(col("__id"), col("__v"), posexplode(array(keysPerTable: _*)).as(Seq("__table", "__key")))
+      .select(col("__id"), posexplode(array(keysPerTable: _*)).as(Seq("__table", "__key")))
       .persist()
-    val a = banded.select(col("__table"), col("__key"), col("__id").as("qid"), col("__v").as("__qv"))
-    val b = banded.select(
-      col("__table").as("__t2"),
-      col("__key").as("__k2"),
-      col("__id").as("nid"),
-      col("__v").as("__cv")
-    )
+    val a = banded.select(col("__table"), col("__key"), col("__id").as("qid"))
+    val b = banded.select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
     val candidates = a
       .join(b, col("__table") === col("__t2") && col("__key") === col("__k2") && col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("__qv"), col("__cv"))
+      .select(col("qid"), col("nid"))
       .dropDuplicates("qid", "nid")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     candidates
+      .join(base.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
+      .join(base.select(col("__id").as("nid"), col("__v").as("__cv")), "nid")
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -147,6 +147,17 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("shingles: native expression matches the HOF reference exactly") {
+    val rows = docs
+      .select(
+        Fingerprints.shingles(col("text"), 3).as("native"),
+        Fingerprints.shinglesHof(col("text"), 3).as("hof")
+      )
+      .as[(Seq[String], Seq[String])]
+      .collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("shingles of docs shorter than k are empty (no crash, no pairs)") {
     val short = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(short, "doc_id", "text", 3, 0.1).count() == 0)
