@@ -252,6 +252,76 @@ object RelationalQueries {
           .cube("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
     ),
+    // Semi-structured JSON column: extract + aggregate (events.props).
+    QueryDef(
+      "q_json_extract",
+      Some(
+        """SELECT event_type,
+          |  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+          |  CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k
+          |FROM events GROUP BY event_type""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "events")
+          .groupBy("event_type")
+          .agg(
+            sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"),
+            max(get_json_object(col("props"), "$.k").cast("int")).as("max_k")
+          )
+    ),
+    // GROUPING SETS via SQL.
+    QueryDef(
+      "q_grouping_sets",
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+      ),
+      (spark, sf) => {
+        registerViews(spark, sf, "lineitem")
+        spark.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+        )
+      }
+    ),
+    // Time-series rollup: monthly order volume via date_trunc.
+    QueryDef(
+      "q_monthly_orders",
+      Some(
+        """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders GROUP BY 1""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total")
+          )
+    ),
+    // Scalar string functions: upper/substr/length/concat through the scan.
+    QueryDef(
+      "q_string_funcs",
+      Some(
+        """SELECT c_custkey,
+          |  upper(substr(c_name, 1, 8)) AS prefix,
+          |  CAST(length(c_name) AS BIGINT) AS name_len,
+          |  concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_key
+          |FROM customer""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "customer")
+          .select(
+            col("c_custkey"),
+            upper(substring(col("c_name"), 1, 8)).as("prefix"),
+            length(col("c_name")).cast("long").as("name_len"),
+            concat(col("c_mktsegment"), lit("#"), col("c_nationkey").cast("string")).as("seg_key")
+          )
+    ),
     // Sort + limit with deterministic tie-break.
     QueryDef(
       "q_top_customers",
