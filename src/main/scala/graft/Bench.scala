@@ -20,6 +20,8 @@ object Bench {
     "q_window_top_orders",
     "q_sessionize",
     "q_event_stats",
+    "q_json_extract",
+    "q_monthly_orders",
     "o1_typed_scan",
     "o2_typed_sink",
     "llm_text_stats",
