@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads it as Long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-join queries saveAsTable; keep the warehouse out of the repo
+      .config(
+        "spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -322,6 +322,80 @@ object RelationalQueries {
             concat(col("c_mktsegment"), lit("#"), col("c_nationkey").cast("string")).as("seg_key")
           )
     ),
+    // Skew-salted join: result must equal the plain join (salt-invariant).
+    QueryDef(
+      "q_salted_join",
+      Some(
+        """SELECT s_nationkey, count(*) AS n, sum(l_quantity) AS sum_qty
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |GROUP BY s_nationkey""".stripMargin
+      ),
+      (spark, sf) =>
+        graft.relational.Scale
+          .saltedJoin(
+            table(spark, sf, "lineitem"),
+            table(spark, sf, "supplier"),
+            "l_suppkey",
+            "s_suppkey",
+            saltFactor = 8
+          )
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    ),
+    // Bucketed co-located join: shuffle paid at write time, join reads
+    // bucket-aligned (no Exchange before the join in the plan).
+    QueryDef(
+      "q_bucketed_join",
+      Some(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderstatus""".stripMargin
+      ),
+      (spark, sf) =>
+        graft.relational.Scale
+          .bucketedJoin(
+            spark,
+            table(spark, sf, "orders").withColumnRenamed("o_orderkey", "k"),
+            table(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "k"),
+            "graft_orders_bucketed",
+            "graft_lineitem_bucketed",
+            "k",
+            buckets = 8
+          )
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price")
+          )
+    ),
+    // Typed Aggregator (UDAF surface): exact weighted average of event
+    // value (cents) weighted by the JSON k field.
+    QueryDef(
+      "q_typed_udaf",
+      Some(
+        """SELECT event_type,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_wcents,
+          |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_w
+          |FROM events GROUP BY event_type""".stripMargin
+      ),
+      (spark, sf) => {
+        import spark.implicits._
+        val pairs = table(spark, sf, "events")
+          .select(
+            col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"),
+            get_json_object(col("props"), "$.k").cast("long").as("w")
+          )
+          .as[(String, Long, Long)]
+        pairs
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(graft.relational.WeightedAvg.toColumn)
+          .map { case (eventType, (wcents, w)) => (eventType, wcents, w) }
+          .toDF("event_type", "sum_wcents", "sum_w")
+      }
+    ),
     // Sort + limit with deterministic tie-break.
     QueryDef(
       "q_top_customers",

@@ -19,6 +19,10 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(
+        "spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val queries = SparkEntry.queries
