@@ -1,6 +1,10 @@
 package graft.queries
 
+import graft.contracts.SchemaPolicy
 import graft.llmops._
+import graft.model.Tables.DocumentRow
+import graft.pipeline.PipelineBuilder
+import graft.sources.{TypedSink, TypedSource}
 import org.apache.spark.sql.functions._
 
 /** Driver-verifiable queries for the LLM-training-data operator family
@@ -12,6 +16,28 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   import QueryDef._
+
+  // Contracts for the pinned llmops pipelines (SURVEY §7.2.9: each llm op
+  // runs as a pinned transform so the contract layer still enforces the
+  // boundaries).
+  final case class DocDeduped(doc_id: Long, lang: String, n_chars: Long)
+  final case class DocStats(
+      doc_id: Long,
+      n_chars_calc: Long,
+      n_tokens: Long,
+      n_distinct_tokens: Long,
+      avg_token_len: Double,
+      distinct_ratio: Double
+  )
+  final case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      mime: String,
+      content_md5: String,
+      fake_width: Long,
+      fake_height: Long,
+      fake_duration_s: Double
+  )
 
   // DuckDB list literal for a stopword set — single source of truth with
   // the Spark-side TextStats.stopwords.
@@ -43,10 +69,21 @@ object LlmQueries {
       Some(
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)"
       ),
-      (spark, sf) =>
-        Dedup
-          .dedupExact(table(spark, sf, "documents"), Fingerprints.contentKeyMd5(col("text")), col("doc_id"))
-          .select("doc_id", "lang", "n_chars")
+      (spark, sf) => {
+        // full pinned pipeline: typed scan → dedup transform → policy sink
+        val out = tmpDir("llm_dedup_exact")
+        val run = PipelineBuilder[Nothing]("llm_dedup_exact")
+          .addSource(TypedSource[DocumentRow]("parquet", s"$sf/documents.parquet"))
+          .transformAs[DocDeduped]("exact dedup")(df =>
+            Dedup
+              .dedupExact(df, Fingerprints.contentKeyMd5(col("text")), col("doc_id"))
+              .select("doc_id", "lang", "n_chars")
+          )
+          .addSink[DocDeduped, SchemaPolicy.ExactT](TypedSink[DocDeduped](s"$out/d"))
+          .build
+        run(spark)
+        spark.read.parquet(s"$out/d")
+      }
     ),
     // Per-document text stats (built-in expressions only).
     QueryDef(
@@ -61,9 +98,15 @@ object LlmQueries {
           |FROM documents""".stripMargin
       ),
       (spark, sf) =>
-        TextStats
-          .withStats(table(spark, sf, "documents"))
-          .select("doc_id", "n_chars_calc", "n_tokens", "n_distinct_tokens", "avg_token_len", "distinct_ratio")
+        PipelineBuilder[Nothing]("llm_text_stats")
+          .addSource(TypedSource[DocumentRow]("parquet", s"$sf/documents.parquet"))
+          .transformAs[DocStats]("text stats")(df =>
+            TextStats
+              .withStats(df)
+              .select("doc_id", "n_chars_calc", "n_tokens", "n_distinct_tokens", "avg_token_len", "distinct_ratio")
+          )
+          .addSink[DocStats, SchemaPolicy.ExactT](TypedSink[DocStats](s"${tmpDir("llm_text_stats")}/s"))
+          .build(implicitly)(spark)
     ),
     // Token counting rollup per language (whitespace + BPE-ish regex).
     QueryDef(
@@ -246,7 +289,13 @@ object LlmQueries {
           |FROM documents""".stripMargin
       ),
       (spark, sf) =>
-        Multimodal.extractFeaturesStub(Multimodal.attachBinary(table(spark, sf, "documents")))
+        PipelineBuilder[Nothing]("llm_multimodal")
+          .addSource(TypedSource[DocumentRow]("parquet", s"$sf/documents.parquet"))
+          .transformAs[MediaFeatures]("attach binary + stub decode")(df =>
+            Multimodal.extractFeaturesStub(Multimodal.attachBinary(df))
+          )
+          .addSink[MediaFeatures, SchemaPolicy.ExactT](TypedSink[MediaFeatures](s"${tmpDir("llm_multimodal")}/m"))
+          .build(implicitly)(spark)
     )
   )
 }
