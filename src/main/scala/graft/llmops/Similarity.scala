@@ -118,6 +118,51 @@ object Similarity {
       .select("qid", "nid", "rank", "cos")
   }
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer (the
+    * `cells` vectors with the smallest ids act as centroids — no k-means
+    * fit, no driver collect) assigns every vector to its nearest cell;
+    * queries probe their `nprobe` nearest cells; candidates are exact-ranked
+    * by cosine within probed cells.
+    *
+    * Scale shape: the vectors⋈centroids assignment is a broadcast join
+    * (centroids are tiny), the candidate join is a bucketed equi-join on
+    * cell id — the O(n²) scan becomes O(n²/cells × nprobe). Swap the
+    * centroid selection for a real k-means fit when vectors are clustered;
+    * the join structure is unchanged.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val centroids = broadcast(
+      base.orderBy("__id").limit(cells)
+        .select(col("__id").as("__cid"), col("__v").as("__cv"))
+    )
+    // nearest `nprobe` cells per vector (rank 1 = home cell for indexing)
+    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
+    val probed = base
+      .crossJoin(centroids)
+      .withColumn("__csim", cosine(col("__v"), col("__cv")))
+      .withColumn("__crank", row_number().over(wCell))
+      .filter(col("__crank") <= nprobe)
+      .select(col("__id"), col("__v"), col("__cid"), col("__crank"))
+      .persist()
+    val indexed = probed.filter(col("__crank") === 1).select(col("__cid"), col("__id").as("nid"), col("__v").as("__cvv"))
+    val queries = probed.select(col("__cid").as("__qcid"), col("__id").as("qid"), col("__v").as("__qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    queries
+      .join(indexed, col("__qcid") === col("__cid") && col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("__qv"), col("__cvv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine >= tau, via the
     * candidate generator of `lshTopK` when `tables > 0`, or brute force
     * when `tables == 0` (baseline/oracle).

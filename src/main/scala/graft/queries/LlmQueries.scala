@@ -259,6 +259,16 @@ object LlmQueries {
           .lshTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6)
           .select("qid", "nid", "rank")
     ),
+    // IVF-bucketed approximate top-5 (alternative scale path to LSH):
+    // rows-only — approximate by design.
+    QueryDef(
+      "llm_ann_ivf",
+      None,
+      (spark, sf) =>
+        Similarity
+          .ivfTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 5, cells = 16, nprobe = 2)
+          .select("qid", "nid", "rank")
+    ),
     // Embedding-cosine near-dup pairs at tau=0.4 (ids only).
     QueryDef(
       "llm_cosine_neardup",

@@ -119,6 +119,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(top1(3L) == 2L) // cos(3,1)=0 < cos(3,2)>0
   }
 
+  test("ivfTopK finds near neighbors within probed cells") {
+    val vecs = (0L until 40L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f + i * 0.001f else 0.01f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity
+      .ivfTopK(vecs, "vec_id", "embedding", k = 1, cells = 4, nprobe = 2)
+      .select("qid", "nid")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    // every vector finds a neighbor, and that neighbor shares its dominant axis
+    assert(top1.size == 40)
+    top1.foreach { case (q, n) => assert(q % 4 == n % 4, s"q=$q n=$n") }
+  }
+
   test("textStats and langId") {
     val df = Seq((1L, "the cat is in the hat")).toDF("doc_id", "text")
     val r = TextStats
