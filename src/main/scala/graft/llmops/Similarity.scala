@@ -47,16 +47,30 @@ object Similarity {
 
   /** Brute-force cosine top-k self-join: every pair within `df`, ranked per
     * query vector. Baseline only — see scaladoc for the 100 TB path.
+    *
+    * k == 1 specializes to a hash aggregation (`max` over a
+    * (cos, tie-break) struct): partial map-side agg instead of sorting the
+    * full pair set through a window — same deterministic result (highest
+    * cosine, lowest nid on ties).
     */
   def bruteTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = df.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
     val c = df.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    q.join(c, col("qid") =!= col("nid"))
+    val pairs = q
+      .join(c, col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "rank", "cos")
+    if (k == 1) {
+      pairs
+        .groupBy("qid")
+        .agg(max(struct(col("cos"), (-col("nid")).as("__tb"), col("nid").as("nid"))).as("__m"))
+        .select(col("qid"), col("__m.nid").as("nid"), lit(1L).as("rank"), col("__m.cos").as("cos"))
+    } else {
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      pairs
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("qid", "nid", "rank", "cos")
+    }
   }
 
   /** Deterministic random hyperplanes (seeded) as a plan literal. */
