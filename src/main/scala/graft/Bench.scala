@@ -55,21 +55,29 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
 
     val queries = SparkEntry.queries
-    val results: Seq[(String, Either[String, Double])] = headline.flatMap { name =>
-      queries.get(name).map { fn =>
-        System.err.println(s"[bench] running $name")
-        val t0 = System.nanoTime()
-        val r: Either[String, Double] =
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-          }
-        r.foreach(s => System.err.println(f"[bench] $name: $s%.2f s"))
-        r.left.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
-        name -> r
+    val results: Seq[(String, Either[String, Double])] = headline.map { name =>
+      queries.get(name) match {
+        case None =>
+          // an unknown headline name must surface as an error, never make
+          // the benchmark silently smaller (and faster-looking)
+          name -> Left("not in SparkEntry.queries"): (String, Either[String, Double])
+        case Some(fn) =>
+          System.err.println(s"[bench] running $name")
+          val t0 = System.nanoTime()
+          val r: Either[String, Double] =
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Right((System.nanoTime() - t0) / 1e9)
+            } catch {
+              case e: Throwable =>
+                Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+            }
+          // operators persist candidate projections; release between queries
+          // so one query's cache can't skew the next one's timing
+          spark.catalog.clearCache()
+          r.foreach(s => System.err.println(f"[bench] $name: $s%.2f s"))
+          r.left.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
+          name -> r
       }
     }
 

@@ -136,7 +136,6 @@ object SchemaCheck {
     if (FastConforms.ok(found, expectedStruct, policy)) return
     val report = SchemaCompare.diff(TypeShape.fromStructType(found), expected, policy)
     if (!report.conforms) {
-      val expectedStruct = TypeShape.toStructType(expected)
       throw new ContractViolation(
         report,
         s"""Runtime schema mismatch against $what.

@@ -172,9 +172,13 @@ final case class ArrayDot(left: Expression, right: Expression) extends ArrayNume
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    // length mismatch → null, matching the HOF reference (zip_with pads the
+    // shorter side with null, nulling the whole sum) — never a silent
+    // common-prefix result.
+    if (a.numElements() != b.numElements()) return null
     val ga = elemGetter(left.dataType)
     val gb = elemGetter(right.dataType)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -199,9 +203,10 @@ final case class ArrayCosine(left: Expression, right: Expression) extends ArrayN
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (a.numElements() != b.numElements()) return null // see ArrayDot
     val ga = elemGetter(left.dataType)
     val gb = elemGetter(right.dataType)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

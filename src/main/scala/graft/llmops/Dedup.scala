@@ -59,7 +59,10 @@ object Dedup {
         val dfreq = exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
         exploded.join(dfreq.filter(col("__df") <= maxDf).select("__s"), "__s")
       }
-    val counts = withSh.select(col("__id"), size(col("__sh")).as("__n"))
+    // per-doc set sizes must come from the SAME (possibly df-capped) shingle
+    // universe as the intersection counts, or the jaccard is biased low for
+    // docs dominated by capped shingles.
+    val counts = filtered.groupBy("__id").agg(count(lit(1)).as("__n"))
     val left = filtered.select(col("__id").as("a"), col("__s"))
     val right = filtered.select(col("__id").as("b"), col("__s").as("__s2"))
     val inter = left
@@ -108,7 +111,10 @@ object Dedup {
     // without a cache each side would recompute the full signature pass
     // (numHashes × shingles hashes per doc — the expensive step). The
     // cached projection is ids + band hashes only, never the text: tiny
-    // even at 100 TB corpus scale (rows = docs × bands).
+    // even at 100 TB corpus scale (rows = docs × bands). Lifecycle: the
+    // cache lives until the caller's session drops it — long-lived sessions
+    // running many dedup jobs should spark.catalog.clearCache() between
+    // them (Verify/Bench do).
     val banded = sig.select(
       col("__id"),
       posexplode(Fingerprints.bandKeys(col("__sig"), bands, r)).as(Seq("__band", "__key"))

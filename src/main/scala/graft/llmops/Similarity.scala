@@ -103,7 +103,10 @@ object Similarity {
       seed: Long = 42L
   ): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val dim = 64 // embeddings testdata dim; derive from data when generalizing
+    // hyperplane dimensionality must match the data: a wrong dim nulls the
+    // signature dots (ArrayDot rejects length mismatches). One tiny driver
+    // job on one row; pass-through cost is irrelevant next to the join.
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     val keysPerTable: Seq[Column] = (0 until tables).map { t =>
       planeSignature(col("__v"), hyperplanes(planesPerTable, dim, seed + t))
     }

@@ -62,13 +62,15 @@ object TextStats {
   }
 
   /** Predicted language: argmax of stopword hits with a deterministic
-    * tie-break (list order above — 'en' wins ties). Heuristic language ID à
-    * la n-gram profiles, expressible as one codegen'd CASE chain.
+    * tie-break (list order above — 'en' wins ties); documents with zero
+    * hits in every language are labeled `und` (unknown). Heuristic
+    * language ID à la n-gram profiles, one codegen'd CASE chain.
     */
   def langId(text: Column): Column = {
     val hits = stopwords.map { case (lang, _) => lang -> stopwordHits(text, lang) }
     val best = greatest(hits.map(_._2): _*)
-    hits.foldRight(lit("und")) { case ((lang, h), acc) => when(h === best, lit(lang)).otherwise(acc) }
+    val argmax = hits.foldRight(lit("und")) { case ((lang, h), acc) => when(h === best, lit(lang)).otherwise(acc) }
+    when(best === 0, lit("und")).otherwise(argmax)
   }
 
   /** Composite quality score in [0,1]: longer docs with diverse tokens and

@@ -136,7 +136,8 @@ object LlmQueries {
            |  ${hitsSql("es")} AS es, ${hitsSql("zh")} AS zh
            |FROM documents)
            |SELECT doc_id, lang,
-           |  CASE WHEN en >= greatest(de, fr, es, zh) THEN 'en'
+           |  CASE WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+           |       WHEN en >= greatest(de, fr, es, zh) THEN 'en'
            |       WHEN de >= greatest(fr, es, zh) THEN 'de'
            |       WHEN fr >= greatest(es, zh) THEN 'fr'
            |       WHEN es >= zh THEN 'es'

@@ -32,10 +32,14 @@ object Scale {
       saltFactor: Int
   ): DataFrame = {
     val saltedBig = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
-    val saltedSmall = small.withColumn("__salt", explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    // rename the small-side key so equal key names can't make the join
+    // condition ambiguous; the surrogate is dropped from the output.
+    val saltedSmall = small
+      .withColumnRenamed(smallKey, "__sjk")
+      .withColumn("__salt2", explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     saltedBig
-      .join(saltedSmall, saltedBig("__salt") === saltedSmall("__salt") && col(bigKey) === col(smallKey))
-      .drop("__salt")
+      .join(saltedSmall, col("__salt") === col("__salt2") && col(bigKey) === col("__sjk"))
+      .drop("__salt", "__salt2", "__sjk")
   }
 
   /** Two-phase (salted) aggregation for skewed group keys: partial

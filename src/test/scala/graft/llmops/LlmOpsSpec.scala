@@ -146,6 +146,20 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(lang == "en")
     val de = Seq((1L, "der hund ist nicht da")).toDF("doc_id", "text")
     assert(de.select(TextStats.langId(col("text"))).as[String].head() == "de")
+    // zero stopword hits in every language -> unknown, not a silent 'en'
+    val num = Seq((1L, "12345 67890 xyzzy")).toDF("doc_id", "text")
+    assert(num.select(TextStats.langId(col("text"))).as[String].head() == "und")
+  }
+
+  test("cosine of mismatched-length arrays is null (native matches HOF)") {
+    val vecs = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("va", "vb")
+    val row = vecs
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("native"),
+        Similarity.cosineHof(col("va"), col("vb")).as("hof")
+      )
+      .head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
   test("multimodal: binary payload + metadata pass the contract; stub features are deterministic") {

@@ -12,7 +12,8 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADDOPENS -Xmx8g \
+# no exec: the || fallback must run in this shell to surface the log tail
+java $ADDOPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$SF" "$OUT" 2>/tmp/graft_verify.log || { tail -30 /tmp/graft_verify.log; exit 1; }
