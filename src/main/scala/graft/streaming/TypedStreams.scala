@@ -131,4 +131,24 @@ object TypedStreams {
     */
   def streamingTextStats(df: DataFrame, textCol: String = "text"): DataFrame =
     graft.llmops.TextStats.withStats(df, textCol)
+
+  /** Streaming exact dedup: drop duplicate content within the watermark
+    * horizon — the streaming arm of [[graft.llmops.Dedup.dedupExact]].
+    * State holds one entry per distinct content hash seen inside the
+    * watermark; late duplicates beyond it are not deduplicated (bounded
+    * state is the point — an unbounded exact dedup would accrete state
+    * forever on a 100 TB/day stream).
+    */
+  def streamingDedupExact(
+      df: DataFrame,
+      tsCol: String,
+      watermark: String,
+      contentCol: String = "text"
+  ): DataFrame =
+    df.withColumn("__content_key", graft.llmops.Fingerprints.contentKeyMd5(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      // WithinWatermark variant: state for a key is dropped once the
+      // watermark passes it — plain dropDuplicates would accrete forever
+      .dropDuplicatesWithinWatermark("__content_key")
+      .drop("__content_key")
 }

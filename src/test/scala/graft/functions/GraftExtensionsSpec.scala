@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-callable native expressions. The suite JVM shares one session, so
+  * this registers post-creation via `GraftExtensions.register` (identical
+  * registrations); the `spark.sql.extensions` config path is driven
+  * end-to-end by `graft.tools.SqlFunctionsDemo` in a fresh JVM.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = graft.SparkTestSession.session
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("native expressions callable from SQL via spark.sql.extensions") {
+    val row = spark
+      .sql(
+        """SELECT
+          |  simhash64(split('the quick brown fox', ' ')) AS sh,
+          |  size(minhash_signature(token_shingles(split('a b c d e', ' '), 3), 16)) AS sig_len,
+          |  token_shingles(split('a b c d', ' '), 3) AS shingles,
+          |  array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+          |  round(array_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)), 9) AS cos_same
+          |""".stripMargin
+      )
+      .head()
+    assert(row.getAs[Long]("sh") != 0L)
+    assert(row.getAs[Int]("sig_len") == 16)
+    assert(row.getSeq[String](row.fieldIndex("shingles")).toList == List("a b c", "b c d"))
+    assert(row.getAs[Double]("dot") == 11.0)
+    assert(row.getAs[Double]("cos_same") == 1.0)
+  }
+
+  test("SQL results agree with the DataFrame API wrappers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("x y z w v").toDF("text")
+    val viaSql = df.selectExpr("simhash64(split(text, ' ')) AS s").as[Long].head()
+    val viaApi = df.select(graft.llmops.Fingerprints.simhash64(col("text")).as("s")).as[Long].head()
+    assert(viaSql == viaApi)
+  }
+}

@@ -58,6 +58,25 @@ class TypedStreamsSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("streamingDedupExact drops duplicate content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = TypedStreams.streamingDedupExact(df, "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2026-01-01 00:01:00"), "hello world"),
+        (t("2026-01-01 00:02:00"), "hello world"), // dup within watermark
+        (t("2026-01-01 00:03:00"), "different doc")
+      )
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").select("text").as[String].collect().sorted
+      assert(texts.toSeq == Seq("different doc", "hello world"))
+    } finally q.stop()
+  }
+
   test("readStream forces the contract schema on a file source") {
     implicit val s = spark
     // file streaming sources need a directory; stage the single-file table
