@@ -134,6 +134,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     top1.foreach { case (q, n) => assert(q % 4 == n % 4, s"q=$q n=$n") }
   }
 
+  test("cosineNearDupPairs: LSH candidates are a subset of brute pairs and find the planted dup") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val planted = base.map(x => x + 0.01f) // near-dup of vec 0
+    val vecs = ((0L, base) +: (1L, planted) +: (2L until 30L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity
+      .cosineNearDupPairs(vecs, "vec_id", "embedding", tau = 0.9, tables = 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity
+      .cosineNearDupPairs(vecs, "vec_id", "embedding", tau = 0.9, tables = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(brute.contains((0L, 1L)))
+    assert(lsh.subsetOf(brute)) // verification makes precision exact
+    assert(lsh.contains((0L, 1L))) // near-identical vectors share buckets
+  }
+
   test("textStats and langId") {
     val df = Seq((1L, "the cat is in the hat")).toDF("doc_id", "text")
     val r = TextStats
