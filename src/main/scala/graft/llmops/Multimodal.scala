@@ -1,7 +1,7 @@
 package graft.llmops
 
 import graft.contracts.SchemaCheck
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
@@ -37,6 +37,24 @@ object Multimodal {
     SchemaCheck.assertMatchesContract[MediaRow](df)
     df
   }
+
+  /** Batched decode plumbing: the shape a real media decoder plugs into.
+    * One `mapPartitions` pass; `openCodec` runs once per partition (codec
+    * handles, model weights, GPU context) and the returned function decodes
+    * each record — the Scala analogue of a pandas-UDF `mapInPandas` batch
+    * loop. The input/output contracts stay enforced by the caller's pins,
+    * so swapping decoders never changes the pipeline shape.
+    *
+    * The decode itself is STUBBED in this container (no codecs installed):
+    * see [[extractFeaturesStub]] and the spec's fake decoder.
+    */
+  def decodeBatched[T: Encoder](
+      media: Dataset[MediaRow]
+  )(openCodec: () => MediaRow => T): Dataset[T] =
+    media.mapPartitions { rows =>
+      val decode = openCodec() // per-partition: open once, reuse per record
+      rows.map(decode)
+    }
 
   /** STUB decode ???: deterministic fake feature extraction from raw bytes.
     * A real implementation decodes the payload (image resize / audio

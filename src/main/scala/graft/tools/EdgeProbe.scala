@@ -26,6 +26,12 @@ object EdgeProbe {
     println("stats: " + stats.mkString(", "))
     val sim = docs.select($"doc_id", Fingerprints.simhash64($"text").as("sh")).collect()
     println("simhash: " + sim.mkString(", "))
+    val media = Multimodal.attachBinary(docs).as[Multimodal.MediaRow]
+    val decoded = Multimodal
+      .decodeBatched(media)(() => (m: Multimodal.MediaRow) => (m.doc_id, m.meta.byte_len))
+      .collect()
+      .sortBy(_._1)
+    println("decoded: " + decoded.mkString(", "))
     spark.stop()
   }
 }

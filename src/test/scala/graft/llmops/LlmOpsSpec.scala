@@ -193,6 +193,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("multimodal decodeBatched: per-partition codec handle, contract-shaped output") {
+    import Multimodal.{MediaRow, MediaMeta}
+    val media = Multimodal.attachBinary(docs).as[MediaRow]
+    // fake "codec": decodes bytes to (id, first byte, length)
+    val decoded = Multimodal
+      .decodeBatched(media) { () =>
+        // per-partition setup happens here (real impl: open codec/GPU ctx)
+        (m: MediaRow) => (m.doc_id, m.payload.headOption.getOrElse(0: Byte).toInt, m.meta.byte_len)
+      }
+      .collect()
+      .sortBy(_._1)
+    assert(decoded.length == 5)
+    assert(decoded.head == ((1L, 't'.toInt, 43L)))
+    assert(decoded.find(_._1 == 2L).get._3 == 43L)
+  }
+
   test("shingles: native expression matches the HOF reference exactly") {
     val rows = docs
       .select(
