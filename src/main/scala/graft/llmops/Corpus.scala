@@ -1,0 +1,43 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators: overlapping token-window chunking and
+  * deterministic content-hash train/validation splitting — the two steps
+  * between a cleaned document table and a tokenizer at training time.
+  * Pure per-row expressions (chunking explodes row-locally): no shuffle,
+  * full scan parallelism at any corpus size.
+  */
+object Corpus {
+
+  /** Explode each document into overlapping token windows:
+    * chunk i = tokens[i*stride, i*stride + chunkSize) joined by spaces,
+    * stride = chunkSize - overlap, count = ceil(n_tokens / stride). The
+    * final chunk may be shorter (no padding). Output adds
+    * (chunk_id: long, chunk: string).
+    */
+  def chunkTokens(df: DataFrame, textCol: String, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = TextStats.tokens(col(textCol))
+    val nChunks = ((size(toks) + (stride - 1)) / stride).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ")
+    )
+    df.select(col("*"), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+  }
+
+  /** Deterministic, content-stable split assignment: the first 8 hex chars
+    * of md5(content) modulo 100 against `trainPercent`. Content-hashed (not
+    * id-hashed) on purpose: exact duplicates always land in the same split,
+    * so dedup ordering can't leak train docs into validation. Cross-engine
+    * reproducible (md5 is portable, unlike xxhash64).
+    */
+  def splitByContentHash(content: Column, trainPercent: Int): Column = {
+    val bucket = conv(substring(md5(content), 1, 8), 16, 10).cast("long") % 100
+    when(bucket < trainPercent, lit("train")).otherwise(lit("valid"))
+  }
+}

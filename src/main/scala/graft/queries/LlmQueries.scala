@@ -285,6 +285,33 @@ object LlmQueries {
           .cosineNearDupPairs(table(spark, sf, "embeddings"), "vec_id", "embedding", tau = 0.4)
           .select("a", "b")
     ),
+    // Overlapping token-window chunking (chunkSize=32, overlap=8).
+    QueryDef(
+      "llm_chunking",
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+          |  array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk
+          |FROM t, unnest(range((len(toks) + 23) // 24)) AS u(i)""".stripMargin
+      ),
+      (spark, sf) =>
+        Corpus
+          .chunkTokens(table(spark, sf, "documents"), "text", chunkSize = 32, overlap = 8)
+          .select("doc_id", "chunk_id", "chunk")
+    ),
+    // Deterministic content-hash train/validation split.
+    QueryDef(
+      "llm_train_split",
+      Some(
+        """SELECT doc_id,
+          |  CASE WHEN CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 100 < 90
+          |       THEN 'train' ELSE 'valid' END AS split
+          |FROM documents""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "documents")
+          .select(col("doc_id"), Corpus.splitByContentHash(col("text"), trainPercent = 90).as("split"))
+    ),
     // Multimodal plumbing: binary payload + typed metadata through the
     // contract, stub feature extraction (see Multimodal scaladoc).
     QueryDef(

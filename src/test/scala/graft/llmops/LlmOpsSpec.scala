@@ -151,6 +151,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(lsh.contains((0L, 1L))) // near-identical vectors share buckets
   }
 
+  test("chunkTokens: overlapping windows, short tail, stable ids") {
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val chunks = Corpus
+      .chunkTokens(df, "text", chunkSize = 3, overlap = 1)
+      .select("chunk_id", "chunk")
+      .as[(Long, String)]
+      .collect()
+      .sortBy(_._1)
+    assert(chunks.toSeq == Seq((0L, "a b c"), (1L, "c d e"), (2L, "e f g"), (3L, "g")))
+  }
+
+  test("splitByContentHash: deterministic and duplicate-stable") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other text")).toDF("doc_id", "text")
+    val splits = df
+      .select(col("doc_id"), Corpus.splitByContentHash(col("text"), 90).as("s"))
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    assert(splits(1L) == splits(2L)) // exact duplicates share a split
+    assert(Set("train", "valid").contains(splits(3L)))
+    // stable across evaluations
+    val again = df.select(Corpus.splitByContentHash(col("text"), 90)).as[String].collect()
+    assert(again.toSeq == df.select(Corpus.splitByContentHash(col("text"), 90)).as[String].collect().toSeq)
+  }
+
   test("textStats and langId") {
     val df = Seq((1L, "the cat is in the hat")).toDF("doc_id", "text")
     val r = TextStats
