@@ -30,6 +30,7 @@ object Bench {
     "llm_dedup_ngram",
     "llm_ann_top1",
     "llm_ann_lsh",
+    "llm_chunking",
     "llm_multimodal"
   )
 
