@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Heavy/representative subset of the registry. */
+  /** Heavy/representative subset of the registry — every query family is
+    * timed. The O(n²) brute ANN baseline (`llm_ann_top1`) and the
+    * recall/consistency verification queries are deliberately NOT here:
+    * the bucketed LSH/IVF paths are the registered scale entries.
+    */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -22,16 +26,26 @@ object Bench {
     "q_event_stats",
     "q_json_extract",
     "q_monthly_orders",
+    "q_salted_join",
+    "q_bucketed_join",
+    "q_typed_udaf",
     "o1_typed_scan",
     "o2_typed_sink",
     "llm_text_stats",
     "llm_simhash",
+    "llm_dedup_exact",
     "llm_dedup_minhash",
     "llm_dedup_ngram",
-    "llm_ann_top1",
+    "llm_dedup_ngram_capped",
+    "llm_simhash_pairs",
     "llm_ann_lsh",
+    "llm_ann_ivf",
+    "llm_cosine_neardup",
+    "llm_train_split",
     "llm_chunking",
-    "llm_multimodal"
+    "llm_multimodal",
+    "llm_multimodal_decode",
+    "t2_windowed_counts_batch_eq"
   )
 
   def main(args: Array[String]): Unit = {

@@ -26,6 +26,9 @@ object native {
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
 
+  def simhash56Md5(tokens: Column): Column =
+    ExpressionUtils.column(SimHash56Md5(ExpressionUtils.expression(tokens)))
+
   def tokenShingles(tokens: Column, k: Int): Column =
     ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(tokens), k))
 
@@ -146,6 +149,63 @@ final case class SimHash64(child: Expression) extends UnaryExpression with Codeg
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** 56-bit portable SimHash over a token array: per-token hash = first 14
+  * hex chars of MD5 as two 28-bit halves (bit-identical to Spark's
+  * `conv(substring(md5(t),1,7),16,10) << 28 | conv(substring(md5(t),8,7),
+  * 16,10)` and to DuckDB's equivalent — the cross-engine-reproducible
+  * sibling of [[SimHash64]]). Each bit votes ±1; sign sets the bit. Input
+  * array<string>, output long (always non-negative: 56 < 63 bits).
+  */
+final case class SimHash56Md5(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash56_md5"
+
+  @transient private lazy val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](56)
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first 14 hex chars = bytes 0..6 (high nibble of byte 3 ends the
+        // first half): h = hex[0:7] << 28 | hex[7:14]
+        val b0 = d(0) & 0xffL; val b1 = d(1) & 0xffL; val b2 = d(2) & 0xffL
+        val b3 = d(3) & 0xffL; val b4 = d(4) & 0xffL; val b5 = d(5) & 0xffL
+        val b6 = d(6) & 0xffL
+        val hi = (b0 << 20) | (b1 << 12) | (b2 << 4) | (b3 >>> 4)
+        val lo = ((b3 & 0xfL) << 24) | (b4 << 16) | (b5 << 8) | b6
+        val h = (hi << 28) | lo
+        var b = 0
+        while (b < 56) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 56) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash56Md5 =
     copy(child = newChild)
 }
 

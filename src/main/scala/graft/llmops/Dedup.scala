@@ -107,18 +107,18 @@ object Dedup {
     val sig = withSh
       .filter(size(col("__sh")) > 0)
       .select(col("__id"), col("__sh"), Fingerprints.minhashSignature(col("__sh"), numHashes).as("__sig"))
-    // Persisted: both sides of the candidate self-join read this, and
-    // without a cache each side would recompute the full signature pass
+    // Snapshotted: both sides of the candidate self-join read this, and
+    // without a snapshot each side would recompute the full signature pass
     // (numHashes × shingles hashes per doc — the expensive step). The
-    // cached projection is ids + band hashes only, never the text: tiny
-    // even at 100 TB corpus scale (rows = docs × bands). Lifecycle: the
-    // cache lives until the caller's session drops it — long-lived sessions
-    // running many dedup jobs should spark.catalog.clearCache() between
-    // them (Verify/Bench do).
+    // snapshot holds ids + band hashes only, never the text: tiny even at
+    // 100 TB corpus scale (rows = docs × bands). Lifecycle: an eager local
+    // checkpoint's blocks are freed by the ContextCleaner when the result
+    // DataFrame is garbage-collected — unlike `persist()`, no session-level
+    // cache lingers and no `clearCache()` folklore is required of callers.
     val banded = sig.select(
       col("__id"),
       posexplode(Fingerprints.bandKeys(col("__sig"), bands, r)).as(Seq("__band", "__key"))
-    ).persist()
+    ).localCheckpoint(true)
     val buckets =
       if (maxBucket <= 0) banded
       else {
@@ -134,22 +134,36 @@ object Dedup {
     verifyJaccard(candidates, sig.select(col("__id"), col("__sh")), tau)
   }
 
-  /** SimHash near-dup pairs: band the 64-bit simhash into `bands` slices
+  /** SimHash near-dup pairs: band the simhash into `bands` bit slices
     * (pigeonhole guarantees any pair within Hamming distance < bands shares
     * a band), bucket-join, then verify exact Hamming distance <= maxHamming.
+    *
+    * This is EXACT with respect to its own definition — "all pairs with
+    * Hamming(simhash) <= maxHamming" — as long as maxHamming < bands: the
+    * banding is a candidate *optimization*, never a semantics change. The
+    * driver oracle exploits that: DuckDB computes the brute all-pairs
+    * Hamming set from the portable simhash and the banded Spark plan must
+    * hash-match it.
+    *
+    * `simFn` picks the hash: [[Fingerprints.simhash64]] (xxhash64 tokens,
+    * 64 bits — the fast default) or [[Fingerprints.simhash56Md5]] (md5
+    * tokens, 56 bits — bit-reproducible in DuckDB SQL for the oracle).
+    * `simBits` must match the hash width so the band slices tile it.
     */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       bands: Int = 4,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      simFn: Column => Column = Fingerprints.simhash64,
+      simBits: Int = 64
   ): DataFrame = {
-    val sims = df.select(col(idCol).as("__id"), Fingerprints.simhash64(col(textCol)).as("__sim"))
+    val sims = df.select(col(idCol).as("__id"), simFn(col(textCol)).as("__sim"))
     val banded = sims.select(
       col("__id"),
       col("__sim"),
-      posexplode(Fingerprints.simhashBands(col("__sim"), bands)).as(Seq("__band", "__key"))
+      posexplode(Fingerprints.simhashBands(col("__sim"), bands, simBits)).as(Seq("__band", "__key"))
     )
     val a = banded.select(col("__band"), col("__key"), col("__id").as("a"), col("__sim").as("__sima"))
     val b = banded.select(
@@ -159,7 +173,7 @@ object Dedup {
       col("__sim").as("__simb")
     )
     a.join(b, col("__band") === col("__band2") && col("__key") === col("__key2") && col("a") < col("b"))
-      .select(col("a"), col("b"), bit_count(col("__sima").bitwiseXOR(col("__simb"))).as("hamming"))
+      .select(col("a"), col("b"), bit_count(col("__sima").bitwiseXOR(col("__simb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

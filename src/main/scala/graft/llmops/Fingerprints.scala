@@ -124,17 +124,78 @@ object Fingerprints {
     )
   }
 
-  /** SimHash band keys: split the 64-bit hash into `bands` equal bit
+  /** SimHash band keys: split the `simBits`-bit hash into `bands` equal bit
     * slices; docs within Hamming distance d < bands share at least one
     * band (pigeonhole) — the bucketed-join candidate generator for
     * Hamming-ball near-dup at scale.
     */
-  def simhashBands(sim: Column, bands: Int): Column = {
-    val width = 64 / bands
+  def simhashBands(sim: Column, bands: Int, simBits: Int = 64): Column = {
+    require(simBits % bands == 0, s"simBits ($simBits) must be divisible by bands ($bands)")
+    val width = simBits / bands
     val mask = (1L << width) - 1
     transform(
       sequence(lit(0), lit(bands - 1)),
       b => shr(sim, b.cast("int") * width).bitwiseAND(lit(mask))
+    )
+  }
+
+  /** 56-bit *portable* SimHash: per-token 56-bit hash assembled from the
+    * first 14 hex chars of the token's MD5 (two 28-bit halves), each bit
+    * votes ±1, sign sets the bit. Functionally the same near-dup signal as
+    * [[simhash64]], but every ingredient (md5, hex parse, shifts) is
+    * reproducible in ANSI-ish SQL — the driver's DuckDB oracle recomputes
+    * the full simhash independently and the outputs must hash-match.
+    * 56 bits (not 64) so the value is always a non-negative long on both
+    * engines — no unsigned/sign-bit gymnastics in either plan.
+    *
+    * Native expression ([[graft.functions.SimHash56Md5]]);
+    * [[simhash56Md5Hof]] is the bit-identical built-in-function reference.
+    */
+  def simhash56Md5(text: Column): Column =
+    graft.functions.native.simhash56Md5(TextStats.tokens(text))
+
+  /** Built-in-function formulation of [[simhash56Md5]] — reference
+    * implementation (conv/md5/substring are all Spark built-ins; slow
+    * interpreted HOF, spec-only).
+    */
+  def simhash56Md5Hof(text: Column): Column = {
+    def tokHash(t: Column): Column =
+      shl(conv(substring(md5(t), 1, 7), 16, 10).cast("long"), lit(28))
+        .bitwiseOR(conv(substring(md5(t), 8, 7), 16, 10).cast("long"))
+    val toks = TextStats.tokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 56),
+      (acc, t) =>
+        zip_with(
+          acc,
+          sequence(lit(0L), lit(55L)),
+          (a, i) =>
+            a + when(shr(tokHash(t), i.cast("int")).bitwiseAND(lit(1L)) === 1L, lit(1L))
+              .otherwise(lit(-1L))
+        )
+    )
+    aggregate(
+      sequence(lit(0), lit(55)),
+      lit(0L),
+      (acc, i) =>
+        acc + when(element_at(votes, i + 1) > 0, shl(lit(1L), i.cast("int"))).otherwise(lit(0L))
+    )
+  }
+
+  /** Portable rolling fingerprint: h = (h*31 + md5_32(token)) mod 2^57,
+    * order-sensitive (unlike the bag-of-tokens simhash). Same shape as
+    * [[rollingFingerprint]] but the token hash is the first 8 hex chars of
+    * MD5, so DuckDB reproduces it exactly (`list_reduce` over the same
+    * fold). The 57-bit modulus keeps every intermediate below 2^63 — safe
+    * under ANSI mode.
+    */
+  def rollingFingerprintMd5(text: Column): Column = {
+    val mask = (1L << 57) - 1
+    aggregate(
+      TextStats.tokens(text),
+      lit(0L),
+      (acc, t) => (acc * lit(31L) + conv(substring(md5(t), 1, 8), 16, 10).cast("long")).bitwiseAND(lit(mask))
     )
   }
 }

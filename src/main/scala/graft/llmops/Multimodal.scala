@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns with a typed metadata struct, enforced by the same
   * contract machinery as everything else (BinaryType is a contract leaf).
   *
-  * The decode step is a clearly-marked STUB: this container has no
-  * image/audio codecs, so `extractFeaturesStub` derives deterministic fake
-  * features from the raw bytes. The Spark-side plumbing — schema, contract,
-  * per-row expression shape, partition-friendliness — is real and tested;
-  * swapping the stub for a real decoder means replacing one projection
-  * (at scale that decoder would be a `mapPartitions` over batches with a
-  * per-partition codec handle, keeping the same input/output contract).
+  * Two decode paths exist:
+  *   - a REAL image path: [[synthesizePng]] manufactures deterministic PNG
+  *     payloads and [[imageIoCodec]] decodes them back (format sniff +
+  *     dimensions + pixel checksum) with `javax.imageio` — a genuine
+  *     codec round-trip, driver-verified by `llm_multimodal_decode`
+  *     against a doc_id-derived oracle;
+  *   - [[extractFeaturesStub]], the byte-level stand-in for modalities
+  *     whose codecs aren't in this container (audio/video) — clearly
+  *     marked, same column contract, swap-in shape documented on
+  *     [[decodeBatched]].
   */
 object Multimodal {
 
@@ -54,6 +57,71 @@ object Multimodal {
     media.mapPartitions { rows =>
       val decode = openCodec() // per-partition: open once, reuse per record
       rows.map(decode)
+    }
+
+  /** Deterministic PNG payloads, one per id row: a solid-color image whose
+    * width, height and RGB fill are pure functions of the id (so an oracle
+    * can predict the decoded values without seeing the bytes). Encoding
+    * happens inside `mapPartitions` — the write-side mirror of the decode
+    * batch shape; nothing is collected to the driver.
+    */
+  def synthesizePng(ids: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.map { id =>
+        val w = (id % 21 + 1).toInt * 3
+        val h = (id % 13 + 1).toInt * 4
+        val rgb = (((id * 7) % 256) << 16 | ((id * 13) % 256) << 8 | ((id * 31) % 256)).toInt
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        val bytes = baos.toByteArray
+        MediaRow(id, bytes, MediaMeta(bytes.length.toLong, "image/png"))
+      }
+    }
+  }
+
+  /** A real `javax.imageio` decoder for [[decodeBatched]]: sniffs the
+    * format from the bytes (not the metadata — the codec is the truth),
+    * decodes, and emits (id, mime, width, height, pixel checksum) through
+    * the caller's constructor. The `openCodec` thunk is where a heavier
+    * codec would acquire per-partition handles; ImageIO is stateless, so
+    * here it just flips AWT to headless once per partition.
+    */
+  def imageIoCodec[T](mk: (Long, String, Long, Long, Long) => T): () => MediaRow => T =
+    () => {
+      System.setProperty("java.awt.headless", "true")
+      row => {
+        val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(row.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        require(readers.hasNext, s"no image codec recognizes payload of doc ${row.doc_id}")
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val mime = "image/" + reader.getFormatName.toLowerCase
+          mk(row.doc_id, mime, w.toLong, h.toLong, sum)
+        } finally reader.dispose()
+      }
     }
 
   /** STUB decode ???: deterministic fake feature extraction from raw bytes.

@@ -19,7 +19,27 @@ import scala.util.Random
   *     `aggregate` pass — deterministic for a given element order.
   *   - hyperplanes are pseudo-random from a fixed seed and ride into the
   *     plan as literals: no fit step, no driver collect, identical across
-  *     executors by construction.
+  *     executors by construction. Because they are plan literals, the
+  *     driver's DuckDB oracle can replay the *same* algorithm in SQL (same
+  *     planes, same bucket keys, same re-rank) — the approximate operators
+  *     are hash-verified cross-engine, not merely spot-checked.
+  *   - cache lifecycle: intermediate projections that are read twice
+  *     (banded keys, probed cells) are snapshotted with
+  *     `localCheckpoint(eager = true)` instead of `persist()`. The blocks
+  *     live in the block manager and are released by the ContextCleaner
+  *     when the returned DataFrame is garbage-collected — a library user
+  *     never needs `spark.catalog.clearCache()`. (Trade-off: local
+  *     checkpoints don't survive executor loss; for a multi-hour 100 TB
+  *     job prefer `checkpoint()` with a reliable dir — same shape.)
+  *
+  * Recall physics worth stating honestly (and why the registered queries
+  * also publish recall, SQL-verified): sign-LSH collision probability for a
+  * pair at angle θ is (1 − θ/π)^r per table. At near-dup thresholds
+  * (cos ≥ 0.8) a few tables of 3–6 bits give recall ≈ 1 with tiny buckets.
+  * At low thresholds on near-orthogonal data (cos ≈ 0.4 ⇒ θ ≈ 66°) *no*
+  * sub-quadratic method has recall 1 — the driver-verified
+  * `llm_cosine_recall` query reports the measured recall instead of hiding
+  * it.
   */
 object Similarity {
 
@@ -88,6 +108,43 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** LSH candidate pairs for `base` = (__id, __v): vectors sharing a sign
+    * bucket in any of `tables` independent hash tables, as bare (qid, nid)
+    * id pairs with qid != nid — the shared generator behind [[lshTopK]] and
+    * [[cosineNearDupPairs]].
+    *
+    * The banded (id, table, key) projection is read by both sides of the
+    * candidate self-join, so it is snapshotted with an eager local
+    * checkpoint (ids + keys only — the wide embedding arrays never ride
+    * through the candidate shuffle/dedup); the candidate id-pair set is
+    * snapshotted the same way so downstream re-rank/threshold consumers
+    * never re-run the join. Both snapshots are freed by the ContextCleaner
+    * once unreferenced — no session-level cache is left behind.
+    */
+  private[graft] def lshCandidates(
+      base: DataFrame,
+      tables: Int,
+      planesPerTable: Int,
+      seed: Long
+  ): DataFrame = {
+    // hyperplane dimensionality must match the data: a wrong dim nulls the
+    // signature dots (ArrayDot rejects length mismatches). One tiny driver
+    // job on one row; pass-through cost is irrelevant next to the join.
+    val dim = base.select(size(col("__v"))).head().getInt(0)
+    val keysPerTable: Seq[Column] = (0 until tables).map { t =>
+      planeSignature(col("__v"), hyperplanes(planesPerTable, dim, seed + t))
+    }
+    val banded = base
+      .select(col("__id"), posexplode(array(keysPerTable: _*)).as(Seq("__table", "__key")))
+      .localCheckpoint(true)
+    val a = banded.select(col("__table"), col("__key"), col("__id").as("qid"))
+    val b = banded.select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
+    a.join(b, col("__table") === col("__t2") && col("__key") === col("__k2") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .dropDuplicates("qid", "nid")
+      .localCheckpoint(true)
+  }
+
   /** LSH-bucketed approximate top-k: multiple independent hash tables
     * (band = one table of `planesPerTable` sign bits); vectors sharing a
     * bucket in any table become candidates; candidates are exact-ranked by
@@ -103,28 +160,7 @@ object Similarity {
       seed: Long = 42L
   ): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    // hyperplane dimensionality must match the data: a wrong dim nulls the
-    // signature dots (ArrayDot rejects length mismatches). One tiny driver
-    // job on one row; pass-through cost is irrelevant next to the join.
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val keysPerTable: Seq[Column] = (0 until tables).map { t =>
-      planeSignature(col("__v"), hyperplanes(planesPerTable, dim, seed + t))
-    }
-    // Persisted for the same reason as Dedup.minhashNearDupPairs: the
-    // candidate self-join reads this twice; caching avoids recomputing the
-    // tables × planes dot products per side. Holds only ids + bucket keys
-    // — candidate pairs dedup as bare id pairs (cheap) and the vectors
-    // join back afterwards, so the wide embedding arrays never ride
-    // through the candidate shuffle/dedup.
-    val banded = base
-      .select(col("__id"), posexplode(array(keysPerTable: _*)).as(Seq("__table", "__key")))
-      .persist()
-    val a = banded.select(col("__table"), col("__key"), col("__id").as("qid"))
-    val b = banded.select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
-    val candidates = a
-      .join(b, col("__table") === col("__t2") && col("__key") === col("__k2") && col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"))
-      .dropDuplicates("qid", "nid")
+    val candidates = lshCandidates(base, tables, planesPerTable, seed)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     candidates
       .join(base.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
@@ -160,7 +196,8 @@ object Similarity {
       base.orderBy("__id").limit(cells)
         .select(col("__id").as("__cid"), col("__v").as("__cv"))
     )
-    // nearest `nprobe` cells per vector (rank 1 = home cell for indexing)
+    // nearest `nprobe` cells per vector (rank 1 = home cell for indexing);
+    // snapshotted because both the index side and the query side read it.
     val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
     val probed = base
       .crossJoin(centroids)
@@ -168,7 +205,7 @@ object Similarity {
       .withColumn("__crank", row_number().over(wCell))
       .filter(col("__crank") <= nprobe)
       .select(col("__id"), col("__v"), col("__cid"), col("__crank"))
-      .persist()
+      .localCheckpoint(true)
     val indexed = probed.filter(col("__crank") === 1).select(col("__cid"), col("__id").as("nid"), col("__v").as("__cvv"))
     val queries = probed.select(col("__cid").as("__qcid"), col("__id").as("qid"), col("__v").as("__qv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
@@ -181,15 +218,24 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs: all pairs with cosine >= tau, via the
-    * candidate generator of `lshTopK` when `tables > 0`, or brute force
-    * when `tables == 0` (baseline/oracle).
+    * LSH candidate generator when `tables > 0` (the scale path: bucketed
+    * equi-joins, no window — a threshold filter needs no rank sort), or
+    * brute force when `tables == 0` (baseline/oracle; BroadcastNestedLoop —
+    * never register this side at scale).
+    *
+    * Precision is exact either way (candidates are re-checked against the
+    * true cosine); recall of the `tables > 0` path is the LSH collision
+    * probability at tau — see the object scaladoc, and the driver-verified
+    * `llm_cosine_recall` query which measures it.
     */
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       tau: Double,
-      tables: Int = 0
+      tables: Int = 0,
+      planesPerTable: Int = 4,
+      seed: Long = 42L
   ): DataFrame = {
     val pairs =
       if (tables <= 0) {
@@ -198,9 +244,12 @@ object Similarity {
         a.join(b, col("a") < col("b"))
           .withColumn("cos", cosine(col("__va"), col("__vb")))
       } else {
-        lshTopK(df, idCol, vecCol, k = Int.MaxValue, tables = tables)
+        val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        lshCandidates(base, tables, planesPerTable, seed)
           .filter(col("qid") < col("nid"))
-          .select(col("qid").as("a"), col("nid").as("b"), col("cos"))
+          .join(base.select(col("__id").as("qid"), col("__v").as("__va")), "qid")
+          .join(base.select(col("__id").as("nid"), col("__v").as("__vb")), "nid")
+          .select(col("qid").as("a"), col("nid").as("b"), cosine(col("__va"), col("__vb")).as("cos"))
       }
     pairs.filter(col("cos") >= tau).select("a", "b", "cos")
   }

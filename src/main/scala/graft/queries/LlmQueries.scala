@@ -9,9 +9,22 @@ import org.apache.spark.sql.functions._
 
 /** Driver-verifiable queries for the LLM-training-data operator family
   * (dedup / similarity / text analysis / multimodal — SURVEY.md §7.2.9 and
-  * the north-star brief). Oracles are exact ANSI SQL where the semantics
-  * allow; hash-based ops (simhash, LSH internals) get rows-only checks, but
-  * their *verified outputs* (exact Jaccard / cosine) are oracled.
+  * the north-star brief).
+  *
+  * Oracle strategy, strongest applicable first:
+  *   1. exact ANSI SQL when the semantics are engine-independent (dedup,
+  *      jaccard, stats, chunking);
+  *   2. algorithm replay when the operator is approximate but
+  *      deterministic: the LSH hyperplanes / IVF centroids are plan
+  *      literals, so the DuckDB oracle recomputes the *same* approximate
+  *      algorithm from scratch and the outputs must hash-match — the
+  *      bucketed 100 TB plan is what gets certified, not a baseline;
+  *   3. recall queries (`llm_ann_recall`, `llm_cosine_recall`) publish the
+  *      approximation quality itself as a driver-verified number — both
+  *      the approximate side and the exact side are recomputed in SQL;
+  *   4. portable fingerprints: simhash/rolling over md5 token hashes are
+  *      reproduced bit-for-bit in DuckDB; the xxhash64-based fast variants
+  *      are pinned to them by the native-vs-HOF consistency entry.
   */
 object LlmQueries {
 
@@ -38,6 +51,7 @@ object LlmQueries {
       fake_height: Long,
       fake_duration_s: Double
   )
+  final case class DecodedImage(doc_id: Long, mime: String, width: Long, height: Long, pixel_sum: Long)
 
   // DuckDB list literal for a stopword set — single source of truth with
   // the Spark-side TextStats.stopwords.
@@ -47,20 +61,130 @@ object LlmQueries {
   private def hitsSql(lang: String): String =
     s"len(list_intersect(string_split(text, ' '), ${swList(lang)}))"
 
-  /** Exact k=3 shingle-pair CTE prefix (shared by the jaccard oracles). */
-  private val shingleCte =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
-      |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh FROM t),
-      |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
-      |p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-      |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+  /** Exact k=3 shingle-pair CTE prefix (shared by the jaccard oracles).
+    * With `maxDf > 0`, shingles appearing in more than maxDf docs are
+    * dropped from the universe BEFORE per-doc set sizes are taken — the
+    * same order of operations as [[Dedup.ngramJaccardPairs]], so the capped
+    * jaccard is unbiased on both engines.
+    */
+  private def shingleCteCapped(maxDf: Int): String = {
+    val universe =
+      if (maxDf <= 0) ""
+      else
+        s""",
+           |dfq AS (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= $maxDf),
+           |sc AS (SELECT s0.doc_id, s0.sh FROM s0 JOIN dfq USING (sh))""".stripMargin
+    val src = if (maxDf <= 0) "s0" else "sc"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+       |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh FROM t)$universe,
+       |n AS (SELECT doc_id, count(*) AS n FROM $src GROUP BY 1),
+       |p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |      FROM $src a JOIN $src b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+  }
 
-  private def jaccardPairsSql(tau: Double): String =
-    s"""$shingleCte
+  private val shingleCte = shingleCteCapped(0)
+
+  private def jaccardPairsSql(tau: Double, maxDf: Int = 0): String =
+    s"""${shingleCteCapped(maxDf)}
        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE)/(na.n + nb.n - p.inter) AS jaccard
        |FROM p JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
        |WHERE CAST(p.inter AS DOUBLE)/(na.n + nb.n - p.inter) >= $tau""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ANN oracle generators: DuckDB replays of the seeded approximate
+  // algorithms. The hyperplanes/centroids come from the SAME code the
+  // Spark plan uses (Similarity.hyperplanes / smallest-id centroids), so
+  // the oracle is an independent engine running the identical algorithm.
+  // ---------------------------------------------------------------------
+  private object AnnOracles {
+
+    /** Embedding dim of the driver testdata; the Spark side probes it at
+      * runtime, the SQL literal generator needs it statically. A mismatch
+      * surfaces as an oracle failure, never silently.
+      */
+    val Dim = 64
+
+    private def planeArray(p: Array[Double]): String =
+      p.mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+    /** `e` CTE: embeddings as double vectors. */
+    val eCte: String =
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+    /** Banded sign-bucket keys, one SELECT per table, UNION ALL — the SQL
+      * replay of [[Similarity.planeSignature]] over
+      * [[Similarity.hyperplanes]](planes, Dim, seed + t).
+      */
+    def lshBandsCte(tables: Int, planes: Int, seed: Long): String = {
+      val blocks = (0 until tables).map { t =>
+        val ps = Similarity.hyperplanes(planes, Dim, seed + t)
+        val key = ps.zipWithIndex
+          .map { case (p, i) =>
+            s"(CASE WHEN list_inner_product(v, ${planeArray(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+          }
+          .mkString(" + ")
+        s"SELECT vec_id, $t AS tbl, $key AS key FROM e"
+      }
+      s"lb AS (${blocks.mkString("\nUNION ALL\n")}),\n" +
+        "cand AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid FROM lb x JOIN lb y " +
+        "ON x.tbl = y.tbl AND x.key = y.key AND x.vec_id <> y.vec_id)"
+    }
+
+    /** LSH top-k as (qid, nid, rnk) — exact cosine re-rank of the bucketed
+      * candidates, ties broken by nid, identical to [[Similarity.lshTopK]].
+      */
+    def lshTopCte(k: Int): String =
+      s"""lr AS (SELECT c.qid, c.nid, list_cosine_similarity(ea.v, eb.v) AS cos
+         |       FROM cand c JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid),
+         |lshtop AS (SELECT qid, nid, rnk FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM lr)
+         |  WHERE rnk <= $k)""".stripMargin
+
+    /** IVF top-k as (qid, nid, rnk) — smallest-id centroids, nprobe cell
+      * probing, exact re-rank; identical to [[Similarity.ivfTopK]].
+      */
+    def ivfTopCte(k: Int, cells: Int, nprobe: Int): String =
+      s"""ic AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $cells),
+         |ip AS (SELECT e.vec_id AS id, e.v AS pv, ic.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_cosine_similarity(e.v, ic.cv) DESC, ic.cid) AS crank
+         |       FROM e CROSS JOIN ic QUALIFY crank <= $nprobe),
+         |iidx AS (SELECT cid, id AS nid, pv AS nv FROM ip WHERE crank = 1),
+         |iq AS (SELECT cid, id AS qid, pv AS qv FROM ip),
+         |ivftop AS (SELECT qid, nid, rnk FROM (
+         |  SELECT iq.qid, iidx.nid,
+         |    row_number() OVER (PARTITION BY iq.qid
+         |      ORDER BY list_cosine_similarity(iq.qv, iidx.nv) DESC, iidx.nid) AS rnk
+         |  FROM iq JOIN iidx ON iq.cid = iidx.cid AND iq.qid <> iidx.nid)
+         |  WHERE rnk <= $k)""".stripMargin
+
+    /** Brute top-k (qid, nid) — the exact baseline for recall math. */
+    def bruteTopCte(k: Int): String =
+      s"""br AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM e a JOIN e b ON a.vec_id <> b.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) <= $k)""".stripMargin
+  }
+
+  // Portable (md5-based) simhash + rolling fingerprint CTEs — the DuckDB
+  // bit-for-bit reproduction of Fingerprints.simhash56Md5 /
+  // rollingFingerprintMd5.
+  private val simhash56Cte: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |th AS (SELECT doc_id, (CAST(concat('0x', substr(md5(t), 1, 7)) AS UBIGINT) << 28)
+      |                      + CAST(concat('0x', substr(md5(t), 8, 7)) AS UBIGINT) AS hv FROM tok),
+      |vt AS (SELECT doc_id, bi, sum(CASE WHEN (hv >> bi) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |       FROM th CROSS JOIN (SELECT unnest(range(56)) AS bi) GROUP BY 1, 2),
+      |sh56 AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << bi
+      |                                      ELSE CAST(0 AS UBIGINT) END) AS BIGINT) AS simhash
+      |         FROM vt GROUP BY 1)""".stripMargin
+
+  private val rollingMd5Cte: String =
+    """rf AS (SELECT doc_id, CAST(list_reduce(
+      |  list_prepend(CAST(0 AS UBIGINT), list_transform(string_split(text, ' '),
+      |    t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT))),
+      |  (acc, x) -> (acc * 31 + x) % 144115188075855872) AS BIGINT) AS rolling_fp
+      |FROM documents)""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
     // Exact dedup: smallest doc_id survives per identical text.
@@ -170,18 +294,45 @@ object LlmQueries {
         table(spark, sf, "documents")
           .select(col("doc_id"), Fingerprints.contentKeyMd5(col("text")).as("content_md5"))
     ),
-    // Hash fingerprints (xxhash64/simhash/rolling): Spark-only hash
-    // functions — rows-only check.
+    // Portable fingerprints: 56-bit md5-simhash + order-sensitive rolling
+    // hash, both recomputed bit-for-bit by the DuckDB oracle (was a
+    // rows-only entry when it exposed the xxhash64 variants; those stay as
+    // the fast path, pinned by llm_native_consistency below).
     QueryDef(
       "llm_simhash",
-      None,
+      Some(
+        s"""WITH $simhash56Cte,
+           |$rollingMd5Cte
+           |SELECT sh56.doc_id, sh56.simhash, rf.rolling_fp FROM sh56 JOIN rf USING (doc_id)""".stripMargin
+      ),
       (spark, sf) =>
         table(spark, sf, "documents")
           .select(
             col("doc_id"),
-            Fingerprints.contentKey64(col("text")).as("content_xxh64"),
-            Fingerprints.simhash64(col("text")).as("simhash"),
-            Fingerprints.rollingFingerprint(col("text")).as("rolling_fp")
+            Fingerprints.simhash56Md5(col("text")).as("simhash"),
+            Fingerprints.rollingFingerprintMd5(col("text")).as("rolling_fp")
+          )
+    ),
+    // Native-vs-reference consistency, driver-gated: the xxhash64 native
+    // expressions (SimHash64, TokenShingles, SimHash56Md5) must agree with
+    // their interpreted built-in-function formulations on every document.
+    // The oracle is the trivial all-true table — any drift in a native
+    // expression flips a row and fails the hash compare.
+    QueryDef(
+      "llm_native_consistency",
+      Some(
+        "SELECT doc_id, true AS sim64_agree, true AS sim56_agree, true AS shingles_agree FROM documents"
+      ),
+      (spark, sf) =>
+        table(spark, sf, "documents")
+          .select(
+            col("doc_id"),
+            (Fingerprints.simhash64(col("text")) === Fingerprints.simhash64Hof(col("text")))
+              .as("sim64_agree"),
+            (Fingerprints.simhash56Md5(col("text")) === Fingerprints.simhash56Md5Hof(col("text")))
+              .as("sim56_agree"),
+            (Fingerprints.shingles(col("text"), 3) === Fingerprints.shinglesHof(col("text"), 3))
+              .as("shingles_agree")
           )
     ),
     // MinHash-LSH near-dup pairs, exact-Jaccard verified: output must equal
@@ -209,6 +360,23 @@ object LlmQueries {
       (spark, sf) =>
         Dedup.ngramJaccardPairs(table(spark, sf, "documents"), "doc_id", "text", k = 3, tau = 0.05)
     ),
+    // Same exact-jaccard semantics with the document-frequency skew guard
+    // engaged (maxDf=3 bites on this corpus: shingles shared by 4+ docs are
+    // dropped from the universe on BOTH engines) — proves the 100 TB
+    // straggler cap is semantics-preserving, not a silent approximation.
+    QueryDef(
+      "llm_dedup_ngram_capped",
+      Some(jaccardPairsSql(0.05, maxDf = 3)),
+      (spark, sf) =>
+        Dedup.ngramJaccardPairs(
+          table(spark, sf, "documents"),
+          "doc_id",
+          "text",
+          k = 3,
+          tau = 0.05,
+          maxDf = 3
+        )
+    ),
     // Greedy near-dup removal: survivors after dropping docs with a smaller
     // similar neighbor.
     QueryDef(
@@ -225,16 +393,34 @@ object LlmQueries {
         Dedup.dropNearDuplicates(docs, "doc_id", pairs).select("doc_id")
       }
     ),
-    // SimHash near-dup pairs (Hamming <= 3 over 4 bands): Spark-only hash —
-    // rows-only.
+    // SimHash near-dup pairs over the portable 56-bit simhash: Spark runs
+    // the banded pigeonhole plan (4 bands, any pair at Hamming <= 3 shares
+    // a band — exact by construction); the oracle recomputes the simhash
+    // from scratch and takes the brute all-pairs Hamming set. A hash match
+    // certifies both the hash math and that banding lost nothing.
     QueryDef(
       "llm_simhash_pairs",
-      None,
+      Some(
+        s"""WITH $simhash56Cte
+           |SELECT x.doc_id AS a, y.doc_id AS b,
+           |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+           |FROM sh56 x JOIN sh56 y ON x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+      ),
       (spark, sf) =>
-        Dedup.simhashNearDupPairs(table(spark, sf, "documents"), "doc_id", "text", bands = 4, maxHamming = 3)
+        Dedup.simhashNearDupPairs(
+          table(spark, sf, "documents"),
+          "doc_id",
+          "text",
+          bands = 4,
+          maxHamming = 3,
+          simFn = Fingerprints.simhash56Md5,
+          simBits = 56
+        )
     ),
     // Brute-force cosine top-1 neighbor (ids only; cosine computed in
-    // double on both sides).
+    // double on both sides). Oracle baseline — NOT the scale path and no
+    // longer a bench headline; lshTopK/ivfTopK are the registered ANN.
     QueryDef(
       "llm_ann_top1",
       Some(
@@ -250,40 +436,144 @@ object LlmQueries {
           .bruteTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 1)
           .select("qid", "nid")
     ),
-    // LSH-bucketed approximate top-5 (the 100 TB path): rows-only —
-    // approximate by design.
+    // LSH-bucketed approximate top-5 (the 100 TB path). The oracle replays
+    // the identical algorithm in DuckDB — same seeded hyperplanes as SQL
+    // literals, same sign buckets, same exact re-rank — so the hash match
+    // certifies the bucketed plan itself (was rows-only in round 2).
     QueryDef(
       "llm_ann_lsh",
-      None,
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${lshBandsCte(tables = 8, planes = 6, seed = 42L)},
+           |${lshTopCte(5)}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM lshtop""".stripMargin
+      },
       (spark, sf) =>
         Similarity
           .lshTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6)
           .select("qid", "nid", "rank")
     ),
-    // IVF-bucketed approximate top-5 (alternative scale path to LSH):
-    // rows-only — approximate by design.
+    // IVF-bucketed approximate top-5 (alternative scale path to LSH): the
+    // deterministic smallest-id centroids make the whole algorithm
+    // SQL-replayable — oracled end-to-end like llm_ann_lsh.
     QueryDef(
       "llm_ann_ivf",
-      None,
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${ivfTopCte(5, cells = 16, nprobe = 2)}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM ivftop""".stripMargin
+      },
       (spark, sf) =>
         Similarity
           .ivfTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 5, cells = 16, nprobe = 2)
           .select("qid", "nid", "rank")
     ),
-    // Embedding-cosine near-dup pairs at tau=0.4 (ids only).
+    // ANN recall, driver-verified: per-query overlap between each
+    // approximate top-5 and the brute-force top-5, as a histogram
+    // (method, hits∈[0,5], n queries). DuckDB recomputes BOTH sides, so
+    // the recall figure itself is certified — "what's the recall of your
+    // ANN?" is answerable from the correctness artifact.
+    QueryDef(
+      "llm_ann_recall",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${lshBandsCte(tables = 8, planes = 6, seed = 42L)},
+           |${lshTopCte(5)},
+           |${ivfTopCte(5, cells = 16, nprobe = 2)},
+           |${bruteTopCte(5)},
+           |lh AS (SELECT l.qid, count(*) AS c FROM lshtop l JOIN br USING (qid, nid) GROUP BY 1),
+           |ih AS (SELECT i.qid, count(*) AS c FROM ivftop i JOIN br USING (qid, nid) GROUP BY 1),
+           |rows_ AS (
+           |  SELECT 'lsh' AS method, CAST(coalesce(lh.c, 0) AS BIGINT) AS hits
+           |  FROM e LEFT JOIN lh ON lh.qid = e.vec_id
+           |  UNION ALL
+           |  SELECT 'ivf' AS method, CAST(coalesce(ih.c, 0) AS BIGINT) AS hits
+           |  FROM e LEFT JOIN ih ON ih.qid = e.vec_id)
+           |SELECT method, hits, CAST(count(*) AS BIGINT) AS n FROM rows_ GROUP BY 1, 2""".stripMargin
+      },
+      (spark, sf) => {
+        val e = table(spark, sf, "embeddings")
+        val brute = Similarity.bruteTopK(e, "vec_id", "embedding", k = 5).select("qid", "nid")
+        def hist(method: String, approx: org.apache.spark.sql.DataFrame) = {
+          val hits = approx
+            .select("qid", "nid")
+            .join(brute, Seq("qid", "nid"))
+            .groupBy("qid")
+            .agg(count(lit(1)).as("__c"))
+          e.select(col("vec_id").as("qid"))
+            .join(hits, Seq("qid"), "left")
+            .select(coalesce(col("__c"), lit(0L)).as("hits"))
+            .groupBy("hits")
+            .agg(count(lit(1)).as("n"))
+            .select(lit(method).as("method"), col("hits"), col("n"))
+        }
+        hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6))
+          .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 2)))
+      }
+    ),
+    // Embedding-cosine near-dup pairs at tau=0.4 through the LSH candidate
+    // path (8 tables × 4 sign bits — bucketed equi-joins, no window, no
+    // BroadcastNestedLoop). Oracle = DuckDB replay of the same algorithm;
+    // the recall of this config vs the exact pair set is published by
+    // llm_cosine_recall below.
     QueryDef(
       "llm_cosine_neardup",
-      Some(
-        """SELECT a.vec_id AS a, b.vec_id AS b
-          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          |WHERE list_cosine_similarity(
-          |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-          |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4""".stripMargin
-      ),
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${lshBandsCte(tables = 8, planes = 4, seed = 42L)}
+           |SELECT c.qid AS a, c.nid AS b FROM cand c
+           |JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid
+           |WHERE c.qid < c.nid AND list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin
+      },
       (spark, sf) =>
         Similarity
-          .cosineNearDupPairs(table(spark, sf, "embeddings"), "vec_id", "embedding", tau = 0.4)
+          .cosineNearDupPairs(
+            table(spark, sf, "embeddings"),
+            "vec_id",
+            "embedding",
+            tau = 0.4,
+            tables = 8,
+            planesPerTable = 4
+          )
           .select("a", "b")
+    ),
+    // Honest recall ledger for the LSH near-dup config above: exact pair
+    // count, LSH-found count, and their intersection — all three recomputed
+    // independently by DuckDB. (At tau=0.4 on near-orthogonal synthetic
+    // embeddings sign-LSH recall is intrinsically partial — see
+    // Similarity scaladoc; this query keeps that number in the open.)
+    QueryDef(
+      "llm_cosine_recall",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${lshBandsCte(tables = 8, planes = 4, seed = 42L)},
+           |ex AS (SELECT a.vec_id AS a, b.vec_id AS b FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |       WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+           |ls AS (SELECT c.qid AS a, c.nid AS b FROM cand c
+           |       JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid
+           |       WHERE c.qid < c.nid AND list_cosine_similarity(ea.v, eb.v) >= 0.4)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ls) AS n_lsh,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN ls USING (a, b)) AS n_hit""".stripMargin
+      },
+      (spark, sf) => {
+        val e = table(spark, sf, "embeddings")
+        val exact =
+          Similarity.cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 0).select("a", "b")
+        val lsh = Similarity
+          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, planesPerTable = 4)
+          .select("a", "b")
+        val hit = exact.join(lsh, Seq("a", "b"))
+        exact
+          .agg(count(lit(1)).as("n_exact"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      }
     ),
     // Overlapping token-window chunking (chunkSize=32, overlap=8).
     QueryDef(
@@ -334,6 +624,29 @@ object LlmQueries {
           )
           .addSink[MediaFeatures, SchemaPolicy.ExactT](TypedSink[MediaFeatures](s"${tmpDir("llm_multimodal")}/m"))
           .build(implicitly)(spark)
+    ),
+    // REAL multimodal decode: deterministic PNGs are synthesized per doc
+    // (dims + fill color are functions of doc_id), then decoded back with
+    // javax.imageio inside the per-partition-codec mapPartitions — width,
+    // height AND the pixel checksum must round-trip through an actual
+    // codec. The oracle derives the expected values from doc_id alone, so
+    // any failure in encode→bytes→decode surfaces as a hash mismatch.
+    QueryDef(
+      "llm_multimodal_decode",
+      Some(
+        """SELECT doc_id,
+          |  'image/png' AS mime,
+          |  CAST(doc_id % 21 + 1 AS BIGINT) * 3 AS width,
+          |  CAST(doc_id % 13 + 1 AS BIGINT) * 4 AS height,
+          |  (CAST(doc_id % 21 + 1 AS BIGINT) * 3) * (CAST(doc_id % 13 + 1 AS BIGINT) * 4)
+          |    * ((doc_id * 7) % 256 + (doc_id * 13) % 256 + (doc_id * 31) % 256) AS pixel_sum
+          |FROM documents""".stripMargin
+      ),
+      (spark, sf) => {
+        import spark.implicits._
+        val media = Multimodal.synthesizePng(table(spark, sf, "documents").select("doc_id"))
+        Multimodal.decodeBatched[DecodedImage](media)(Multimodal.imageIoCodec(DecodedImage.apply)).toDF()
+      }
     )
   )
 }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.contracts.SchemaPolicy
+import graft.streaming.TypedStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-verifiable Structured Streaming queries: each runs a real stream
+  * (file source → watermarked stateful aggregation → contract-pinned
+  * parquet sink) to completion with `Trigger.AvailableNow`, reads the sink
+  * back, and must hash-match a batch SQL oracle — the batch-equivalence
+  * guarantee Structured Streaming promises, checked cross-engine.
+  *
+  * Determinism note: the staged input directory holds ONE parquet file, so
+  * the stream is a single data micro-batch — no intermediate watermark can
+  * drop "late" rows — followed by the no-data batch that advances the
+  * watermark to max(event time) and flushes every closed window. Windows
+  * still open at end-of-stream (end > final watermark) correctly never
+  * emit in append mode, and the oracle applies the same cutoff.
+  */
+object StreamingQueries {
+
+  import QueryDef._
+
+  /** Contract for the windowed-count sink rows. */
+  final case class WindowedCount(window_start_s: Long, window_end_s: Long, event_type: String, n: Long)
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "t2_windowed_counts_batch_eq",
+      Some(
+        // pure integer window math (epoch-ns // 1h), same cutoff as the
+        // final watermark: windows whose end is past max(ts) stay open in
+        // append mode and are excluded on both sides.
+        """WITH w AS (SELECT CAST(epoch_ns(ts) // 3600000000000 * 3600 AS BIGINT) AS ws, event_type
+          |           FROM events)
+          |SELECT ws AS window_start_s, ws + 3600 AS window_end_s, event_type, CAST(count(*) AS BIGINT) AS n
+          |FROM w GROUP BY 1, 2, 3
+          |HAVING (ws + 3600) * 1000000 <= (SELECT epoch_ns(max(ts)) // 1000 FROM events)""".stripMargin
+      ),
+      (spark, sf) => {
+        val in = tmpDir("stream_in")
+        val out = tmpDir("stream_out")
+        val ckpt = tmpDir("stream_ckpt")
+        // file-source streams need a directory; stage the single event file
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sf/events.parquet"),
+          java.nio.file.Paths.get(s"$in/events.parquet")
+        )
+        val schema = spark.read.parquet(s"$sf/events.parquet").schema
+        val stream = spark.readStream.schema(schema).parquet(in)
+        // events.ts is long nanoseconds (nanosAsLong) → event-time column
+        // at microsecond precision for the watermark/window machinery
+        val withTs = stream.withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+        val counts = TypedStreams
+          .windowedCounts(withTs, tsCol = "ts2", keyCol = "event_type", watermark = "0 seconds", windowDuration = "1 hour")
+          .select(
+            col("window_start").cast("long").as("window_start_s"),
+            col("window_end").cast("long").as("window_end_s"),
+            col("event_type"),
+            col("n")
+          )
+        TypedStreams
+          .writeStream[WindowedCount, SchemaPolicy.ExactT](counts, out, ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out)
+      }
+    )
+  )
+}

@@ -79,7 +79,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
   test("simhash of identical docs is identical; near-dups land within small hamming") {
     val pairs = Dedup
       .simhashNearDupPairs(docs, "doc_id", "text", bands = 4, maxHamming = 10)
-      .as[(Long, Long, Int)]
+      .as[(Long, Long, Long)]
       .collect()
     val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(m((1L, 4L)) == 0)
@@ -249,5 +249,102 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     val short = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(short, "doc_id", "text", 3, 0.1).count() == 0)
     assert(Dedup.minhashNearDupPairs(short, "doc_id", "text", 3, 16, 4, 0.5).count() == 0)
+  }
+
+  test("simhash56Md5: native expression is bit-identical to the built-in-function reference") {
+    val rows = docs
+      .select(
+        Fingerprints.simhash56Md5(col("text")).as("native"),
+        Fingerprints.simhash56Md5Hof(col("text")).as("hof")
+      )
+      .as[(Long, Long)]
+      .collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+    // 56-bit: always non-negative on both engines
+    rows.foreach { case (n, _) => assert(n >= 0L && n < (1L << 56)) }
+  }
+
+  test("simhash banding is exact: banded pairs equal brute all-pairs hamming") {
+    val banded = Dedup
+      .simhashNearDupPairs(docs, "doc_id", "text", bands = 4, maxHamming = 3,
+        simFn = Fingerprints.simhash56Md5, simBits = 56)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(p => (p._1, p._2, p._3))
+      .sorted
+    // brute-force reference: hamming over all pairs, no banding
+    val sims = docs
+      .select(col("doc_id"), Fingerprints.simhash56Md5(col("text")).as("s"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val brute = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSeq.sorted
+    assert(banded.toSeq == brute)
+  }
+
+  test("ngramJaccardPairs maxDf cap drops high-df shingles from the universe (unbiased)") {
+    // 'the quick brown' family shingles appear in docs 1,2,4 (df=3); cap at 2
+    // removes them from BOTH the intersection and the per-doc set sizes.
+    val capped = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.01, maxDf = 2)
+      .as[(Long, Long, Double)]
+      .collect()
+      .sortBy(p => (p._1, p._2))
+    // docs 1 and 4 are identical: their (unique, df<=2... shared by both so df=2) shingles survive
+    val j14 = capped.find(p => p._1 == 1L && p._2 == 4L)
+    assert(j14.isDefined && j14.get._3 == 1.0)
+    // 1 vs 2 shared shingles all have df=3 (present in 1,2,4) -> no pair survives the cap
+    assert(!capped.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  test("similarity/dedup operators leave no session-level cache behind") {
+    spark.catalog.clearCache()
+    Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 64, 16, 0.7).count()
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.2f)),
+      (2L, Seq(0.99f, 0.01f, 0.21f)),
+      (3L, Seq(-0.5f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    Similarity.lshTopK(vecs, "vec_id", "embedding", k = 2, tables = 2, planesPerTable = 2).count()
+    Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", tau = 0.9, tables = 2, planesPerTable = 2).count()
+    // localCheckpoint blocks are RDD-scoped and GC-managed — nothing is
+    // registered in the Dataset cache manager, so a library user never
+    // needs spark.catalog.clearCache() after these calls.
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("cosineNearDupPairs LSH path plans bucketed joins: no BroadcastNestedLoop, no Window") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.2f)),
+      (2L, Seq(0.99f, 0.01f, 0.21f)),
+      (3L, Seq(-0.5f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val plan = Similarity
+      .cosineNearDupPairs(vecs, "vec_id", "embedding", tau = 0.9, tables = 2, planesPerTable = 2)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in LSH-path plan:\n$plan")
+    assert(!plan.contains("Window"), s"needless Window sort in threshold path:\n$plan")
+  }
+
+  test("png synthesize/decode round-trips real dimensions and pixel sums through javax.imageio") {
+    val ids = Seq(3L, 17L, 40L).toDF("doc_id")
+    val media = Multimodal.synthesizePng(ids)
+    final case class Out(doc_id: Long, mime: String, width: Long, height: Long, pixel_sum: Long)
+    val out = Multimodal
+      .decodeBatched(media)(Multimodal.imageIoCodec((i, m, w, h, s) => (i, m, w, h, s)))
+      .collect()
+      .sortBy(_._1)
+    out.foreach { case (id, mime, w, h, sum) =>
+      assert(mime == "image/png")
+      assert(w == (id % 21 + 1) * 3)
+      assert(h == (id % 13 + 1) * 4)
+      val expected = w * h * ((id * 7) % 256 + (id * 13) % 256 + (id * 31) % 256)
+      assert(sum == expected, s"pixel checksum mismatch for doc $id")
+    }
   }
 }
