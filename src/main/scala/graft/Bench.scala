@@ -42,6 +42,9 @@ object Bench {
     "llm_ann_ivf",
     "llm_cosine_neardup",
     "llm_train_split",
+    "llm_pii_scrub",
+    "llm_gopher_rules",
+    "llm_stratified_sample",
     "llm_chunking",
     "llm_multimodal",
     "llm_multimodal_decode",

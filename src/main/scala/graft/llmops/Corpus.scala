@@ -40,4 +40,25 @@ object Corpus {
     val bucket = conv(substring(md5(content), 1, 8), 16, 10).cast("long") % 100
     when(bucket < trainPercent, lit("train")).otherwise(lit("valid"))
   }
+
+  /** Deterministic stratified downsampling: keep a row iff its content-hash
+    * bucket falls under the stratum's rate. Unlike `df.sample`, this is
+    * reproducible across runs/engines (no RNG state), duplicate-stable
+    * (identical content always sampled together), and needs no shuffle or
+    * per-stratum pass — the rate map rides into the plan as a CASE chain.
+    * Strata missing from `rates` fall back to `defaultPercent`.
+    */
+  def stratifiedSampleByHash(
+      df: DataFrame,
+      strataCol: String,
+      content: Column,
+      rates: Map[String, Int],
+      defaultPercent: Int = 100
+  ): DataFrame = {
+    val bucket = conv(substring(md5(content), 1, 8), 16, 10).cast("long") % 100
+    val rate = rates.foldLeft(lit(defaultPercent)) { case (acc, (stratum, pct)) =>
+      when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
 }

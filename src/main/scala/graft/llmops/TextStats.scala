@@ -85,4 +85,58 @@ object TextStats {
     val stopMass = least(stopwordHits(text, "en").cast("double") / lit(4.0), lit(1.0))
     round(lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * stopMass, 6)
   }
+
+  /** PII redaction: emails, IPv4 addresses, then long digit runs are
+    * replaced with typed placeholder tags, in that fixed order (order
+    * matters — a phone-ish digit run inside an already-redacted tag must
+    * not re-match). Patterns are RE2-compatible (no backrefs/lookarounds)
+    * so Java regex (Spark) and RE2 (DuckDB/Go scrubbers) agree — the
+    * pipeline's redaction is engine-portable, which the DuckDB oracle
+    * checks literally.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+    "\\+?[0-9][0-9 ()-]{6,}[0-9]" -> "<PHONE>"
+  )
+
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+
+  /** Gopher-style quality-rule flags (Rae et al. 2021 §A1.1, adapted to a
+    * single-line corpus): token-count window, mean-word-length window,
+    * symbol ratio, and repetition (1 − distinct ratio). Emits the measured
+    * values plus a composite `keep` — filterable without recomputation.
+    * All per-row expressions; thresholds are plan literals.
+    */
+  def gopherRules(
+      df: DataFrame,
+      textCol: String = "text",
+      minTokens: Long = 16L,
+      maxTokens: Long = 100000L,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.2,
+      maxRepetition: Double = 0.6
+  ): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("long")
+    // mean word length over single-space-joined tokens: (chars - spaces)/n
+    val meanWordLen = (length(t) - nTok + 1).cast("double") / nTok.cast("double")
+    val symbolRatio =
+      length(regexp_replace(t, "[A-Za-z0-9 ]", "")).cast("double") / length(t).cast("double")
+    val repetition = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok.cast("double")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("repetition", repetition)
+      .withColumn(
+        "keep",
+        nTok.between(minTokens, maxTokens) &&
+          meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
+          symbolRatio <= maxSymbolRatio &&
+          repetition <= maxRepetition
+      )
+  }
 }

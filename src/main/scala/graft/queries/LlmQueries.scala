@@ -575,6 +575,63 @@ object LlmQueries {
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
       }
     ),
+    // PII redaction: email → IP → phone-ish digit runs, fixed order. The
+    // patterns are RE2-compatible on purpose, so Spark's Java regex and
+    // DuckDB's RE2 must produce byte-identical redacted text.
+    QueryDef(
+      "llm_pii_scrub",
+      Some {
+        val nested = TextStats.piiPatterns.foldLeft("text") { case (inner, (pat, tag)) =>
+          s"regexp_replace($inner, '$pat', '$tag', 'g')"
+        }
+        s"SELECT doc_id, $nested AS redacted FROM documents"
+      },
+      (spark, sf) =>
+        table(spark, sf, "documents")
+          .select(col("doc_id"), TextStats.redactPii(col("text")).as("redacted"))
+    ),
+    // Gopher-style quality-rule flags: measured values + composite keep.
+    QueryDef(
+      "llm_gopher_rules",
+      Some(
+        """WITH s AS (SELECT doc_id, length(text) AS nc,
+          |  len(string_split(text, ' ')) AS nt,
+          |  len(list_distinct(string_split(text, ' '))) AS nd,
+          |  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS nsym FROM documents)
+          |SELECT doc_id,
+          |  CAST(nt AS BIGINT) AS n_tokens,
+          |  CAST(nc - nt + 1 AS DOUBLE) / nt AS mean_word_len,
+          |  CAST(nsym AS DOUBLE) / nc AS symbol_ratio,
+          |  1.0 - CAST(nd AS DOUBLE) / nt AS repetition,
+          |  (nt BETWEEN 16 AND 100000) AND (CAST(nc - nt + 1 AS DOUBLE) / nt BETWEEN 2.0 AND 12.0)
+          |    AND (CAST(nsym AS DOUBLE) / nc <= 0.2) AND (1.0 - CAST(nd AS DOUBLE) / nt <= 0.6) AS keep
+          |FROM s""".stripMargin
+      ),
+      (spark, sf) =>
+        TextStats
+          .gopherRules(table(spark, sf, "documents"))
+          .select("doc_id", "n_tokens", "mean_word_len", "symbol_ratio", "repetition", "keep")
+    ),
+    // Deterministic stratified downsampling: per-language rates over the
+    // content-hash bucket — reproducible across engines (no RNG), which is
+    // exactly what the oracle checks.
+    QueryDef(
+      "llm_stratified_sample",
+      Some(
+        """SELECT doc_id, lang FROM documents
+          |WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 100 <
+          |  CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'zh' THEN 0 ELSE 100 END""".stripMargin
+      ),
+      (spark, sf) =>
+        Corpus
+          .stratifiedSampleByHash(
+            table(spark, sf, "documents"),
+            "lang",
+            col("text"),
+            rates = Map("en" -> 25, "de" -> 50, "zh" -> 0)
+          )
+          .select("doc_id", "lang")
+    ),
     // Overlapping token-window chunking (chunkSize=32, overlap=8).
     QueryDef(
       "llm_chunking",

@@ -331,6 +331,48 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("Window"), s"needless Window sort in threshold path:\n$plan")
   }
 
+  test("redactPii replaces emails, IPs and phone runs with typed tags, in order") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@mail.example.org or call +1 (415) 555-0199 now"),
+      (2L, "server at 10.0.42.7 responded"),
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextStats.redactPii(col("text")).as("r")).as[(Long, String)].collect().toMap
+    assert(out(1L) == "contact <EMAIL> or call <PHONE> now")
+    assert(out(2L) == "server at <IP> responded")
+    assert(out(3L) == "nothing sensitive here at all")
+  }
+
+  test("gopherRules measures and flags: short, symbol-heavy and repetitive docs rejected") {
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val df = Seq(
+      (1L, good),                                     // 16 distinct clean tokens
+      (2L, "too short"),
+      (3L, ("spam " * 20).trim),                      // repetition 19/20
+      (4L, (("@#$% " * 16).trim))                     // symbol-heavy
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherRules(df).select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L))
+    assert(!out(2L) && !out(3L) && !out(4L))
+    val rep = TextStats.gopherRules(df).filter(col("doc_id") === 3L).select("repetition").as[Double].head()
+    assert(rep > 0.9)
+  }
+
+  test("stratifiedSampleByHash is deterministic, duplicate-stable and respects rates") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de", s"doc number $i")).toDF("doc_id", "lang", "text")
+    val once = Corpus.stratifiedSampleByHash(df, "lang", col("text"), Map("en" -> 0, "de" -> 100))
+      .select("doc_id").as[Long].collect().sorted
+    val twice = Corpus.stratifiedSampleByHash(df, "lang", col("text"), Map("en" -> 0, "de" -> 100))
+      .select("doc_id").as[Long].collect().sorted
+    assert(once.toSeq == twice.toSeq)
+    assert(once.forall(_ % 2 == 1)) // every 'en' row dropped at rate 0
+    assert(once.length == 100)      // every 'de' row kept at rate 100
+    // duplicate-stable: identical content always sampled together
+    val dup = Seq((1L, "x", "same words here"), (2L, "x", "same words here")).toDF("doc_id", "lang", "text")
+    val kept = Corpus.stratifiedSampleByHash(dup, "lang", col("text"), Map("x" -> 50)).count()
+    assert(kept == 0L || kept == 2L)
+  }
+
   test("png synthesize/decode round-trips real dimensions and pixel sums through javax.imageio") {
     val ids = Seq(3L, 17L, 40L).toDF("doc_id")
     val media = Multimodal.synthesizePng(ids)
