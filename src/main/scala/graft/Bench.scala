@@ -48,7 +48,8 @@ object Bench {
     "llm_chunking",
     "llm_multimodal",
     "llm_multimodal_decode",
-    "t2_windowed_counts_batch_eq"
+    "t2_windowed_counts_batch_eq",
+    "t3_sessionize_batch_eq"
   )
 
   def main(args: Array[String]): Unit = {

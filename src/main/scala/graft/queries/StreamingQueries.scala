@@ -25,6 +25,18 @@ object StreamingQueries {
   /** Contract for the windowed-count sink rows. */
   final case class WindowedCount(window_start_s: Long, window_end_s: Long, event_type: String, n: Long)
 
+  /** Stage the single events file into a fresh directory (file-source
+    * streams read directories) and return (inDir, outDir, checkpointDir).
+    */
+  private def stageEvents(sf: String, tag: String): (String, String, String) = {
+    val in = tmpDir(s"${tag}_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$in/events.parquet")
+    )
+    (in, tmpDir(s"${tag}_out"), tmpDir(s"${tag}_ckpt"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef(
       "t2_windowed_counts_batch_eq",
@@ -39,14 +51,7 @@ object StreamingQueries {
           |HAVING (ws + 3600) * 1000000 <= (SELECT epoch_ns(max(ts)) // 1000 FROM events)""".stripMargin
       ),
       (spark, sf) => {
-        val in = tmpDir("stream_in")
-        val out = tmpDir("stream_out")
-        val ckpt = tmpDir("stream_ckpt")
-        // file-source streams need a directory; stage the single event file
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$sf/events.parquet"),
-          java.nio.file.Paths.get(s"$in/events.parquet")
-        )
+        val (in, out, ckpt) = stageEvents(sf, "t2")
         val schema = spark.read.parquet(s"$sf/events.parquet").schema
         val stream = spark.readStream.schema(schema).parquet(in)
         // events.ts is long nanoseconds (nanosAsLong) → event-time column
@@ -62,6 +67,50 @@ object StreamingQueries {
           )
         TypedStreams
           .writeStream[WindowedCount, SchemaPolicy.ExactT](counts, out, ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out)
+      }
+    ),
+    QueryDef(
+      "t3_sessionize_batch_eq",
+      Some(
+        // gaps-and-islands over millisecond event time, 30-minute gap.
+        // Closed sessions only: the stream's final session per key is still
+        // open in state at end-of-stream (append mode, no timeout), so the
+        // oracle drops each key's last session — the same batch/stream
+        // equivalence the engine promises.
+        """WITH ev AS (SELECT user_id AS key, epoch_ns(ts) // 1000000 AS ms, event_id FROM events),
+          |d AS (SELECT key, ms,
+          |        CASE WHEN lag(ms) OVER (PARTITION BY key ORDER BY ms, event_id) IS NULL
+          |               OR ms - lag(ms) OVER (PARTITION BY key ORDER BY ms, event_id) > 1800000
+          |             THEN 1 ELSE 0 END AS brk
+          |      FROM ev),
+          |g AS (SELECT key, ms,
+          |        sum(brk) OVER (PARTITION BY key ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+          |      FROM d),
+          |s AS (SELECT key, sid, CAST(min(ms) AS BIGINT) AS session_start,
+          |        CAST(max(ms) AS BIGINT) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+          |      FROM g GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY sid DESC) AS rn FROM s)
+          |SELECT key, session_start, session_end, n_events FROM r WHERE rn > 1""".stripMargin
+      ),
+      (spark, sf) => {
+        import spark.implicits._
+        val (in, out, ckpt) = stageEvents(sf, "t3")
+        val schema = spark.read.parquet(s"$sf/events.parquet").schema
+        val events = spark.readStream
+          .schema(schema)
+          .parquet(in)
+          .selectExpr("user_id AS key", "ts div 1000000 AS tsMillis")
+          .as[TypedStreams.SessionEvent]
+        // NoTimeout: deterministic single-batch behavior (see sessionize
+        // scaladoc); gap sessions close only when the in-stream gap exceeds
+        // 30 minutes.
+        val sessions = TypedStreams.sessionize(events, gapMillis = 1800000L, withTimeout = false).toDF()
+        TypedStreams
+          .writeStream[TypedStreams.SessionOut, SchemaPolicy.ExactT](sessions, out, ckpt)
           .trigger(Trigger.AvailableNow())
           .start()
           .awaitTermination()

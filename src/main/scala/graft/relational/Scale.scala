@@ -69,12 +69,20 @@ object Scale {
       key: String,
       buckets: Int
   ): DataFrame = {
-    left.write
+    // Repartition on the bucket key before writing: without it every input
+    // task writes a file per bucket it touches (tasks × buckets small
+    // files — a metadata bomb at 100 TB); with it each bucket is written
+    // by exactly one task and arrives pre-clustered for the sortBy.
+    left
+      .repartition(buckets, left(key))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(leftName)
-    right.write
+    right
+      .repartition(buckets, right(key))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
