@@ -29,6 +29,7 @@ object Bench {
     "q_salted_join",
     "q_bucketed_join",
     "q_typed_udaf",
+    "q_asof_join",
     "o1_typed_scan",
     "o2_typed_sink",
     "llm_text_stats",

@@ -38,6 +38,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => SimHash64(children.head)
     ),
     (
+      new FunctionIdentifier("simhash56_md5"),
+      new ExpressionInfo(classOf[SimHash56Md5].getName, "simhash56_md5"),
+      (children: Seq[Expression]) => SimHash56Md5(children.head)
+    ),
+    (
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => MinHashSignature(children.head, intArg(children(1), "minhash_signature"))

@@ -632,6 +632,21 @@ object LlmQueries {
           )
           .select("doc_id", "lang")
     ),
+    // SparkSessionExtensions surface, driver-gated: the native expressions
+    // must be reachable from PLAIN SQL (function-registry injection), and
+    // the SQL-invoked simhash must match DuckDB's independent recompute.
+    QueryDef(
+      "llm_sql_extension",
+      Some(
+        s"""WITH $simhash56Cte
+           |SELECT doc_id, simhash FROM sh56""".stripMargin
+      ),
+      (spark, sf) => {
+        graft.functions.GraftExtensions.register(spark)
+        table(spark, sf, "documents").createOrReplaceTempView("__graft_docs")
+        spark.sql("SELECT doc_id, simhash56_md5(split(text, ' ')) AS simhash FROM __graft_docs")
+      }
+    ),
     // Overlapping token-window chunking (chunkSize=32, overlap=8).
     QueryDef(
       "llm_chunking",

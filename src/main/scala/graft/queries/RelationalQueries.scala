@@ -407,6 +407,37 @@ object RelationalQueries {
           .orderBy(col("c_acctbal").desc, col("c_custkey"))
           .limit(10)
           .select("c_custkey", "c_name", "c_acctbal")
+    ),
+    // As-of join (time-series lookup Spark lacks as a built-in): every
+    // event gets the timestamp of the same user's latest purchase at or
+    // before it. Spark runs the union+running-window form (one shuffle, no
+    // range scan); the oracle is DuckDB's native ASOF LEFT JOIN — two
+    // completely different lowering strategies must agree row-for-row.
+    QueryDef(
+      "q_asof_join",
+      Some(
+        // microsecond event time on both sides: DuckDB's parquet reader
+        // carries TIMESTAMP_NS at microsecond precision, so ns-level values
+        // cannot round-trip the oracle — compare at the precision both
+        // engines share.
+        """SELECT l.event_id, r.pts AS last_purchase_ts
+          |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events) l
+          |ASOF LEFT JOIN (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS pts
+          |                FROM events WHERE event_type = 'purchase') r
+          |ON l.user_id = r.user_id AND l.us >= r.pts""".stripMargin
+      ),
+      (spark, sf) => {
+        val ev = table(spark, sf, "events")
+          .selectExpr("event_id", "user_id", "ts div 1000 AS us")
+        val purchases = table(spark, sf, "events")
+          .filter(col("event_type") === "purchase")
+          .selectExpr("user_id", "ts div 1000 AS __pts")
+          .distinct()
+        graft.relational.AsOf
+          .asofJoin(ev, purchases, key = "user_id", leftTs = "us", rightTs = "__pts",
+            valCol = "__pts", outCol = "last_purchase_ts")
+          .select("event_id", "last_purchase_ts")
+      }
     )
   )
 }
