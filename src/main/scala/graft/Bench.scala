@@ -30,8 +30,10 @@ object Bench {
     "q_bucketed_join",
     "q_typed_udaf",
     "q_asof_join",
+    "q_range_join",
     "o1_typed_scan",
     "o2_typed_sink",
+    "o1b_format_roundtrip",
     "llm_text_stats",
     "llm_simhash",
     "llm_dedup_exact",

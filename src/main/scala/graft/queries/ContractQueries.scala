@@ -130,6 +130,27 @@ object ContractQueries {
         TypedIO.read[NationRow](s"$out/n").toDF()
       }
     ),
+    // O1b — format breadth for the typed source/sink surface: the same
+    // contract rides parquet → JSON → CSV → back, schema forced on every
+    // read (never inferred — the contract IS the schema, so pushdown and
+    // pruning survive any format). Values must round-trip losslessly.
+    QueryDef(
+      "o1b_format_roundtrip",
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
+      (spark, sf) => {
+        val out = tmpDir("o1b")
+        val pq = TypedIO.readDF(TypedSource[NationRow]("parquet", s"$sf/nation.parquet"))(spark, implicitly)
+        TypedIO.writeDF[NationRow, SchemaPolicy.ExactT](pq, TypedSink[NationRow](s"$out/j", format = "json"))
+        val fromJson = TypedIO.readDF(TypedSource[NationRow]("json", s"$out/j"))(spark, implicitly)
+        TypedIO.writeDF[NationRow, SchemaPolicy.ExactT](
+          fromJson,
+          TypedSink[NationRow](s"$out/c", format = "csv", options = Map("header" -> "true"))
+        )
+        TypedIO.readDF(
+          TypedSource[NationRow]("csv", s"$out/c", options = Map("header" -> "true"))
+        )(spark, implicitly)
+      }
+    ),
     // O4 — pinned transform: projection declared as a narrower contract.
     QueryDef(
       "o4_pinned_transform",

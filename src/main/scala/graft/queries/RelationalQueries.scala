@@ -438,6 +438,37 @@ object RelationalQueries {
             valCol = "__pts", outCol = "last_purchase_ts")
           .select("event_id", "last_purchase_ts")
       }
+    ),
+    // Range (interval) join: clicks by the same user within ±5 minutes of
+    // each error event. Spark runs the binned equi-join (≤2 bin probes per
+    // left row, exact BETWEEN trim); the oracle is DuckDB's inequality
+    // join — different lowering, identical counts.
+    QueryDef(
+      "q_range_join",
+      Some(
+        """WITH er AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events WHERE event_type = 'error'),
+          |cl AS (SELECT user_id, epoch_ns(ts) // 1000 AS cus FROM events WHERE event_type = 'click')
+          |SELECT er.event_id, CAST(count(cl.cus) AS BIGINT) AS n_clicks
+          |FROM er LEFT JOIN cl ON er.user_id = cl.user_id
+          |  AND cl.cus BETWEEN er.us - 300000000 AND er.us + 300000000
+          |GROUP BY 1""".stripMargin
+      ),
+      (spark, sf) => {
+        val ev = table(spark, sf, "events")
+        val errors = ev
+          .filter(col("event_type") === "error")
+          .selectExpr("event_id", "user_id", "ts div 1000 AS us")
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .selectExpr("user_id", "ts div 1000 AS cus")
+        val pairs = graft.relational.RangeJoin
+          .rangeJoin(errors, clicks, key = "user_id", lts = "us", rts = "cus",
+            lower = -300000000L, upper = 300000000L)
+        val counts = pairs.groupBy("event_id").agg(count(col("cus")).as("__n"))
+        errors
+          .join(counts, Seq("event_id"), "left")
+          .select(col("event_id"), coalesce(col("__n"), lit(0L)).as("n_clicks"))
+      }
     )
   )
 }
