@@ -49,6 +49,8 @@ object Bench {
     "llm_gopher_rules",
     "llm_stratified_sample",
     "llm_chunking",
+    "llm_distinct_sketch",
+    "llm_heavy_hitters",
     "llm_multimodal",
     "llm_multimodal_decode",
     "t2_windowed_counts_batch_eq",

@@ -46,6 +46,8 @@ final case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression
     with CodegenFallback {
 
+  override def foldable: Boolean = child.foldable
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def prettyName: String = "minhash_signature"
@@ -85,6 +87,8 @@ final case class TokenShingles(child: Expression, k: Int)
     extends UnaryExpression
     with CodegenFallback {
 
+  override def foldable: Boolean = child.foldable
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def prettyName: String = "token_shingles"
@@ -118,6 +122,8 @@ final case class TokenShingles(child: Expression, k: Int)
   * output bit. Input array<string>, output long.
   */
 final case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def foldable: Boolean = child.foldable
 
   override def dataType: DataType = LongType
 
@@ -160,6 +166,8 @@ final case class SimHash64(child: Expression) extends UnaryExpression with Codeg
   * array<string>, output long (always non-negative: 56 < 63 bits).
   */
 final case class SimHash56Md5(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def foldable: Boolean = child.foldable
 
   override def dataType: DataType = LongType
 
@@ -210,6 +218,11 @@ final case class SimHash56Md5(child: Expression) extends UnaryExpression with Co
 }
 
 private[functions] trait ArrayNumericBinary extends BinaryExpression with CodegenFallback {
+
+  // participate in Catalyst ConstantFolding: literal-argument calls
+  // (e.g. plane signatures over literal hyperplanes in SQL) fold to
+  // Literals at optimization time instead of evaluating per row
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override def dataType: DataType = DoubleType
 

@@ -632,6 +632,56 @@ object LlmQueries {
           )
           .select("doc_id", "lang")
     ),
+    // KMV distinct sketch, driver-gated like the LSH oracles: the estimate
+    // is a deterministic function of the data (md5 hash points, k smallest,
+    // (k-1)·2^56/max), so DuckDB recomputes the identical number — an
+    // approximate operator under an exact gate, with the true distinct
+    // count alongside as the honest error ledger.
+    QueryDef(
+      "llm_distinct_sketch",
+      Some(
+        // sketched over 3-token shingles (16k+ distinct at sf0.01) so the
+        // estimator branch, not the exact small-cardinality branch, is
+        // what the gate certifies.
+        """WITH t0 AS (SELECT string_split(text, ' ') AS toks FROM documents),
+          |tok AS (SELECT unnest(list_distinct(list_transform(range(len(toks)-2),
+          |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS t FROM t0),
+          |h AS (SELECT DISTINCT CAST((CAST(concat('0x', substr(md5(t), 1, 7)) AS UBIGINT) << 28)
+          |        + CAST(concat('0x', substr(md5(t), 8, 7)) AS UBIGINT) AS BIGINT) AS hv FROM tok),
+          |kept AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+          |s AS (SELECT count(*) AS c, max(hv) AS m FROM kept)
+          |SELECT CASE WHEN c < 256 THEN CAST(c AS DOUBLE)
+          |            ELSE CAST(255 AS DOUBLE) * CAST(72057594037927936 AS DOUBLE) / CAST(m AS DOUBLE) END AS n_distinct_est,
+          |       (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tok) AS n_distinct_exact
+          |FROM s""".stripMargin
+      ),
+      (spark, sf) => {
+        val shingles = table(spark, sf, "documents")
+          .select(explode(Fingerprints.shingles(col("text"), 3)).as("t"))
+        // crossJoin of two SINGLE-ROW aggregates (estimate x exact): the
+        // resulting BroadcastNestedLoopJoin is a 1x1 scalar combine —
+        // constant cost at any corpus size, unlike the pair-join BNLJs the
+        // plan audit hunts for.
+        Sketches
+          .kmvDistinctEstimate(shingles, "t", k = 256)
+          .crossJoin(shingles.agg(count_distinct(col("t")).as("n_distinct_exact")))
+      }
+    ),
+    // Exact heavy hitters: top-20 tokens by frequency, deterministic ties.
+    QueryDef(
+      "llm_heavy_hitters",
+      Some(
+        """SELECT t AS value, CAST(count(*) AS BIGINT) AS cnt
+          |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          |GROUP BY 1 ORDER BY cnt DESC, value LIMIT 20""".stripMargin
+      ),
+      (spark, sf) =>
+        Sketches.heavyHitters(
+          table(spark, sf, "documents").select(explode(TextStats.tokens(col("text"))).as("t")),
+          "t",
+          k = 20
+        )
+    ),
     // SparkSessionExtensions surface, driver-gated: the native expressions
     // must be reachable from PLAIN SQL (function-registry injection), and
     // the SQL-invoked simhash must match DuckDB's independent recompute.

@@ -43,4 +43,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val viaApi = df.select(graft.llmops.Fingerprints.simhash64(col("text")).as("s")).as[Long].head()
     assert(viaSql == viaApi)
   }
+
+  test("native expressions participate in Catalyst constant folding") {
+    GraftExtensions.register(spark)
+    // literal arguments: the optimizer must fold the whole call to a
+    // Literal — per-row evaluation of a constant would be wasted work on
+    // every row of a 100 TB scan
+    val plan = spark
+      .sql("SELECT simhash56_md5(split('a b c', ' ')) AS s, array_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c")
+      .queryExecution
+      .optimizedPlan
+      .toString
+    assert(!plan.contains("simhash56_md5"), plan)
+    assert(!plan.contains("array_cosine"), plan)
+  }
 }
