@@ -40,6 +40,7 @@ object Bench {
     "llm_dedup_minhash",
     "llm_dedup_ngram",
     "llm_dedup_ngram_capped",
+    "llm_dedup_clusters",
     "llm_simhash_pairs",
     "llm_ann_lsh",
     "llm_ann_ivf",
@@ -51,6 +52,7 @@ object Bench {
     "llm_chunking",
     "llm_distinct_sketch",
     "llm_heavy_hitters",
+    "llm_embed_quantize",
     "llm_multimodal",
     "llm_multimodal_decode",
     "t2_windowed_counts_batch_eq",

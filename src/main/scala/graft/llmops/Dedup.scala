@@ -198,8 +198,64 @@ object Dedup {
     * similar neighbor with a smaller id. Cheap (one semi-join), and the
     * same rule is ANSI-SQL-expressible for the oracle. NOTE: this is the
     * standard greedy approximation, not connected components — a doc whose
-    * only smaller neighbor was itself dropped stays dropped.
+    * only smaller neighbor was itself dropped stays dropped. For true
+    * transitive clusters use [[connectedComponents]].
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over a near-dup pair list: every doc labeled
+    * with the smallest id reachable through similarity edges (transitive
+    * closure), so each cluster's representative is its min id — the
+    * correct "keep one per duplicate CLUSTER" semantics, where the greedy
+    * rule above can over-drop.
+    *
+    * Implementation: iterative min-label propagation. Each round joins the
+    * current labels across the symmetric edge list and takes the min of a
+    * node's label and its neighbors' labels; converges in O(diameter)
+    * rounds (near-dup clusters are tiny — diameter 2-3 — so 2-4 shuffles
+    * in practice; the `maxIter` guard bounds pathological chains). Each
+    * round is a pair of equi-joins + hash agg on the label table (ids
+    * only, never content); the driver-side loop does one `isEmpty` check
+    * per round — the standard Spark iterative-graph shape (a simplified
+    * large-star/small-star), no GraphX dependency.
+    */
+  def connectedComponents(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val edges = pairs
+      .select(col("a").as("__x"), col("b").as("__y"))
+      .union(pairs.select(col("b").as("__x"), col("a").as("__y")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = df
+      .select(col(idCol).as("__n"))
+      .withColumn("__comp", col("__n"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("__n", "__y").withColumnRenamed("__comp", "__nc"), Seq("__y"))
+        .groupBy(col("__x").as("__n"))
+        .agg(min(col("__nc")).as("__minNeighbor"))
+      val next = labels
+        .join(viaNeighbors, Seq("__n"), "left")
+        .select(
+          col("__n"),
+          least(col("__comp"), coalesce(col("__minNeighbor"), col("__comp"))).as("__comp")
+        )
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("__comp", "__old"), Seq("__n"))
+        .filter(col("__comp") =!= col("__old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("__n").as(idCol), col("__comp").as("component"))
+  }
 }

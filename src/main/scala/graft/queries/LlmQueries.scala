@@ -393,6 +393,33 @@ object LlmQueries {
         Dedup.dropNearDuplicates(docs, "doc_id", pairs).select("doc_id")
       }
     ),
+    // Connected-components dedup clusters: every doc labeled with the min
+    // id transitively reachable through near-dup edges. Spark runs
+    // iterative min-label propagation (2-4 bucketed shuffles); the oracle
+    // computes the transitive closure with a recursive CTE — completely
+    // different fixpoint algorithms, identical labeling.
+    QueryDef(
+      "llm_dedup_clusters",
+      Some {
+        val recursiveShingles = shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+        s"""$recursiveShingles,
+           |pr AS (SELECT p.a, p.b FROM p JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
+           |       WHERE CAST(p.inter AS DOUBLE)/(na.n + nb.n - p.inter) >= 0.8),
+           |sym AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+           |reach(x, y) AS (
+           |  SELECT x, y FROM sym
+           |  UNION
+           |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+           |comp AS (SELECT x, least(x, min(y)) AS c FROM reach GROUP BY x)
+           |SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS component
+           |FROM documents d LEFT JOIN comp ON comp.x = d.doc_id""".stripMargin
+      },
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 128, 32, 0.8)
+        Dedup.connectedComponents(docs, "doc_id", pairs)
+      }
+    ),
     // SimHash near-dup pairs over the portable 56-bit simhash: Spark runs
     // the banded pigeonhole plan (4 bands, any pair at Hamming <= 3 shares
     // a band — exact by construction); the oracle recomputes the simhash
@@ -631,6 +658,31 @@ object LlmQueries {
             rates = Map("en" -> 25, "de" -> 50, "zh" -> 0)
           )
           .select("doc_id", "lang")
+    ),
+    // Int8 embedding quantization (4x storage at 100 TB): floor(x+0.5)
+    // rounding is engine-portable (round() is not — half-even vs half-up),
+    // so every quantized byte must match DuckDB's recompute. The int array
+    // ships as a joined string because the gate's row sort can't order
+    // list columns.
+    QueryDef(
+      "llm_embed_quantize",
+      Some(
+        """WITH e AS (SELECT vec_id,
+          |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+          |  embedding FROM embeddings)
+          |SELECT vec_id, scale,
+          |  array_to_string(list_transform(embedding,
+          |    x -> CASE WHEN scale = 0 THEN 0
+          |              ELSE CAST(floor((CAST(x AS DOUBLE) * 127.0) / scale + 0.5) AS INTEGER) END), ',') AS q
+          |FROM e""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "embeddings")
+          .select(
+            col("vec_id"),
+            Embeddings.maxAbsScale(col("embedding")).as("scale"),
+            array_join(Embeddings.quantizeInt8(col("embedding")), ",").as("q")
+          )
     ),
     // KMV distinct sketch, driver-gated like the LSH oracles: the estimate
     // is a deterministic function of the data (md5 hash points, k smallest,

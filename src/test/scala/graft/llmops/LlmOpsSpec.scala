@@ -251,6 +251,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.minhashNearDupPairs(short, "doc_id", "text", 3, 16, 4, 0.5).count() == 0)
   }
 
+  test("connectedComponents labels transitive clusters with the min reachable id") {
+    val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    // chain 1-2-3 (no direct 1-3 edge), pair 4-5, isolated 6, 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val comp = Dedup
+      .connectedComponents(ids, "doc_id", pairs)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("connectedComponents converges on a long chain (label must propagate end-to-end)") {
+    val n = 12L
+    val ids = (1L to n).map(Tuple1(_)).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(ids, "doc_id", pairs).as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L))
+  }
+
   test("simhash56Md5: native expression is bit-identical to the built-in-function reference") {
     val rows = docs
       .select(
