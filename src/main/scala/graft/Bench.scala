@@ -55,6 +55,7 @@ object Bench {
     "llm_embed_quantize",
     "llm_multimodal",
     "llm_multimodal_decode",
+    "llm_multimodal_audio",
     "t2_windowed_counts_batch_eq",
     "t3_sessionize_batch_eq"
   )

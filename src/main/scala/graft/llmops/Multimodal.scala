@@ -124,6 +124,55 @@ object Multimodal {
       }
     }
 
+  /** Deterministic WAV payloads (16-bit mono PCM, constant sample value,
+    * rate/frames/value pure functions of the id) — the audio sibling of
+    * [[synthesizePng]], encoded per partition via `javax.sound.sampled`.
+    */
+  def synthesizeWav(ids: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val sampleRate = (8000 + (id % 5) * 4000).toInt // 8k..24k
+        val frames = (100 + (id % 50) * 10).toInt       // 100..590
+        val v = ((id % 1000) * 16).toInt                // constant 16-bit sample
+        val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        val bytes = baos.toByteArray
+        MediaRow(id, bytes, MediaMeta(bytes.length.toLong, "audio/wav"))
+      }
+    }
+  }
+
+  /** A real `javax.sound` decoder for [[decodeBatched]]: parses the WAV
+    * container from the bytes (format, rate, frame count) and reads the
+    * PCM stream back, emitting an unsigned byte checksum — format metadata
+    * AND payload must round-trip the codec.
+    */
+  def wavCodec[T](mk: (Long, String, Long, Long, Long) => T): () => MediaRow => T =
+    () => { row =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.payload))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val buf = ais.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i < buf.length) { sum += (buf(i) & 0xff); i += 1 }
+        mk(row.doc_id, "audio/wav", fmt.getSampleRate.toLong, frames, sum)
+      } finally ais.close()
+    }
+
   /** STUB decode ???: deterministic fake feature extraction from raw bytes.
     * A real implementation decodes the payload (image resize / audio
     * frame-sample) inside `mapPartitions` with a per-partition codec; the

@@ -116,10 +116,11 @@ object Similarity {
     * The banded (id, table, key) projection is read by both sides of the
     * candidate self-join, so it is snapshotted with an eager local
     * checkpoint (ids + keys only — the wide embedding arrays never ride
-    * through the candidate shuffle/dedup); the candidate id-pair set is
-    * snapshotted the same way so downstream re-rank/threshold consumers
-    * never re-run the join. Both snapshots are freed by the ContextCleaner
-    * once unreferenced — no session-level cache is left behind.
+    * through the candidate shuffle/dedup); the snapshot is freed by the
+    * ContextCleaner once unreferenced — no session-level cache is left
+    * behind. The candidate pair set itself is consumed exactly once
+    * downstream, so it stays lazy (a snapshot there would be a pure extra
+    * materialization pass).
     */
   private[graft] def lshCandidates(
       base: DataFrame,
@@ -142,7 +143,6 @@ object Similarity {
     a.join(b, col("__table") === col("__t2") && col("__key") === col("__k2") && col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
       .dropDuplicates("qid", "nid")
-      .localCheckpoint(true)
   }
 
   /** LSH-bucketed approximate top-k: multiple independent hash tables

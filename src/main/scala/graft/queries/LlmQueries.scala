@@ -52,6 +52,7 @@ object LlmQueries {
       fake_duration_s: Double
   )
   final case class DecodedImage(doc_id: Long, mime: String, width: Long, height: Long, pixel_sum: Long)
+  final case class DecodedAudio(doc_id: Long, mime: String, sample_rate: Long, n_frames: Long, byte_sum: Long)
 
   // DuckDB list literal for a stopword set — single source of truth with
   // the Spark-side TextStats.stopwords.
@@ -820,6 +821,27 @@ object LlmQueries {
         import spark.implicits._
         val media = Multimodal.synthesizePng(table(spark, sf, "documents").select("doc_id"))
         Multimodal.decodeBatched[DecodedImage](media)(Multimodal.imageIoCodec(DecodedImage.apply)).toDF()
+      }
+    ),
+    // REAL audio decode: deterministic 16-bit mono PCM WAVs round-trip
+    // javax.sound.sampled — container metadata (rate, frames) and the PCM
+    // byte checksum must match the doc_id-derived oracle. byte_sum =
+    // frames x (low byte + high byte) of the constant sample value.
+    QueryDef(
+      "llm_multimodal_audio",
+      Some(
+        """SELECT doc_id,
+          |  'audio/wav' AS mime,
+          |  8000 + (doc_id % 5) * 4000 AS sample_rate,
+          |  100 + (doc_id % 50) * 10 AS n_frames,
+          |  (100 + (doc_id % 50) * 10) *
+          |    (((doc_id % 1000) * 16) % 256 + ((doc_id % 1000) * 16) // 256) AS byte_sum
+          |FROM documents""".stripMargin
+      ),
+      (spark, sf) => {
+        import spark.implicits._
+        val media = Multimodal.synthesizeWav(table(spark, sf, "documents").select("doc_id"))
+        Multimodal.decodeBatched[DecodedAudio](media)(Multimodal.wavCodec(DecodedAudio.apply)).toDF()
       }
     )
   )

@@ -393,6 +393,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept == 0L || kept == 2L)
   }
 
+  test("wav synthesize/decode round-trips format metadata and PCM checksum through javax.sound") {
+    val ids = Seq(2L, 123L, 999L).toDF("doc_id")
+    val out = Multimodal
+      .decodeBatched(Multimodal.synthesizeWav(ids))(Multimodal.wavCodec((i, m, r, f, s) => (i, m, r, f, s)))
+      .collect()
+      .sortBy(_._1)
+    out.foreach { case (id, mime, rate, frames, sum) =>
+      assert(mime == "audio/wav")
+      assert(rate == 8000 + (id % 5) * 4000)
+      assert(frames == 100 + (id % 50) * 10)
+      val v = (id % 1000) * 16
+      assert(sum == frames * (v % 256 + v / 256), s"pcm checksum mismatch for doc $id")
+    }
+  }
+
   test("png synthesize/decode round-trips real dimensions and pixel sums through javax.imageio") {
     val ids = Seq(3L, 17L, 40L).toDF("doc_id")
     val media = Multimodal.synthesizePng(ids)
