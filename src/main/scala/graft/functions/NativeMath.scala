@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Shared primitive kernels behind the native expressions: ONE
+  * implementation serves both the interpreted `eval` path and the
+  * generated code (the expressions' `doGenCode` emits a static call into
+  * these methods via Scala's static forwarders), so whole-stage codegen
+  * keeps the projection in generated code with zero per-row boxing of the
+  * input row, and interpreted/compiled results are bit-identical by
+  * construction.
+  */
+object NativeMath {
+
+  final val TFloat = 0
+  final val TDouble = 1
+  final val TLong = 2
+  final val TInt = 3
+
+  def typeCode(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _)   => TFloat
+    case ArrayType(DoubleType, _)  => TDouble
+    case ArrayType(LongType, _)    => TLong
+    case ArrayType(IntegerType, _) => TInt
+    case other => throw new IllegalArgumentException(s"unsupported array type: $other")
+  }
+
+  private def get(a: ArrayData, i: Int, code: Int): Double = code match {
+    case TFloat  => a.getFloat(i).toDouble
+    case TDouble => a.getDouble(i)
+    case TLong   => a.getLong(i).toDouble
+    case _       => a.getInt(i).toDouble
+  }
+
+  /** Left-to-right double dot product; null on length mismatch or any null
+    * element (boxed return carries the tri-state to generated code).
+    */
+  def dot(a: ArrayData, b: ArrayData, ca: Int, cb: Int): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += get(a, i, ca) * get(b, i, cb)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Cosine with all three sums accumulated in one left-to-right pass. */
+  def cosine(a: ArrayData, b: ArrayData, ca: Int, cb: Int): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = get(a, i, ca)
+      val y = get(b, i, cb)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def simhash56Md5(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](56)
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // first 14 hex chars = bytes 0..6 (high nibble of byte 3 ends the
+        // first half): h = hex[0:7] << 28 | hex[7:14]
+        val b0 = d(0) & 0xffL; val b1 = d(1) & 0xffL; val b2 = d(2) & 0xffL
+        val b3 = d(3) & 0xffL; val b4 = d(4) & 0xffL; val b5 = d(5) & 0xffL
+        val b6 = d(6) & 0xffL
+        val hi = (b0 << 20) | (b1 << 12) | (b2 << 4) | (b3 >>> 4)
+        val lo = ((b3 & 0xfL) << 24) | (b4 << 16) | (b5 << 8) | b6
+        val h = (hi << 28) | lo
+        var b = 0
+        while (b < 56) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 56) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def minhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var h = 0
+        while (h < numHashes) {
+          val v = XxHash64Function.hash(s, StringType, h.toLong)
+          if (v < sig(h)) sig(h) = v
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def tokenShingles(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        window(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}

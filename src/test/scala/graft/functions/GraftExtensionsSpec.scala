@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL-callable native expressions. The suite JVM shares one session, so
@@ -42,6 +43,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val viaSql = df.selectExpr("simhash64(split(text, ' ')) AS s").as[Long].head()
     val viaApi = df.select(graft.llmops.Fingerprints.simhash64(col("text")).as("s")).as[Long].head()
     assert(viaSql == viaApi)
+  }
+
+  test("native expressions generate real code (static NativeMath calls, no fallback)") {
+    import spark.implicits._
+    // AQE wraps the plan before codegen stages exist; disable it here so
+    // codegenString sees the WholeStageCodegen subtree pre-execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = Seq((1L, "the quick brown fox", Seq(1.0f, 2.0f)), (2L, "b c d e", Seq(0.5f, -1.0f)))
+      .toDF("id", "text", "v")
+      .repartition(2) // keep a real exec stage — ConvertToLocalRelation would pre-evaluate the projection
+      .select(
+        graft.llmops.Fingerprints.simhash56Md5(col("text")).as("s56"),
+        graft.llmops.Fingerprints.simhash64(col("text")).as("s64"),
+        graft.llmops.Similarity.cosine(col("v"), col("v")).as("c")
+      )
+    val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(gen.contains("graft.functions.NativeMath.simhash56Md5"), gen.take(2000))
+    assert(gen.contains("graft.functions.NativeMath.cosine"), gen.take(2000))
+    // with fallback disabled a Janino error would throw instead of silently
+    // reverting to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = df.as[(Long, Long, Double)].collect()
+      assert(rows.length == 2 && rows.forall(r => math.abs(r._3 - 1.0) < 1e-12))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("native expressions participate in Catalyst constant folding") {
