@@ -31,6 +31,8 @@ object Bench {
     "q_typed_udaf",
     "q_asof_join",
     "q_range_join",
+    "q_retention_cohorts",
+    "q_percentiles",
     "o1_typed_scan",
     "o2_typed_sink",
     "o1b_format_roundtrip",

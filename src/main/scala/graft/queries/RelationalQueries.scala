@@ -439,6 +439,44 @@ object RelationalQueries {
           .select("event_id", "last_purchase_ts")
       }
     ),
+    // Weekly retention cohorts: classic event-analytics rollup — users
+    // bucketed by first-active week, distinct actives per (cohort, offset).
+    QueryDef(
+      "q_retention_cohorts",
+      Some(
+        """WITH w AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 // 7 AS wk FROM events),
+          |c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY 1)
+          |SELECT c.cw AS cohort_week, w.wk - c.cw AS week_offset,
+          |       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+          |FROM w JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin
+      ),
+      (spark, sf) => {
+        val weeks = table(spark, sf, "events")
+          .selectExpr("user_id", "ts div 1000 div 86400000000 div 7 AS wk")
+          .distinct()
+        val cohorts = weeks.groupBy("user_id").agg(min(col("wk")).as("cw"))
+        weeks
+          .join(cohorts, "user_id")
+          .groupBy(col("cw").as("cohort_week"), (col("wk") - col("cw")).as("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+      }
+    ),
+    // Exact interpolated percentiles per group (Spark `percentile` and
+    // DuckDB `quantile_cont` both implement the R-7 definition).
+    QueryDef(
+      "q_percentiles",
+      Some(
+        """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
+          |FROM events GROUP BY 1""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "events")
+          .groupBy("event_type")
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.9)").as("p90")
+          )
+    ),
     // Range (interval) join: clicks by the same user within ±5 minutes of
     // each error event. Spark runs the binned equi-join (≤2 bin probes per
     // left row, exact BETWEEN trim); the oracle is DuckDB's inequality
