@@ -59,7 +59,8 @@ object Bench {
     "llm_multimodal_decode",
     "llm_multimodal_audio",
     "t2_windowed_counts_batch_eq",
-    "t3_sessionize_batch_eq"
+    "t3_sessionize_batch_eq",
+    "t4_stream_dedup_batch_eq"
   )
 
   def main(args: Array[String]): Unit = {

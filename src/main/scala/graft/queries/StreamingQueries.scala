@@ -99,6 +99,51 @@ object StreamingQueries {
       (spark, sf) => {
         import spark.implicits._
         val (in, out, ckpt) = stageEvents(sf, "t3")
+        t3Body(spark, sf, in, out, ckpt)
+      }
+    ),
+    QueryDef(
+      "t4_stream_dedup_batch_eq",
+      Some(
+        // WHICH duplicate row survives streaming dedup depends on arrival
+        // order (nondeterministic across partitions), but the surviving
+        // KEY SET is the distinct set — that is what batch equivalence
+        // promises and what the oracle pins.
+        "SELECT DISTINCT user_id, event_type FROM events"
+      ),
+      (spark, sf) => {
+        val (in, out, ckpt) = stageEvents(sf, "t4")
+        val schema = spark.read.parquet(s"$sf/events.parquet").schema
+        val stream = spark.readStream
+          .schema(schema)
+          .parquet(in)
+          .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+          .withColumn("text", concat_ws("|", col("user_id"), col("event_type")))
+        val deduped = TypedStreams
+          .streamingDedupExact(stream, tsCol = "ts2", watermark = "1 hour")
+          .select("user_id", "event_type")
+        deduped.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out).select("user_id", "event_type")
+      }
+    )
+  )
+
+  private def t3Body(
+      spark: org.apache.spark.sql.SparkSession,
+      sf: String,
+      in: String,
+      out: String,
+      ckpt: String
+  ): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    locally {
         val schema = spark.read.parquet(s"$sf/events.parquet").schema
         val events = spark.readStream
           .schema(schema)
@@ -115,7 +160,6 @@ object StreamingQueries {
           .start()
           .awaitTermination()
         spark.read.parquet(out)
-      }
-    )
-  )
+    }
+  }
 }
