@@ -439,6 +439,32 @@ object RelationalQueries {
           .select("event_id", "last_purchase_ts")
       }
     ),
+    // Partitioned sink + partition-pruned read: orders written partitioned
+    // by year, then a year-filtered aggregate back off the partitioned
+    // layout — at 100 TB the filter must prune directories, not scan and
+    // discard (the spec asserts PartitionFilters in the plan; this entry
+    // gates the values).
+    QueryDef(
+      "o2b_partitioned_sink",
+      Some(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+          |FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1""".stripMargin
+      ),
+      (spark, sf) => {
+        val out = tmpDir("o2b")
+        table(spark, sf, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write
+          .partitionBy("o_year")
+          .mode("overwrite")
+          .parquet(s"$out/orders_by_year")
+        spark.read
+          .parquet(s"$out/orders_by_year")
+          .filter(col("o_year") === 1995)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+      }
+    ),
     // Weekly retention cohorts: classic event-analytics rollup — users
     // bucketed by first-active week, distinct actives per (cohort, offset).
     QueryDef(

@@ -44,6 +44,38 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("partitioned write + filter prunes partitions (PartitionFilters, not post-scan discard)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    (1 to 40)
+      .map(i => (i.toLong, 2020 + i % 4))
+      .toDF("id", "yr")
+      .write
+      .partitionBy("yr")
+      .mode("overwrite")
+      .parquet(s"$out/t")
+    val q = spark.read.parquet(s"$out/t").filter(col("yr") === 2021)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("(yr"), scan) // the year predicate landed in PartitionFilters
+    assert(q.count() == 10L)
+  }
+
+  test("q1/q3-style scans push filters into the parquet reader") {
+    // pushdown guard: a date-filtered scan must carry PushedFilters — a
+    // regression here silently turns a pruned 100 TB scan into a full one
+    val sf = "/root/testdata/sf0.001"
+    val q = spark.read
+      .parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") < 10.0 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("LessThan(l_quantity") || plan.contains("IsNotNull(l_quantity"), plan)
+    // column pruning: the scan reads only the needed columns
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("l_comment"), "scan reads unneeded columns:\n" + plan)
+  }
+
   test("WeightedAvg aggregator: exact integral sums") {
     val data = Seq(("a", 100L, 2L), ("a", 200L, 1L), ("b", 50L, 4L)).toDS()
     val out = data
