@@ -318,7 +318,9 @@ object LlmQueries {
     // expressions (SimHash64, TokenShingles, SimHash56Md5) must agree with
     // their interpreted built-in-function formulations on every document.
     // The oracle is the trivial all-true table — any drift in a native
-    // expression flips a row and fails the hash compare.
+    // expression flips a row and fails the hash compare. Verification-only
+    // entry (the interpreted HOF references are ~150× the native cost by
+    // design) — deliberately NOT in the bench headline.
     QueryDef(
       "llm_native_consistency",
       Some(
@@ -502,7 +504,9 @@ object LlmQueries {
     // approximate top-5 and the brute-force top-5, as a histogram
     // (method, hits∈[0,5], n queries). DuckDB recomputes BOTH sides, so
     // the recall figure itself is certified — "what's the recall of your
-    // ANN?" is answerable from the correctness artifact.
+    // ANN?" is answerable from the correctness artifact. Verification-only
+    // entry (contains the O(n²) brute baseline, evaluated per method) —
+    // deliberately NOT in the bench headline.
     QueryDef(
       "llm_ann_recall",
       Some {

@@ -97,9 +97,8 @@ object StreamingQueries {
           |SELECT key, session_start, session_end, n_events FROM r WHERE rn > 1""".stripMargin
       ),
       (spark, sf) => {
-        import spark.implicits._
         val (in, out, ckpt) = stageEvents(sf, "t3")
-        t3Body(spark, sf, in, out, ckpt)
+        runSessionize(spark, sf, in, out, ckpt)
       }
     ),
     QueryDef(
@@ -135,7 +134,10 @@ object StreamingQueries {
     )
   )
 
-  private def t3Body(
+  /** Run the flatMapGroupsWithState sessionizer over a staged file stream
+    * to completion and read the contract-pinned sink back.
+    */
+  private def runSessionize(
       spark: org.apache.spark.sql.SparkSession,
       sf: String,
       in: String,
@@ -143,23 +145,21 @@ object StreamingQueries {
       ckpt: String
   ): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    locally {
-        val schema = spark.read.parquet(s"$sf/events.parquet").schema
-        val events = spark.readStream
-          .schema(schema)
-          .parquet(in)
-          .selectExpr("user_id AS key", "ts div 1000000 AS tsMillis")
-          .as[TypedStreams.SessionEvent]
-        // NoTimeout: deterministic single-batch behavior (see sessionize
-        // scaladoc); gap sessions close only when the in-stream gap exceeds
-        // 30 minutes.
-        val sessions = TypedStreams.sessionize(events, gapMillis = 1800000L, withTimeout = false).toDF()
-        TypedStreams
-          .writeStream[TypedStreams.SessionOut, SchemaPolicy.ExactT](sessions, out, ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
-        spark.read.parquet(out)
-    }
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val events = spark.readStream
+      .schema(schema)
+      .parquet(in)
+      .selectExpr("user_id AS key", "ts div 1000000 AS tsMillis")
+      .as[TypedStreams.SessionEvent]
+    // NoTimeout: deterministic single-batch behavior (see sessionize
+    // scaladoc); gap sessions close only when the in-stream gap exceeds
+    // 30 minutes.
+    val sessions = TypedStreams.sessionize(events, gapMillis = 1800000L, withTimeout = false).toDF()
+    TypedStreams
+      .writeStream[TypedStreams.SessionOut, SchemaPolicy.ExactT](sessions, out, ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(out)
   }
 }
