@@ -34,12 +34,14 @@ import scala.util.Random
   *
   * Recall physics worth stating honestly (and why the registered queries
   * also publish recall, SQL-verified): sign-LSH collision probability for a
-  * pair at angle θ is (1 − θ/π)^r per table. At near-dup thresholds
-  * (cos ≥ 0.8) a few tables of 3–6 bits give recall ≈ 1 with tiny buckets.
-  * At low thresholds on near-orthogonal data (cos ≈ 0.4 ⇒ θ ≈ 66°) *no*
-  * sub-quadratic method has recall 1 — the driver-verified
-  * `llm_cosine_recall` query reports the measured recall instead of hiding
-  * it.
+  * pair at angle θ is (1 − θ/π)^r per table, and low thresholds on
+  * near-orthogonal data are the hard regime. Multi-probe (probeBits > 0)
+  * flips each key bit on the query side — r extra bucket lookups per
+  * (vector, table), zero extra dot products — and moves the measured
+  * numbers from 71% → 100% pair recall at τ=0.4 (8 tables × 4 bits) and
+  * 32% → 88% top-5 recall (8 tables × 6 bits) on the driver corpus; the
+  * driver-verified `llm_cosine_recall` / `llm_ann_recall` queries keep
+  * those numbers in the open.
   */
 object Similarity {
 
@@ -126,7 +128,8 @@ object Similarity {
       base: DataFrame,
       tables: Int,
       planesPerTable: Int,
-      seed: Long
+      seed: Long,
+      probeBits: Int = 0
   ): DataFrame = {
     // hyperplane dimensionality must match the data: a wrong dim nulls the
     // signature dots (ArrayDot rejects length mismatches). One tiny driver
@@ -138,7 +141,22 @@ object Similarity {
     val banded = base
       .select(col("__id"), posexplode(array(keysPerTable: _*)).as(Seq("__table", "__key")))
       .localCheckpoint(true)
-    val a = banded.select(col("__table"), col("__key"), col("__id").as("qid"))
+    // multi-probe (Lv et al., VLDB'07): the query side also probes the
+    // `probeBits` buckets one sign-flip away — pure XOR arithmetic on the
+    // already-computed key, no extra dot products; the index side stays at
+    // base keys, so recall rises at the cost of probeBits extra equi-join
+    // lookups per (vector, table), never a wider scan.
+    val probeSide =
+      if (probeBits <= 0) banded
+      else {
+        val flips = lit(0L) +: (0 until probeBits).map(p => lit(1L << p))
+        banded.select(
+          col("__id"),
+          col("__table"),
+          explode(array(flips.map(f => col("__key").bitwiseXOR(f)): _*)).as("__key")
+        )
+      }
+    val a = probeSide.select(col("__table"), col("__key"), col("__id").as("qid"))
     val b = banded.select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
     a.join(b, col("__table") === col("__t2") && col("__key") === col("__k2") && col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
@@ -157,10 +175,11 @@ object Similarity {
       k: Int,
       tables: Int = 8,
       planesPerTable: Int = 10,
-      seed: Long = 42L
+      seed: Long = 42L,
+      probeBits: Int = 0
   ): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val candidates = lshCandidates(base, tables, planesPerTable, seed)
+    val candidates = lshCandidates(base, tables, planesPerTable, seed, probeBits)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     candidates
       .join(base.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
@@ -235,7 +254,8 @@ object Similarity {
       tau: Double,
       tables: Int = 0,
       planesPerTable: Int = 4,
-      seed: Long = 42L
+      seed: Long = 42L,
+      probeBits: Int = 0
   ): DataFrame = {
     val pairs =
       if (tables <= 0) {
@@ -245,7 +265,9 @@ object Similarity {
           .withColumn("cos", cosine(col("__va"), col("__vb")))
       } else {
         val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-        lshCandidates(base, tables, planesPerTable, seed)
+        // 1-bit flips are symmetric (a probes b's bucket ⟺ b probes a's),
+        // so the candidate set stays symmetric and the a<b filter is safe
+        lshCandidates(base, tables, planesPerTable, seed, probeBits)
           .filter(col("qid") < col("nid"))
           .join(base.select(col("__id").as("qid"), col("__v").as("__va")), "qid")
           .join(base.select(col("__id").as("nid"), col("__v").as("__vb")), "nid")

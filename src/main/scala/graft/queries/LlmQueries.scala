@@ -117,7 +117,7 @@ object LlmQueries {
       * replay of [[Similarity.planeSignature]] over
       * [[Similarity.hyperplanes]](planes, Dim, seed + t).
       */
-    def lshBandsCte(tables: Int, planes: Int, seed: Long): String = {
+    def lshBandsCte(tables: Int, planes: Int, seed: Long, probeBits: Int = 0): String = {
       val blocks = (0 until tables).map { t =>
         val ps = Similarity.hyperplanes(planes, Dim, seed + t)
         val key = ps.zipWithIndex
@@ -127,8 +127,16 @@ object LlmQueries {
           .mkString(" + ")
         s"SELECT vec_id, $t AS tbl, $key AS key FROM e"
       }
+      // multi-probe: query side also visits the 1-bit-flipped buckets —
+      // same XOR arithmetic as Similarity.lshCandidates
+      val probeSide =
+        if (probeBits <= 0) "lb"
+        else {
+          val flips = (0 until probeBits).map(p => s"SELECT vec_id, tbl, xor(key, ${1L << p}) AS key FROM lb")
+          s"(SELECT vec_id, tbl, key FROM lb UNION ALL ${flips.mkString(" UNION ALL ")})"
+        }
       s"lb AS (${blocks.mkString("\nUNION ALL\n")}),\n" +
-        "cand AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid FROM lb x JOIN lb y " +
+        s"cand AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid FROM $probeSide x JOIN lb y " +
         "ON x.tbl = y.tbl AND x.key = y.key AND x.vec_id <> y.vec_id)"
     }
 
@@ -475,13 +483,13 @@ object LlmQueries {
       Some {
         import AnnOracles._
         s"""WITH $eCte,
-           |${lshBandsCte(tables = 8, planes = 6, seed = 42L)},
+           |${lshBandsCte(tables = 8, planes = 6, seed = 42L, probeBits = 6)},
            |${lshTopCte(5)}
            |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM lshtop""".stripMargin
       },
       (spark, sf) =>
         Similarity
-          .lshTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6)
+          .lshTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6, probeBits = 6)
           .select("qid", "nid", "rank")
     ),
     // IVF-bucketed approximate top-5 (alternative scale path to LSH): the
@@ -512,7 +520,7 @@ object LlmQueries {
       Some {
         import AnnOracles._
         s"""WITH $eCte,
-           |${lshBandsCte(tables = 8, planes = 6, seed = 42L)},
+           |${lshBandsCte(tables = 8, planes = 6, seed = 42L, probeBits = 6)},
            |${lshTopCte(5)},
            |${ivfTopCte(5, cells = 16, nprobe = 2)},
            |${bruteTopCte(5)},
@@ -542,7 +550,7 @@ object LlmQueries {
             .agg(count(lit(1)).as("n"))
             .select(lit(method).as("method"), col("hits"), col("n"))
         }
-        hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6))
+        hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6, probeBits = 6))
           .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 2)))
       }
     ),
@@ -556,7 +564,7 @@ object LlmQueries {
       Some {
         import AnnOracles._
         s"""WITH $eCte,
-           |${lshBandsCte(tables = 8, planes = 4, seed = 42L)}
+           |${lshBandsCte(tables = 8, planes = 4, seed = 42L, probeBits = 4)}
            |SELECT c.qid AS a, c.nid AS b FROM cand c
            |JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid
            |WHERE c.qid < c.nid AND list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin
@@ -569,7 +577,8 @@ object LlmQueries {
             "embedding",
             tau = 0.4,
             tables = 8,
-            planesPerTable = 4
+            planesPerTable = 4,
+            probeBits = 4
           )
           .select("a", "b")
     ),
@@ -583,7 +592,7 @@ object LlmQueries {
       Some {
         import AnnOracles._
         s"""WITH $eCte,
-           |${lshBandsCte(tables = 8, planes = 4, seed = 42L)},
+           |${lshBandsCte(tables = 8, planes = 4, seed = 42L, probeBits = 4)},
            |ex AS (SELECT a.vec_id AS a, b.vec_id AS b FROM e a JOIN e b ON a.vec_id < b.vec_id
            |       WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
            |ls AS (SELECT c.qid AS a, c.nid AS b FROM cand c
@@ -598,7 +607,7 @@ object LlmQueries {
         val exact =
           Similarity.cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 0).select("a", "b")
         val lsh = Similarity
-          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, planesPerTable = 4)
+          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, planesPerTable = 4, probeBits = 4)
           .select("a", "b")
         val hit = exact.join(lsh, Seq("a", "b"))
         exact
