@@ -34,6 +34,12 @@ object AsOf {
       valCol: String,
       outCol: String
   ): DataFrame = {
+    val reserved = Set("__k", "__ts", "__tag", "__val", "__lrow")
+    require(
+      !(left.columns ++ right.columns).exists(reserved),
+      s"asofJoin reserves internal column names ${reserved.mkString(", ")}"
+    )
+    require(!left.columns.contains(outCol), s"left already has a column named '$outCol'")
     val valType = right.schema(valCol).dataType
     val lrowType = StructType(left.schema.fields)
     val l0 = left.select(

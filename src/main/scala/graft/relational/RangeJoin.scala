@@ -35,6 +35,11 @@ object RangeJoin {
       upper: Long
   ): DataFrame = {
     require(upper >= lower, s"need lower <= upper, got [$lower, $upper]")
+    require(
+      right.columns.toSet.intersect(left.columns.toSet) == Set(key),
+      s"left and right may only share the key column '$key' (rename the rest)"
+    )
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"), "'__bin' is reserved")
     val w = math.max(1L, upper - lower + 1)
     val l0 = left.withColumn(
       "__bin",
