@@ -210,21 +210,23 @@ object Dedup {
     * correct "keep one per duplicate CLUSTER" semantics, where the greedy
     * rule above can over-drop.
     *
-    * Implementation: iterative min-label propagation. Each round joins the
-    * current labels across the symmetric edge list and takes the min of a
-    * node's label and its neighbors' labels; converges in O(diameter)
-    * rounds (near-dup clusters are tiny — diameter 2-3 — so 2-4 shuffles
-    * in practice; the `maxIter` guard bounds pathological chains). Each
-    * round is a pair of equi-joins + hash agg on the label table (ids
-    * only, never content); the driver-side loop does one `isEmpty` check
-    * per round — the standard Spark iterative-graph shape (a simplified
+    * Implementation: iterative min-label propagation with pointer jumping.
+    * Each round (1) takes the min of a node's label and its direct
+    * neighbors' labels, then (2) compresses paths by one hop
+    * (comp(n) ← comp(comp(n))) — the combination converges in O(log n)
+    * rounds even on pathological chains, vs O(diameter) for plain
+    * propagation (near-dup clusters are tiny in practice, so 2-4 shuffles;
+    * `maxIter = 25` covers components beyond any realistic corpus, and
+    * non-convergence throws rather than returning silently wrong labels).
+    * Each round is equi-joins + a hash agg on the ids-only label table —
+    * the standard Spark iterative-graph shape (a simplified
     * large-star/small-star), no GraphX dependency.
     */
   def connectedComponents(
       df: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      maxIter: Int = 20
+      maxIter: Int = 25
   ): DataFrame = {
     val edges = pairs
       .select(col("a").as("__x"), col("b").as("__y"))
@@ -242,12 +244,21 @@ object Dedup {
         .join(labels.withColumnRenamed("__n", "__y").withColumnRenamed("__comp", "__nc"), Seq("__y"))
         .groupBy(col("__x").as("__n"))
         .agg(min(col("__nc")).as("__minNeighbor"))
-      val next = labels
+      val propagated = labels
         .join(viaNeighbors, Seq("__n"), "left")
         .select(
           col("__n"),
           least(col("__comp"), coalesce(col("__minNeighbor"), col("__comp"))).as("__comp")
         )
+      // pointer jumping: comp(n) <- comp(comp(n)). Labels always point at
+      // an existing node, and comp is monotonically non-increasing, so the
+      // lookup join always hits and only ever lowers the label.
+      val next = propagated
+        .join(
+          propagated.select(col("__n").as("__comp"), col("__comp").as("__cc")),
+          Seq("__comp")
+        )
+        .select(col("__n"), col("__cc").as("__comp"))
         .localCheckpoint(true)
       converged = next
         .join(labels.withColumnRenamed("__comp", "__old"), Seq("__n"))
@@ -256,6 +267,7 @@ object Dedup {
       labels = next
       iter += 1
     }
+    require(converged, s"connectedComponents did not converge within $maxIter rounds")
     labels.select(col("__n").as(idCol), col("__comp").as("component"))
   }
 }

@@ -264,7 +264,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("connectedComponents converges on a long chain (label must propagate end-to-end)") {
-    val n = 12L
+    val n = 200L
     val ids = (1L to n).map(Tuple1(_)).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
     val comp = Dedup.connectedComponents(ids, "doc_id", pairs).as[(Long, Long)].collect().toMap
