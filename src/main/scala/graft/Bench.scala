@@ -53,6 +53,7 @@ object Bench {
     "llm_gopher_rules",
     "llm_stratified_sample",
     "llm_chunking",
+    "llm_corpus_pipeline",
     "llm_distinct_sketch",
     "llm_heavy_hitters",
     "llm_embed_quantize",

@@ -763,6 +763,58 @@ object LlmQueries {
         spark.sql("SELECT doc_id, simhash56_md5(split(text, ' ')) AS simhash FROM __graft_docs")
       }
     ),
+    // CAPSTONE: the full corpus-prep pipeline composed end-to-end —
+    // quality-rule filter → PII scrub → exact dedup on the scrubbed text →
+    // per-language stratified downsampling → content-hash train/valid
+    // split → per-(lang, split) counts. Every stage is one of the
+    // registered operators; the oracle recomputes the whole chain in SQL,
+    // so the green row certifies the operators COMPOSE, not just work in
+    // isolation.
+    QueryDef(
+      "llm_corpus_pipeline",
+      Some {
+        val redacted = TextStats.piiPatterns.foldLeft("text") { case (inner, (pat, tag)) =>
+          s"regexp_replace($inner, '$pat', '$tag', 'g')"
+        }
+        s"""WITH g AS (
+           |  SELECT doc_id, lang, $redacted AS t2
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) BETWEEN 16 AND 100000
+           |    AND CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+           |    AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) <= 0.2
+           |    AND 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) <= 0.6),
+           |d AS (SELECT * FROM g WHERE doc_id IN (SELECT min(doc_id) FROM g GROUP BY md5(t2))),
+           |f AS (SELECT * FROM d
+           |      WHERE CAST(concat('0x', substr(md5(t2), 1, 8)) AS UBIGINT) % 100 <
+           |        CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 50 ELSE 100 END)
+           |SELECT lang,
+           |  CASE WHEN CAST(concat('0x', substr(md5(t2), 1, 8)) AS UBIGINT) % 100 < 90
+           |       THEN 'train' ELSE 'valid' END AS split,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(string_split(t2, ' '))) AS BIGINT) AS total_tokens
+           |FROM f GROUP BY 1, 2""".stripMargin
+      },
+      (spark, sf) => {
+        val kept = TextStats
+          .gopherRules(table(spark, sf, "documents"))
+          .filter(col("keep"))
+          .select(col("doc_id"), col("lang"), TextStats.redactPii(col("text")).as("t2"))
+        val deduped = Dedup.dedupExact(kept, Fingerprints.contentKeyMd5(col("t2")), col("doc_id"))
+        val sampled = Corpus.stratifiedSampleByHash(
+          deduped,
+          "lang",
+          col("t2"),
+          rates = Map("en" -> 50, "de" -> 50)
+        )
+        sampled
+          .withColumn("split", Corpus.splitByContentHash(col("t2"), trainPercent = 90))
+          .groupBy("lang", "split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(TextStats.tokens(col("t2")))).as("total_tokens")
+          )
+      }
+    ),
     // Overlapping token-window chunking (chunkSize=32, overlap=8).
     QueryDef(
       "llm_chunking",

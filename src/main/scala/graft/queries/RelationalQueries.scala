@@ -488,7 +488,10 @@ object RelationalQueries {
       }
     ),
     // Exact interpolated percentiles per group (Spark `percentile` and
-    // DuckDB `quantile_cont` both implement the R-7 definition).
+    // DuckDB `quantile_cont` both implement the R-7 definition). Exact
+    // percentile buffers per-group values — at 100 TB swap to
+    // approx_percentile (t-digest, mergeable partials); this entry pins
+    // the exact baseline the sketch would be judged against.
     QueryDef(
       "q_percentiles",
       Some(
