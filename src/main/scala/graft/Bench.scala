@@ -21,6 +21,8 @@ object Bench {
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q4_order_priority",
+    "q12_flag_priority",
     "q_window_top_orders",
     "q_sessionize",
     "q_event_stats",

@@ -439,6 +439,62 @@ object RelationalQueries {
           .select("event_id", "last_purchase_ts")
       }
     ),
+    // TPC-H Q4 shape (EXISTS → left-semi join + date-range scan filter),
+    // adapted to the slimmed lineitem schema: "late" = a line shipped more
+    // than 400 days after the order date (the synthetic ship lags are wide). Counts only (no fp).
+    QueryDef(
+      "q4_order_priority",
+      Some(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+          |FROM orders
+          |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+          |  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 400)
+          |GROUP BY o_orderpriority""".stripMargin
+      ),
+      (spark, sf) => {
+        val lines = table(spark, sf, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        table(spark, sf, "orders")
+          .filter(
+            col("o_orderdate").cast("date") >= to_date(lit("1996-07-01")) &&
+              col("o_orderdate").cast("date") < to_date(lit("1996-10-01"))
+          )
+          .join(
+            lines,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 400),
+            "left_semi"
+          )
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      }
+    ),
+    // TPC-H Q12 shape (join + conditional CASE-bucket aggregation),
+    // adapted: lines bucketed by order priority per return flag.
+    QueryDef(
+      "q12_flag_priority",
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+          |GROUP BY l_returnflag""".stripMargin
+      ),
+      (spark, sf) => {
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        table(spark, sf, "orders")
+          .join(table(spark, sf, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate").cast("date") >= col("o_orderdate").cast("date"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!high, 1L).otherwise(0L)).as("low_line_count")
+          )
+      }
+    ),
     // Partitioned sink + partition-pruned read: orders written partitioned
     // by year, then a year-filtered aggregate back off the partitioned
     // layout — at 100 TB the filter must prune directories, not scan and
