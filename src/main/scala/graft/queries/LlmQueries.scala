@@ -500,12 +500,12 @@ object LlmQueries {
       Some {
         import AnnOracles._
         s"""WITH $eCte,
-           |${ivfTopCte(5, cells = 16, nprobe = 2)}
+           |${ivfTopCte(5, cells = 16, nprobe = 4)}
            |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM ivftop""".stripMargin
       },
       (spark, sf) =>
         Similarity
-          .ivfTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 5, cells = 16, nprobe = 2)
+          .ivfTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
           .select("qid", "nid", "rank")
     ),
     // ANN recall, driver-verified: per-query overlap between each
@@ -522,7 +522,7 @@ object LlmQueries {
         s"""WITH $eCte,
            |${lshBandsCte(tables = 8, planes = 6, seed = 42L, probeBits = 6)},
            |${lshTopCte(5)},
-           |${ivfTopCte(5, cells = 16, nprobe = 2)},
+           |${ivfTopCte(5, cells = 16, nprobe = 4)},
            |${bruteTopCte(5)},
            |lh AS (SELECT l.qid, count(*) AS c FROM lshtop l JOIN br USING (qid, nid) GROUP BY 1),
            |ih AS (SELECT i.qid, count(*) AS c FROM ivftop i JOIN br USING (qid, nid) GROUP BY 1),
@@ -551,7 +551,7 @@ object LlmQueries {
             .select(lit(method).as("method"), col("hits"), col("n"))
         }
         hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6, probeBits = 6))
-          .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 2)))
+          .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 4)))
       }
     ),
     // Embedding-cosine near-dup pairs at tau=0.4 through the LSH candidate

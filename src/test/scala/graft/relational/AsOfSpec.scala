@@ -40,6 +40,32 @@ class AsOfSpec extends AnyFunSuite with SparkTestSession {
     assert(out("no-quotes").isEmpty)           // key with no right rows
   }
 
+  test("asofJoin equals the brute-force per-row lookup on random-ish data") {
+    val l = (1L to 60L).map(i => (i % 7, i * 41 % 499, i)).toDF("k", "tts", "id")
+    val rRows = (1L to 90L).map(i => (i % 7, i * 57 % 499, i * 13 % 997))
+    val r = rRows.toDF("k", "qts", "price")
+    val out = AsOf
+      .asofJoin(l, r, "k", "tts", "qts", "price", "p")
+      .select("id", "p")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    // brute reference: per left row, max-ts right row at or before; ties on
+    // ts resolve to the greatest value (the operator's documented rule)
+    val byKey = rRows.groupBy(_._1)
+    (1L to 60L).foreach { i =>
+      val (k, ts) = (i % 7, i * 41 % 499)
+      val eligible = byKey.getOrElse(k, Nil).filter(_._2 <= ts)
+      val expected =
+        if (eligible.isEmpty) None
+        else {
+          val maxTs = eligible.map(_._2).max
+          Some(eligible.filter(_._2 == maxTs).map(_._3).max)
+        }
+      assert(out(i) == expected, s"left row $i (k=$k, ts=$ts)")
+    }
+  }
+
   test("asofJoin plans one shuffle + window: no range join, no BNLJ") {
     val plan = AsOf
       .asofJoin(trades, quotes, "k", "tts", "qts", "price", "p")
