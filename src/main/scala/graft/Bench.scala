@@ -23,6 +23,7 @@ object Bench {
     "q5_local_supplier_volume",
     "q4_order_priority",
     "q12_flag_priority",
+    "q10_returned_revenue",
     "q_window_top_orders",
     "q_sessionize",
     "q_event_stats",

@@ -431,6 +431,34 @@ object LlmQueries {
         Dedup.connectedComponents(docs, "doc_id", pairs)
       }
     ),
+    // Cluster-representative dedup: keep exactly one doc per connected
+    // component (its min id) — the transitive upgrade of the greedy
+    // llm_dedup_docs rule; survivors = docs that ARE their component.
+    QueryDef(
+      "llm_dedup_docs_cc",
+      Some {
+        val recursiveShingles = shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+        s"""$recursiveShingles,
+           |pr AS (SELECT p.a, p.b FROM p JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
+           |       WHERE CAST(p.inter AS DOUBLE)/(na.n + nb.n - p.inter) >= 0.8),
+           |sym AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+           |reach(x, y) AS (
+           |  SELECT x, y FROM sym
+           |  UNION
+           |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+           |comp AS (SELECT x, least(x, min(y)) AS c FROM reach GROUP BY x)
+           |SELECT d.doc_id FROM documents d LEFT JOIN comp ON comp.x = d.doc_id
+           |WHERE coalesce(comp.c, d.doc_id) = d.doc_id""".stripMargin
+      },
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 128, 32, 0.8)
+        Dedup
+          .connectedComponents(docs, "doc_id", pairs)
+          .filter(col("doc_id") === col("component"))
+          .select("doc_id")
+      }
+    ),
     // SimHash near-dup pairs over the portable 56-bit simhash: Spark runs
     // the banded pigeonhole plan (4 bands, any pair at Hamming <= 3 shares
     // a band — exact by construction); the oracle recomputes the simhash

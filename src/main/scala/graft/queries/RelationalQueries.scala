@@ -471,6 +471,28 @@ object RelationalQueries {
           .agg(count(lit(1)).as("order_count"))
       }
     ),
+    // TPC-H Q10 shape: returned-lineitem revenue rolled up per customer,
+    // deterministic top-20 (decimal-routed revenue sum).
+    QueryDef(
+      "q10_returned_revenue",
+      Some(
+        s"""SELECT c_custkey, c_name, CAST(sum($revenueSql) AS DOUBLE) AS revenue
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE l_returnflag = 'R'
+           |GROUP BY c_custkey, c_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .join(table(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(table(spark, sf, "customer")), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name")
+          .agg(sum(revenue).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+    ),
     // TPC-H Q12 shape (join + conditional CASE-bucket aggregation),
     // adapted: lines bucketed by order priority per return flag.
     QueryDef(
