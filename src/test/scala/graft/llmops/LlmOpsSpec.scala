@@ -393,6 +393,32 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept == 0L || kept == 2L)
   }
 
+  test("kmvDistinctEstimate: exact under k, within ~3/sqrt(k) above k") {
+    val small = (1L to 100L).map(i => Tuple1(s"v$i")).toDF("t")
+    val exactBranch = Sketches.kmvDistinctEstimate(small, "t", k = 256).as[Double].head()
+    assert(exactBranch == 100.0) // fewer distinct than k -> exact count
+    val big = (1L to 20000L).map(i => Tuple1(s"value$i")).toDF("t")
+    val est = Sketches.kmvDistinctEstimate(big, "t", k = 256).as[Double].head()
+    assert(math.abs(est - 20000.0) / 20000.0 < 3.0 / math.sqrt(256.0), s"est=$est")
+  }
+
+  test("quantizeInt8: symmetric bounds, zero-vector guard, scale round-trip") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = vecs
+      .select(col("vec_id"), Embeddings.maxAbsScale(col("embedding")).as("s"),
+        Embeddings.quantizeInt8(col("embedding")).as("q"))
+      .as[(Long, Double, Seq[Int])]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(1L)._1 == 2.0)
+    assert(out(1L)._2 == Seq(64, -127, 32)) // floor(x*127/2 + 0.5)
+    assert(out(2L)._2 == Seq(0, 0, 0))      // zero scale -> zeros, no div-by-zero
+  }
+
   test("wav synthesize/decode round-trips format metadata and PCM checksum through javax.sound") {
     val ids = Seq(2L, 123L, 999L).toDF("doc_id")
     val out = Multimodal
