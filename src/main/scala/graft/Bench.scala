@@ -65,7 +65,8 @@ object Bench {
     "llm_multimodal_audio",
     "t2_windowed_counts_batch_eq",
     "t3_sessionize_batch_eq",
-    "t4_stream_dedup_batch_eq"
+    "t4_stream_dedup_batch_eq",
+    "t5_stream_textstats_batch_eq"
   )
 
   def main(args: Array[String]): Unit = {

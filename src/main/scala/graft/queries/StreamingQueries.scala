@@ -102,6 +102,43 @@ object StreamingQueries {
       }
     ),
     QueryDef(
+      "t5_stream_textstats_batch_eq",
+      Some(
+        // identical SQL to the batch llm_text_stats oracle: stateless
+        // per-row operators apply to a stream unchanged, and the sink must
+        // hash-match the batch answer exactly.
+        """SELECT doc_id,
+          |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+          |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+          |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS distinct_ratio
+          |FROM documents""".stripMargin
+      ),
+      (spark, sf) => {
+        val in = tmpDir("t5_in")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sf/documents.parquet"),
+          java.nio.file.Paths.get(s"$in/documents.parquet")
+        )
+        val out = tmpDir("t5_out")
+        val ckpt = tmpDir("t5_ckpt")
+        val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+        val stats = TypedStreams
+          .streamingTextStats(spark.readStream.schema(schema).parquet(in))
+          .select("doc_id", "n_chars_calc", "n_tokens", "n_distinct_tokens", "avg_token_len", "distinct_ratio")
+        stats.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out)
+      }
+    ),
+    QueryDef(
       "t4_stream_dedup_batch_eq",
       Some(
         // WHICH duplicate row survives streaming dedup depends on arrival
