@@ -24,6 +24,7 @@ object Bench {
     "q4_order_priority",
     "q12_flag_priority",
     "q10_returned_revenue",
+    "q14_promo_revenue",
     "q_window_top_orders",
     "q_sessionize",
     "q_event_stats",

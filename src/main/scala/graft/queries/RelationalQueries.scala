@@ -493,6 +493,26 @@ object RelationalQueries {
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
     ),
+    // TPC-H Q14 shape: promo revenue share — lineitem⋈part (broadcast dim),
+    // ratio of two decimal-exact sums, divided once in double. Also the
+    // only query family touching the `part` table, closing table coverage.
+    QueryDef(
+      "q14_promo_revenue",
+      Some(
+        s"""SELECT CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+           |                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS DOUBLE) * 100.0
+           |  / CAST(sum($revenueSql) AS DOUBLE) AS promo_pct
+           |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+      ),
+      (spark, sf) => {
+        val promo = sum(
+          when(col("p_type") === "PROMO", revenue).otherwise(lit(0).cast("decimal(18,2)"))
+        ).cast("double")
+        table(spark, sf, "lineitem")
+          .join(broadcast(table(spark, sf, "part")), col("l_partkey") === col("p_partkey"))
+          .agg((promo * lit(100.0) / sum(revenue).cast("double")).as("promo_pct"))
+      }
+    ),
     // TPC-H Q12 shape (join + conditional CASE-bucket aggregation),
     // adapted: lines bucketed by order priority per return flag.
     QueryDef(
