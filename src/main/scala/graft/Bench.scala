@@ -25,6 +25,8 @@ object Bench {
     "q12_flag_priority",
     "q10_returned_revenue",
     "q14_promo_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "q_window_top_orders",
     "q_sessionize",
     "q_event_stats",

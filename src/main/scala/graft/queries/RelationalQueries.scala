@@ -493,6 +493,50 @@ object RelationalQueries {
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
     ),
+    // TPC-H Q6 shape: single-table predicate + decimal-exact revenue sum —
+    // the pushdown showcase (every filter lands in the parquet scan).
+    QueryDef(
+      "q6_forecast_revenue",
+      Some(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "lineitem")
+          .filter(
+            col("l_shipdate").cast("date") >= to_date(lit("1996-01-01")) &&
+              col("l_shipdate").cast("date") < to_date(lit("1997-01-01")) &&
+              col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24
+          )
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)") * col("l_discount").cast("decimal(4,2)"))
+              .cast("double")
+              .as("revenue")
+          )
+    ),
+    // TPC-H Q18 shape: large-quantity orders via HAVING threshold on the
+    // grouped fact, then customer enrichment (integral-double qty sums are
+    // fp-exact under any partitioning).
+    QueryDef(
+      "q18_large_orders",
+      Some(
+        """SELECT c_name, o_orderkey, sum(l_quantity) AS total_qty
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |GROUP BY c_name, o_orderkey
+          |HAVING sum(l_quantity) > 150""".stripMargin
+      ),
+      (spark, sf) =>
+        table(spark, sf, "lineitem")
+          .join(table(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(table(spark, sf, "customer")), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_name", "o_orderkey")
+          .agg(sum("l_quantity").as("total_qty"))
+          .filter(col("total_qty") > 150)
+    ),
     // TPC-H Q14 shape: promo revenue share — lineitem⋈part (broadcast dim),
     // ratio of two decimal-exact sums, divided once in double. Also the
     // only query family touching the `part` table, closing table coverage.
