@@ -27,6 +27,19 @@ object Bench {
     "q14_promo_revenue",
     "q6_forecast_revenue",
     "q18_large_orders",
+    "q2_min_price_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_volume_shippers",
+    "q21_sole_returner",
+    "q22_idle_customers",
     "q_window_top_orders",
     "q_sessionize",
     "q_event_stats",

@@ -3,7 +3,7 @@ package graft
 import graft.contracts._
 import graft.model.Tables.CustomerRow
 import graft.pipeline.PipelineBuilder
-import graft.queries.{ContractQueries, LlmQueries, QueryDef, RelationalQueries, StreamingQueries}
+import graft.queries.{ContractQueries, LlmQueries, QueryDef, RelationalQueries, StreamingQueries, TpchShapes}
 import graft.sources.{TypedSink, TypedSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -13,7 +13,7 @@ object SparkEntry {
   import ContractQueries.CustomerSlim
 
   private def registry: Seq[QueryDef] =
-    ContractQueries.all ++ RelationalQueries.all ++ LlmQueries.all ++ StreamingQueries.all
+    ContractQueries.all ++ RelationalQueries.all ++ TpchShapes.all ++ LlmQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001: the green-path contract
     * pipeline (typed scan → pinned transform → policy sink), not a bare
