@@ -107,7 +107,12 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
 
     val queries = SparkEntry.queries
-    val results: Seq[(String, Either[String, Double])] = headline.map { name =>
+    // optional args: subset of headline names (exact or prefix) for fast
+    // local iteration; the driver passes none = full headline
+    val selected =
+      if (args.isEmpty) headline
+      else headline.filter(n => args.exists(a => n == a || n.startsWith(a)))
+    val results: Seq[(String, Either[String, Double])] = selected.map { name =>
       queries.get(name) match {
         case None =>
           // an unknown headline name must surface as an error, never make

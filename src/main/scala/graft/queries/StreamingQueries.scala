@@ -22,6 +22,24 @@ object StreamingQueries {
 
   import QueryDef._
 
+  /** Stateful-operator parallelism for these gates. The state-store
+    * partition count is pinned by the FIRST micro-batch of a checkpoint
+    * (it is the shuffle partition count at that moment), and every
+    * partition pays a per-commit delta-file fsync — so it must be sized to
+    * state cardinality, not left at the relational default. These streams
+    * hold 1.5k–7.5k state rows; 8 partitions keeps every executor busy at
+    * that size while quartering the commit fsyncs. On a real cluster the
+    * same deliberate choice applies (and is why this is a parameter of the
+    * run, not a hardcoded global).
+    */
+  private def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally spark.conf.set(key, prev)
+  }
+
   /** Contract for the windowed-count sink rows. */
   final case class WindowedCount(window_start_s: Long, window_end_s: Long, event_type: String, n: Long)
 
@@ -50,7 +68,7 @@ object StreamingQueries {
           |FROM w GROUP BY 1, 2, 3
           |HAVING (ws + 3600) * 1000000 <= (SELECT epoch_ns(max(ts)) // 1000 FROM events)""".stripMargin
       ),
-      (spark, sf) => {
+      (spark, sf) => withStatePartitions(spark, 8) {
         val (in, out, ckpt) = stageEvents(sf, "t2")
         val schema = spark.read.parquet(s"$sf/events.parquet").schema
         val stream = spark.readStream.schema(schema).parquet(in)
@@ -96,7 +114,7 @@ object StreamingQueries {
           |r AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY sid DESC) AS rn FROM s)
           |SELECT key, session_start, session_end, n_events FROM r WHERE rn > 1""".stripMargin
       ),
-      (spark, sf) => {
+      (spark, sf) => withStatePartitions(spark, 8) {
         val (in, out, ckpt) = stageEvents(sf, "t3")
         runSessionize(spark, sf, in, out, ckpt)
       }
@@ -147,7 +165,7 @@ object StreamingQueries {
         // promises and what the oracle pins.
         "SELECT DISTINCT user_id, event_type FROM events"
       ),
-      (spark, sf) => {
+      (spark, sf) => withStatePartitions(spark, 8) {
         val (in, out, ckpt) = stageEvents(sf, "t4")
         val schema = spark.read.parquet(s"$sf/events.parquet").schema
         val stream = spark.readStream

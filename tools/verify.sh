@@ -1,5 +1,6 @@
 #!/bin/bash
-# Local Verify runner: tools/verify.sh [SF_DIR] [OUT_DIR] — assumes `sbt compile` is current.
+# Local Verify runner: tools/verify.sh [SF_DIR] [OUT_DIR] [NAME_FILTER] — assumes `sbt compile` is current.
+# NAME_FILTER: optional comma-separated query names/prefixes for a fast subset run.
 set -e
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/graft_verify}
@@ -16,4 +17,4 @@ done
 java $ADDOPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT" 2>/tmp/graft_verify.log || { tail -30 /tmp/graft_verify.log; exit 1; }
+  graft.Verify "$SF" "$OUT" ${3:+"$3"} 2>/tmp/graft_verify.log || { tail -30 /tmp/graft_verify.log; exit 1; }
