@@ -68,6 +68,9 @@ object Bench {
     "llm_ann_ivf",
     "llm_cosine_neardup",
     "llm_train_split",
+    "llm_seq_pack",
+    "llm_contamination",
+    "llm_decontaminate",
     "llm_pii_scrub",
     "llm_gopher_rules",
     "llm_stratified_sample",

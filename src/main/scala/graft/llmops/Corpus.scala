@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators: overlapping token-window chunking and
@@ -39,6 +40,55 @@ object Corpus {
   def splitByContentHash(content: Column, trainPercent: Int): Column = {
     val bucket = conv(substring(md5(content), 1, 8), 16, 10).cast("long") % 100
     when(bucket < trainPercent, lit("train")).otherwise(lit("valid"))
+  }
+
+  /** Deterministic sequence packing (concat-and-chunk): assign every doc a
+    * position in a stream of fixed-`budgetTokens` training sequences, the
+    * way GPT-style pipelines concatenate tokenized docs and slice the
+    * stream into equal windows. Docs are sharded by a portable content-id
+    * hash and packed per shard in deterministic id order:
+    *
+    *   - `shard`       — md5(id) % `shards`; each shard is an independent
+    *                     token stream, so packing parallelizes across
+    *                     shards with NO global order (a single total order
+    *                     would serialize a 100 TB corpus through one task).
+    *   - `seq_id`      — index (within shard) of the sequence where the
+    *                     doc's tokens start,
+    *   - `seq_offset`  — token offset inside that sequence,
+    *   - `n_seqs`      — how many sequences the doc spans (docs straddle
+    *                     boundaries; that is the concat-and-chunk
+    *                     contract — no padding, perfect fill).
+    *
+    * One window per shard (a hash shuffle + per-shard sort). Everything is
+    * integer arithmetic on the running token count: reproducible across
+    * engines and runs, no RNG, no driver state. Choose `shards` ≈ cluster
+    * parallelism; each shard's packing is contiguous and deterministic.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      budgetTokens: Int,
+      shards: Int
+  ): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(shards > 0, "shards must be positive")
+    val shard = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(shards.toLong)
+    )
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    val start = col("__cum") - col(nTokensCol)
+    val b = lit(budgetTokens.toLong)
+    df.withColumn("shard", shard)
+      .withColumn("__cum", sum(col(nTokensCol)).over(w))
+      .withColumn("seq_id", floor(start / b).cast("long"))
+      .withColumn("seq_offset", pmod(start, b).cast("long"))
+      .withColumn(
+        "n_seqs",
+        (floor((col("__cum") - 1) / b) - floor(start / b) + 1).cast("long")
+      )
+      .drop("__cum")
   }
 
   /** Deterministic stratified downsampling: keep a row iff its content-hash

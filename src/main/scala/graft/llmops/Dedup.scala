@@ -80,6 +80,63 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Benchmark-contamination ledger: for each `corpus` doc, the number of
+    * distinct k-token shingles it shares with the held-out `heldout`
+    * corpus (an eval/test set that must not leak into training data).
+    * Docs with a high count are near-copies of held-out content.
+    *
+    * Shape at 100 TB: the held-out side is tiny next to the corpus, so its
+    * distinct shingle set broadcasts (AQE picks this up from size
+    * estimates) and the ledger is one scan of the corpus + a map-side
+    * semi-join — no corpus self-join anywhere. `maxDf` drops shingles
+    * appearing in more than `maxDf` corpus docs (boilerplate phrases match
+    * everything and signal nothing; also the straggler guard, as in
+    * [[ngramJaccardPairs]]). Returns (idCol, n_shared), docs with >= 1
+    * shared shingle only.
+    */
+  def contaminationLedger(
+      corpus: DataFrame,
+      heldout: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDf: Int = 0
+  ): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).as("__id"), explode(Fingerprints.shingles(col(textCol), k)).as("__s"))
+    val heldSh0 = heldout.select(explode(Fingerprints.shingles(col(textCol), k)).as("__s")).distinct()
+    val heldSh =
+      if (maxDf <= 0) heldSh0
+      else {
+        val dfreq = corpusSh.groupBy("__s").agg(count(lit(1)).as("__df"))
+        heldSh0.join(dfreq.filter(col("__df") <= maxDf).select("__s"), "__s")
+      }
+    corpusSh
+      .join(heldSh, "__s")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("__id").as(idCol), col("n_shared"))
+  }
+
+  /** Decontamination: drop every `corpus` doc sharing at least `minShared`
+    * distinct k-shingles with `heldout` (see [[contaminationLedger]]).
+    * One anti-join against the flagged id set — the corpus body never
+    * rides through the shingle machinery's shuffles.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      heldout: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minShared: Int,
+      maxDf: Int = 0
+  ): DataFrame = {
+    val flagged = contaminationLedger(corpus, heldout, idCol, textCol, k, maxDf)
+      .filter(col("n_shared") >= minShared)
+      .select(idCol)
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** MinHash-LSH near-dup pairs: banded signature bucketing generates
     * candidates (never all-pairs), then candidates are verified with the
     * exact shingle Jaccard, keeping >= tau.

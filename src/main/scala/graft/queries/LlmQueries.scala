@@ -86,6 +86,36 @@ object LlmQueries {
 
   private val shingleCte = shingleCteCapped(0)
 
+  /** Shared CTE chain for the decontamination queries: content-hash 90/10
+    * split, distinct 5-gram shingles per doc, and the held-out shingle
+    * universe. Mirrors [[graft.llmops.Corpus.splitByContentHash]] +
+    * [[graft.llmops.Fingerprints.shingles]](k = 5) exactly.
+    */
+  private val decontamCte: String = {
+    val gram5 = (1 to 5).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH lab AS (SELECT doc_id, text,
+       |         CASE WHEN CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 100 < 90
+       |              THEN 'train' ELSE 'valid' END AS split
+       |       FROM documents),
+       |t AS (SELECT doc_id, split, string_split(text, ' ') AS toks FROM lab),
+       |s AS (SELECT doc_id, split, unnest(list_distinct(list_transform(range(len(toks)-4),
+       |        i -> $gram5))) AS sh FROM t),
+       |held AS (SELECT DISTINCT sh FROM s WHERE split = 'valid')""".stripMargin
+  }
+
+  /** The (train, valid) halves of the content-hash split — the Spark side
+    * of [[decontamCte]]'s `lab`.
+    */
+  private def trainValidSplit(
+      spark: org.apache.spark.sql.SparkSession,
+      sf: String
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = table(spark, sf, "documents")
+      .withColumn("__split", Corpus.splitByContentHash(col("text"), trainPercent = 90))
+    (docs.filter(col("__split") === "train").drop("__split"),
+      docs.filter(col("__split") === "valid").drop("__split"))
+  }
+
   private def jaccardPairsSql(tau: Double, maxDf: Int = 0): String =
     s"""${shingleCteCapped(maxDf)}
        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE)/(na.n + nb.n - p.inter) AS jaccard
@@ -856,6 +886,66 @@ object LlmQueries {
         Corpus
           .chunkTokens(table(spark, sf, "documents"), "text", chunkSize = 32, overlap = 8)
           .select("doc_id", "chunk_id", "chunk")
+    ),
+    // Deterministic sequence packing: concat-and-chunk positions for every
+    // doc in a sharded stream of 512-token training sequences. Pure window
+    // cumsum per shard — the oracle replays the identical integer
+    // arithmetic.
+    QueryDef(
+      "llm_seq_pack",
+      Some(
+        """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard
+          |       FROM documents),
+          |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+          |SELECT doc_id, shard, n_tokens,
+          |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+          |  CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset,
+          |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
+          |FROM c""".stripMargin
+      ),
+      (spark, sf) =>
+        Corpus
+          .packSequences(
+            table(spark, sf, "documents")
+              .select(col("doc_id"), size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")),
+            "doc_id",
+            "n_tokens",
+            budgetTokens = 512,
+            shards = 8
+          )
+          .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset", "n_seqs")
+    ),
+    // Benchmark decontamination, both surfaces: the per-doc ledger of
+    // 5-gram overlap with the held-out split, and the surviving corpus
+    // after dropping docs with >= 3 shared shingles. The held-out set is
+    // the content-hash "valid" split, so the whole check is self-contained
+    // and the oracle recomputes split + shingles + overlap from scratch.
+    QueryDef(
+      "llm_contamination",
+      Some(
+        s"""$decontamCte
+           |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM s JOIN held USING (sh) WHERE s.split = 'train' GROUP BY 1""".stripMargin
+      ),
+      (spark, sf) => {
+        val (train, valid) = trainValidSplit(spark, sf)
+        Dedup.contaminationLedger(train, valid, "doc_id", "text", k = 5)
+      }
+    ),
+    QueryDef(
+      "llm_decontaminate",
+      Some(
+        s"""$decontamCte,
+           |flag AS (SELECT s.doc_id, count(*) AS n FROM s JOIN held USING (sh)
+           |         WHERE s.split = 'train' GROUP BY 1)
+           |SELECT doc_id FROM lab WHERE split = 'train'
+           |  AND doc_id NOT IN (SELECT doc_id FROM flag WHERE n >= 3)""".stripMargin
+      ),
+      (spark, sf) => {
+        val (train, valid) = trainValidSplit(spark, sf)
+        Dedup.decontaminate(train, valid, "doc_id", "text", k = 5, minShared = 3).select("doc_id")
+      }
     ),
     // Deterministic content-hash train/validation split.
     QueryDef(

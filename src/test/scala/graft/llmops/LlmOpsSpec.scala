@@ -450,4 +450,88 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       assert(sum == expected, s"pixel checksum mismatch for doc $id")
     }
   }
+
+  test("packSequences assigns concat-and-chunk positions per shard in id order") {
+    // one shard => a single deterministic stream; budget 512
+    val toks = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 150L)).toDF("doc_id", "n_tokens")
+    val out = Corpus
+      .packSequences(toks, "doc_id", "n_tokens", budgetTokens = 512, shards = 1)
+      .select("doc_id", "seq_id", "seq_offset", "n_seqs")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    assert(
+      out.toSeq == Seq(
+        (1L, 0L, 0L, 1L),   // [0, 300)
+        (2L, 0L, 300L, 2L), // [300, 600) straddles the 512 boundary
+        (3L, 1L, 88L, 1L),  // [600, 900)
+        (4L, 1L, 388L, 2L)  // [900, 1050) straddles 1024
+      )
+    )
+  }
+
+  test("packSequences shards are independent and cover all docs exactly once") {
+    val toks = (1L to 100L).map(i => (i, 50L + i % 7)).toDF("doc_id", "n_tokens")
+    val out = Corpus.packSequences(toks, "doc_id", "n_tokens", budgetTokens = 256, shards = 4)
+    assert(out.count() == 100)
+    assert(out.select("shard").distinct().count() == 4)
+    // within each shard, offsets restate the running cumsum: no gaps, no
+    // overlaps — (seq_id * budget + seq_offset) must equal the running sum
+    // of preceding docs
+    val rows = out
+      .select("shard", "doc_id", "n_tokens", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+      .groupBy(_._1)
+    rows.values.foreach { shardRows =>
+      var cum = 0L
+      shardRows.sortBy(_._2).foreach { case (_, _, n, seqId, off) =>
+        assert(seqId * 256 + off == cum)
+        cum += n
+      }
+    }
+  }
+
+  test("contaminationLedger counts distinct shared shingles; decontaminate drops flagged docs") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"), // shares 2 of its 3 5-grams with heldout
+      (2L, "h i j k l m n"),
+      (3L, "o p q r s t u")
+    ).toDF("doc_id", "text")
+    val heldout = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val ledger = Dedup
+      .contaminationLedger(corpus, heldout, "doc_id", "text", k = 5)
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    assert(ledger == Seq((1L, 2L)))
+    val kept2 = Dedup
+      .decontaminate(corpus, heldout, "doc_id", "text", k = 5, minShared = 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(2L, 3L))
+    // threshold above the overlap: nothing is dropped
+    val kept3 = Dedup
+      .decontaminate(corpus, heldout, "doc_id", "text", k = 5, minShared = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept3.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("contaminationLedger maxDf drops boilerplate shingles from the signal") {
+    // "x y z w v" appears in 3 corpus docs (boilerplate) AND in heldout;
+    // with maxDf=2 it stops counting as contamination signal
+    val corpus = Seq(
+      (1L, "x y z w v a"),
+      (2L, "x y z w v b"),
+      (3L, "x y z w v c")
+    ).toDF("doc_id", "text")
+    val heldout = Seq((100L, "x y z w v")).toDF("doc_id", "text")
+    val uncapped = Dedup
+      .contaminationLedger(corpus, heldout, "doc_id", "text", k = 5)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(uncapped == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    val capped = Dedup
+      .contaminationLedger(corpus, heldout, "doc_id", "text", k = 5, maxDf = 2)
+      .count()
+    assert(capped == 0L)
+  }
 }
