@@ -82,6 +82,7 @@ object Bench {
     "llm_multimodal",
     "llm_multimodal_decode",
     "llm_multimodal_audio",
+    "llm_multimodal_video",
     "t2_windowed_counts_batch_eq",
     "t3_sessionize_batch_eq",
     "t4_stream_dedup_batch_eq",

@@ -53,6 +53,7 @@ object LlmQueries {
   )
   final case class DecodedImage(doc_id: Long, mime: String, width: Long, height: Long, pixel_sum: Long)
   final case class DecodedAudio(doc_id: Long, mime: String, sample_rate: Long, n_frames: Long, byte_sum: Long)
+  final case class DecodedVideo(doc_id: Long, mime: String, timescale: Long, duration_ticks: Long, n_tracks: Long)
 
   // DuckDB list literal for a stopword set — single source of truth with
   // the Spark-side TextStats.stopwords.
@@ -103,6 +104,26 @@ object LlmQueries {
        |held AS (SELECT DISTINCT sh FROM s WHERE split = 'valid')""".stripMargin
   }
 
+  /** Embeddings table with the oracle-dim invariant enforced up front: the
+    * ANN oracles embed [[AnnOracles.Dim]]-sized hyperplane/centroid
+    * literals, so a testdata dim change must fail HERE with a readable
+    * message — not as a cryptic downstream hash mismatch. One single-row
+    * probe job; noise next to the candidate joins.
+    */
+  private def embeddingsDimChecked(
+      spark: org.apache.spark.sql.SparkSession,
+      sf: String
+  ): org.apache.spark.sql.DataFrame = {
+    val e = table(spark, sf, "embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(
+      dim == AnnOracles.Dim,
+      s"testdata embedding dim is $dim but the ANN oracle literals were generated for dim " +
+        s"${AnnOracles.Dim} — update AnnOracles.Dim so the SQL replay uses matching hyperplanes"
+    )
+    e
+  }
+
   /** The (train, valid) halves of the content-hash split — the Spark side
     * of [[decontamCte]]'s `lab`.
     */
@@ -132,7 +153,7 @@ object LlmQueries {
 
     /** Embedding dim of the driver testdata; the Spark side probes it at
       * runtime, the SQL literal generator needs it statically. A mismatch
-      * surfaces as an oracle failure, never silently.
+      * fails loudly in [[embeddingsDimChecked]] before any query runs.
       */
     val Dim = 64
 
@@ -547,7 +568,7 @@ object LlmQueries {
       },
       (spark, sf) =>
         Similarity
-          .lshTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6, probeBits = 6)
+          .lshTopK(embeddingsDimChecked(spark, sf), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6, probeBits = 6)
           .select("qid", "nid", "rank")
     ),
     // IVF-bucketed approximate top-5 (alternative scale path to LSH): the
@@ -563,7 +584,7 @@ object LlmQueries {
       },
       (spark, sf) =>
         Similarity
-          .ivfTopK(table(spark, sf, "embeddings"), "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
+          .ivfTopK(embeddingsDimChecked(spark, sf), "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
           .select("qid", "nid", "rank")
     ),
     // ANN recall, driver-verified: per-query overlap between each
@@ -593,7 +614,7 @@ object LlmQueries {
            |SELECT method, hits, CAST(count(*) AS BIGINT) AS n FROM rows_ GROUP BY 1, 2""".stripMargin
       },
       (spark, sf) => {
-        val e = table(spark, sf, "embeddings")
+        val e = embeddingsDimChecked(spark, sf)
         val brute = Similarity.bruteTopK(e, "vec_id", "embedding", k = 5).select("qid", "nid")
         def hist(method: String, approx: org.apache.spark.sql.DataFrame) = {
           val hits = approx
@@ -630,7 +651,7 @@ object LlmQueries {
       (spark, sf) =>
         Similarity
           .cosineNearDupPairs(
-            table(spark, sf, "embeddings"),
+            embeddingsDimChecked(spark, sf),
             "vec_id",
             "embedding",
             tau = 0.4,
@@ -661,7 +682,7 @@ object LlmQueries {
            |       (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN ls USING (a, b)) AS n_hit""".stripMargin
       },
       (spark, sf) => {
-        val e = table(spark, sf, "embeddings")
+        val e = embeddingsDimChecked(spark, sf)
         val exact =
           Similarity.cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 0).select("a", "b")
         val lsh = Similarity
@@ -1025,6 +1046,28 @@ object LlmQueries {
         import spark.implicits._
         val media = Multimodal.synthesizeWav(table(spark, sf, "documents").select("doc_id"))
         Multimodal.decodeBatched[DecodedAudio](media)(Multimodal.wavCodec(DecodedAudio.apply)).toDF()
+      }
+    ),
+    // REAL video-container parse: deterministic ISO BMFF (MP4) box trees
+    // round-trip a genuine box-walking parser — movie timescale, duration
+    // and track count come out of big-endian byte arithmetic on the moov
+    // tree, and must match the doc_id-derived oracle. (Frame decode needs
+    // a codec library the JVM doesn't ship; the container metadata path —
+    // what a 100 TB ingest filter actually runs first — is fully real.)
+    QueryDef(
+      "llm_multimodal_video",
+      Some(
+        """SELECT doc_id,
+          |  'video/mp4' AS mime,
+          |  CAST(600 + (doc_id % 10) * 300 AS BIGINT) AS timescale,
+          |  CAST((600 + (doc_id % 10) * 300) * (5 + doc_id % 60) AS BIGINT) AS duration_ticks,
+          |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
+          |FROM documents""".stripMargin
+      ),
+      (spark, sf) => {
+        import spark.implicits._
+        val media = Multimodal.synthesizeMp4(table(spark, sf, "documents").select("doc_id"))
+        Multimodal.decodeBatched[DecodedVideo](media)(Multimodal.mp4Codec(DecodedVideo.apply)).toDF()
       }
     )
   )

@@ -451,6 +451,34 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("mp4 synthesize/parse round-trips container metadata through a real box walk") {
+    val ids = Seq(0L, 7L, 59L, 123L).toDF("doc_id")
+    val media = Multimodal.synthesizeMp4(ids)
+    final case class Out(doc_id: Long, mime: String, timescale: Long, duration: Long, n_tracks: Long)
+    val out = Multimodal
+      .decodeBatched(media)(Multimodal.mp4Codec((i, m, ts, d, nt) => (i, m, ts, d, nt)))
+      .collect()
+      .sortBy(_._1)
+    out.foreach { case (id, mime, ts, dur, nt) =>
+      assert(mime == "video/mp4")
+      assert(ts == 600 + (id % 10) * 300)
+      assert(dur == ts * (5 + id % 60))
+      assert(nt == 1 + id % 3)
+    }
+  }
+
+  test("mp4 parser rejects corrupt box lengths instead of misreading") {
+    import Multimodal.{MediaMeta, MediaRow}
+    val good = Multimodal.synthesizeMp4(Seq(1L).toDF("doc_id")).collect().head
+    val corrupt = good.payload.clone()
+    corrupt(0) = 0x7f.toByte // first box length now exceeds the payload
+    val bad = spark.createDataset(Seq(MediaRow(1L, corrupt, MediaMeta(corrupt.length.toLong, "video/mp4"))))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeBatched(bad)(Multimodal.mp4Codec((i, m, ts, d, nt) => (i, m, ts, d, nt))).collect()
+    }
+    assert(ex.getMessage.contains("corrupt box") || Option(ex.getCause).exists(_.getMessage.contains("corrupt box")))
+  }
+
   test("packSequences assigns concat-and-chunk positions per shard in id order") {
     // one shard => a single deterministic stream; budget 512
     val toks = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 150L)).toDF("doc_id", "n_tokens")
