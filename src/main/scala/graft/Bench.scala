@@ -69,6 +69,8 @@ object Bench {
     "llm_cosine_neardup",
     "llm_train_split",
     "llm_seq_pack",
+    "llm_vocab",
+    "llm_tfidf",
     "llm_contamination",
     "llm_decontaminate",
     "llm_pii_scrub",
@@ -86,6 +88,7 @@ object Bench {
     "t2_windowed_counts_batch_eq",
     "t3_sessionize_batch_eq",
     "t4_stream_dedup_batch_eq",
+    "t6_stream_enrich_batch_eq",
     "t5_stream_textstats_batch_eq"
   )
 

@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -138,5 +139,46 @@ object TextStats {
           symbolRatio <= maxSymbolRatio &&
           repetition <= maxRepetition
       )
+  }
+
+  /** Corpus vocabulary with frequency-ranked ids — the id-assignment step
+    * of tokenizer training. Two-phase hash aggregation over the corpus
+    * (map-side partial counts), then ONE global window over the distinct
+    * token set only: the sort is vocab-sized (10⁵–10⁷ rows), never
+    * corpus-sized, so the single-partition rank step is cheap at any
+    * corpus scale. Ties rank deterministically (count desc, token asc).
+    * `minCount` prunes the long hapax tail before the rank.
+    */
+  def buildVocab(df: DataFrame, textCol: String = "text", minCount: Long = 1L): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn(
+        "token_id",
+        (row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1).cast("long")
+      )
+
+  /** Top-`k` distinctive terms per document by a log-free tf-idf:
+    * score = tf × N / df, computed in per-row IEEE double arithmetic
+    * (exact integers into one division — bit-reproducible across engines,
+    * unlike ln(), whose last-ulp behavior is libm-specific). The ranking
+    * equals classic tf-idf's for any fixed tf (N/df and log(N/df) are both
+    * monotone in df); scores differ, ranks are what downstream filters
+    * consume. Shuffles: one per-doc tf agg, one vocab-sized df agg joined
+    * back (broadcastable), one per-doc window — no corpus self-join.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tok = df.select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(n) // 1-row scalar: constant-cost broadcast at any scale
+      .withColumn("score", col("tf").cast("double") * col("__n") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("score"), col("rank"))
   }
 }

@@ -131,9 +131,10 @@ object ContractQueries {
       }
     ),
     // O1b — format breadth for the typed source/sink surface: the same
-    // contract rides parquet → JSON → CSV → back, schema forced on every
-    // read (never inferred — the contract IS the schema, so pushdown and
-    // pruning survive any format). Values must round-trip losslessly.
+    // contract rides parquet → JSON → CSV → ORC → back, schema forced on
+    // every read (never inferred — the contract IS the schema, so pushdown
+    // and pruning survive any format). Values must round-trip losslessly
+    // through the two text formats and the second columnar format.
     QueryDef(
       "o1b_format_roundtrip",
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
@@ -146,9 +147,11 @@ object ContractQueries {
           fromJson,
           TypedSink[NationRow](s"$out/c", format = "csv", options = Map("header" -> "true"))
         )
-        TypedIO.readDF(
+        val fromCsv = TypedIO.readDF(
           TypedSource[NationRow]("csv", s"$out/c", options = Map("header" -> "true"))
         )(spark, implicitly)
+        TypedIO.writeDF[NationRow, SchemaPolicy.ExactT](fromCsv, TypedSink[NationRow](s"$out/o", format = "orc"))
+        TypedIO.readDF(TypedSource[NationRow]("orc", s"$out/o"))(spark, implicitly)
       }
     ),
     // O4 — pinned transform: projection declared as a narrower contract.

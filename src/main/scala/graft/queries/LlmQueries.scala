@@ -908,6 +908,36 @@ object LlmQueries {
           .chunkTokens(table(spark, sf, "documents"), "text", chunkSize = 32, overlap = 8)
           .select("doc_id", "chunk_id", "chunk")
     ),
+    // Frequency-ranked corpus vocabulary (tokenizer id assignment): the
+    // global rank runs over the distinct-token set only, never the corpus.
+    QueryDef(
+      "llm_vocab",
+      Some(
+        """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+          |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1)
+          |SELECT token, cnt,
+          |  CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id
+          |FROM c""".stripMargin
+      ),
+      (spark, sf) => TextStats.buildVocab(table(spark, sf, "documents"))
+    ),
+    // Log-free tf-idf top-3 terms per doc: score = tf * N / df in per-row
+    // double arithmetic (exact ints into one IEEE division — portable,
+    // unlike ln()'s libm-specific last ulp). Deterministic tie-break.
+    QueryDef(
+      "llm_tfidf",
+      Some(
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+          |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |s AS (SELECT doc_id, token, tf, df,
+          |        CAST(tf AS DOUBLE) * (SELECT count(*) FROM documents) / df AS score
+          |      FROM tf JOIN dfreq USING (token)),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk FROM s)
+          |SELECT doc_id, token, tf, df, score, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3""".stripMargin
+      ),
+      (spark, sf) => TextStats.tfidfTopTerms(table(spark, sf, "documents"), "doc_id", "text", k = 3)
+    ),
     // Deterministic sequence packing: concat-and-chunk positions for every
     // doc in a sharded stream of 512-token training sequences. Pure window
     // cumsum per shard — the oracle replays the identical integer

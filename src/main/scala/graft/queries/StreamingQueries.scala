@@ -157,6 +157,36 @@ object StreamingQueries {
       }
     ),
     QueryDef(
+      "t6_stream_enrich_batch_eq",
+      Some(
+        // stateless stream-static join: the streamed result must equal the
+        // batch join exactly — no watermark, no state, no cutoff needed.
+        """SELECT event_id, user_id, c_name, event_type, value
+          |FROM events JOIN customer ON user_id = c_custkey""".stripMargin
+      ),
+      (spark, sf) => {
+        val (in, out, ckpt) = stageEvents(sf, "t6")
+        val schema = spark.read.parquet(s"$sf/events.parquet").schema
+        val stream = spark.readStream.schema(schema).parquet(in)
+          .select("event_id", "user_id", "event_type", "value")
+        val dim = spark.read
+          .parquet(s"$sf/customer.parquet")
+          .select(col("c_custkey").as("user_id"), col("c_name"))
+        TypedStreams
+          .enrichStream(stream, dim, Seq("user_id"))
+          .select("event_id", "user_id", "c_name", "event_type", "value")
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out)
+      }
+    ),
+    QueryDef(
       "t4_stream_dedup_batch_eq",
       Some(
         // WHICH duplicate row survives streaming dedup depends on arrival

@@ -125,6 +125,17 @@ object TypedStreams {
       }
   }
 
+  /** Stream-static dimension enrichment: a streaming DataFrame joined to a
+    * static (batch) dimension table on `joinKeys`. Stateless — no
+    * watermark, no state store; every micro-batch joins against the static
+    * side, which Spark broadcasts when small. This is the canonical
+    * pattern for attaching dimension attributes to a high-volume event
+    * stream: the stream never shuffles on the join key when the dim side
+    * broadcasts, so enrichment adds zero stateful overhead at any rate.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, joinKeys: Seq[String]): DataFrame =
+    stream.join(dim, joinKeys)
+
   /** Streaming llmops: the text-stats / fingerprint projections are pure
     * per-row expressions, so they apply to a stream unchanged — this just
     * documents (and type-checks) that property.

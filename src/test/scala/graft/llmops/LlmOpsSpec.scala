@@ -544,6 +544,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept3.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("buildVocab ranks by frequency with deterministic ties and honors minCount") {
+    val corpus = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a d")
+    ).toDF("doc_id", "text")
+    val vocab = TextStats.buildVocab(corpus).as[(String, Long, Long)].collect().sortBy(_._3)
+    // counts: a=3, b=3, c=1, d=1 → ties break alphabetically
+    assert(vocab.toSeq == Seq(("a", 3L, 0L), ("b", 3L, 1L), ("c", 1L, 2L), ("d", 1L, 3L)))
+    val pruned = TextStats.buildVocab(corpus, minCount = 2L).as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(pruned.toSeq == Seq(("a", 3L, 0L), ("b", 3L, 1L)))
+  }
+
+  test("tfidfTopTerms ranks rare-but-frequent terms first") {
+    val corpus = Seq(
+      (1L, "x x common"),
+      (2L, "y common"),
+      (3L, "z common")
+    ).toDF("doc_id", "text")
+    val top = TextStats
+      .tfidfTopTerms(corpus, "doc_id", "text", k = 1)
+      .select("doc_id", "token", "score")
+      .as[(Long, String, Double)]
+      .collect()
+      .sortBy(_._1)
+    // doc1: x tf=2 df=1 → 2*3/1=6 beats common 1*3/3=1
+    assert(top.map(t => (t._1, t._2)).toSeq == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    assert(top.head._3 == 6.0)
+  }
+
   test("contaminationLedger maxDf drops boilerplate shingles from the signal") {
     // "x y z w v" appears in 3 corpus docs (boilerplate) AND in heldout;
     // with maxDf=2 it stops counting as contamination signal
