@@ -80,6 +80,7 @@ object Bench {
     "llm_corpus_pipeline",
     "llm_distinct_sketch",
     "llm_heavy_hitters",
+    "llm_quantile_sketch",
     "llm_embed_quantize",
     "llm_multimodal",
     "llm_multimodal_decode",

@@ -56,4 +56,42 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("value"))
       .limit(k)
+
+  /** Deterministic per-group quantile estimates over a content-hash
+    * Bernoulli sample, with the exact full-data quantiles alongside as the
+    * error ledger. The sample is taken by md5 bucket of a stable row id —
+    * reproducible across runs AND engines (so an approximate operator
+    * passes an exact hash gate), and mergeable: the union of shard
+    * samples IS the sample of the union, unlike rate-limited `df.sample`.
+    * Quantiles use Spark's exact `percentile` (R-7, identical to DuckDB's
+    * `quantile_cont`). At 100 TB the exact side is what stops scaling
+    * (per-group value buffers); the hash-sampled side keeps the buffer at
+    * rate × group size, tunable down to any memory budget.
+    */
+  def hashSampledQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      samplePercent: Int,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(samplePercent > 0 && samplePercent <= 100, "need 0 < samplePercent <= 100")
+    def tag(q: Double): String = s"p${(q * 100).round}"
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long") % 100
+    val est = df
+      .filter(bucket < samplePercent)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_sample"),
+        qs.map(q => expr(s"percentile($valueCol, $q)").as(s"est_${tag(q)}")): _*
+      )
+    val exact = df
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_total"),
+        qs.map(q => expr(s"percentile($valueCol, $q)").as(s"exact_${tag(q)}")): _*
+      )
+    est.join(exact, groupCol)
+  }
 }

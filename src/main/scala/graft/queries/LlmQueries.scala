@@ -812,6 +812,34 @@ object LlmQueries {
           .crossJoin(shingles.agg(count_distinct(col("t")).as("n_distinct_exact")))
       }
     ),
+    // Hash-sampled quantile sketch: deterministic Bernoulli sample by md5
+    // bucket of event_id → estimated p50/p90 per event_type, exact
+    // quantiles alongside as the error ledger. An approximate operator
+    // under the exact hash gate (both engines replay the same sample).
+    QueryDef(
+      "llm_quantile_sketch",
+      Some(
+        """WITH s AS (SELECT event_type, value FROM events
+          |           WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 10),
+          |est AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+          |          quantile_cont(value, 0.5) AS est_p50, quantile_cont(value, 0.9) AS est_p90
+          |        FROM s GROUP BY 1),
+          |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+          |         quantile_cont(value, 0.5) AS exact_p50, quantile_cont(value, 0.9) AS exact_p90
+          |       FROM events GROUP BY 1)
+          |SELECT est.event_type, n_sample, est_p50, est_p90, n_total, exact_p50, exact_p90
+          |FROM est JOIN ex USING (event_type)""".stripMargin
+      ),
+      (spark, sf) =>
+        Sketches.hashSampledQuantiles(
+          table(spark, sf, "events"),
+          groupCol = "event_type",
+          valueCol = "value",
+          idCol = "event_id",
+          samplePercent = 10,
+          qs = Seq(0.5, 0.9)
+        )
+    ),
     // Exact heavy hitters: top-20 tokens by frequency, deterministic ties.
     QueryDef(
       "llm_heavy_hitters",

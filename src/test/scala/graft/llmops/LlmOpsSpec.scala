@@ -573,6 +573,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(top.head._3 == 6.0)
   }
 
+  test("hashSampledQuantiles: deterministic sample, exact ledger matches full data") {
+    val events = (1L to 1000L).map(i => (i, "a", i.toDouble)).toDF("event_id", "event_type", "value")
+    val out = Sketches
+      .hashSampledQuantiles(events, "event_type", "value", "event_id", samplePercent = 20, qs = Seq(0.5))
+    val row = out.collect().head
+    val nSample = row.getAs[Long]("n_sample")
+    assert(nSample > 100 && nSample < 300) // ~20% of 1000, hash-spread
+    assert(row.getAs[Long]("n_total") == 1000L)
+    // exact side is the true R-7 median of 1..1000
+    assert(row.getAs[Double]("exact_p50") == 500.5)
+    // determinism: the same call returns the identical sample and estimate
+    val again = Sketches
+      .hashSampledQuantiles(events, "event_type", "value", "event_id", samplePercent = 20, qs = Seq(0.5))
+      .collect().head
+    assert(again.getAs[Long]("n_sample") == nSample)
+    assert(again.getAs[Double]("est_p50") == row.getAs[Double]("est_p50"))
+  }
+
   test("contaminationLedger maxDf drops boilerplate shingles from the signal") {
     // "x y z w v" appears in 3 corpus docs (boilerplate) AND in heldout;
     // with maxDf=2 it stops counting as contamination signal
