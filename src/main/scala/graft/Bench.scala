@@ -59,6 +59,7 @@ object Bench {
     "llm_text_stats",
     "llm_simhash",
     "llm_dedup_exact",
+    "llm_dedup_incremental",
     "llm_dedup_minhash",
     "llm_dedup_ngram",
     "llm_dedup_ngram_capped",

@@ -80,6 +80,31 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Incremental exact dedup — the ingest-time variant of [[dedupExact]]:
+    * drop from `batch` every row whose content `key` already exists in the
+    * previously-ingested index (`existingKeys`), then dedup within the
+    * batch itself. At 100 TB the index side is the stored fingerprint
+    * column (32-char hashes), never the historical corpus — one anti-join
+    * against it plus one within-batch window, both shuffling hashes only.
+    * The surviving rows' keys are exactly what gets appended to the index
+    * for the next batch.
+    */
+  def dedupIncremental(
+      batch: DataFrame,
+      existingKeys: DataFrame,
+      existingKeyCol: String,
+      key: Column,
+      tieBreak: Column
+  ): DataFrame = {
+    val withKey = batch.withColumn("__ck", key)
+    val fresh = withKey.join(
+      existingKeys.select(col(existingKeyCol).as("__ck")).distinct(),
+      Seq("__ck"),
+      "left_anti"
+    )
+    dedupExact(fresh, col("__ck"), tieBreak).drop("__ck")
+  }
+
   /** Benchmark-contamination ledger: for each `corpus` doc, the number of
     * distinct k-token shingles it shares with the held-out `heldout`
     * corpus (an eval/test set that must not leak into training data).

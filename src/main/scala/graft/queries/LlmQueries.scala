@@ -936,6 +936,35 @@ object LlmQueries {
           .chunkTokens(table(spark, sf, "documents"), "text", chunkSize = 32, overlap = 8)
           .select("doc_id", "chunk_id", "chunk")
     ),
+    // Incremental ingest dedup: docs with id >= 250 arrive as the new
+    // batch; the already-ingested half contributes only its content-key
+    // index. Survivors = batch docs whose content is new to the corpus AND
+    // first within the batch.
+    QueryDef(
+      "llm_dedup_incremental",
+      Some(
+        """WITH old AS (SELECT DISTINCT md5(text) AS ck FROM documents WHERE doc_id < 250),
+          |new_ AS (SELECT doc_id, md5(text) AS ck FROM documents WHERE doc_id >= 250),
+          |fresh AS (SELECT doc_id, ck FROM new_ WHERE ck NOT IN (SELECT ck FROM old)),
+          |r AS (SELECT doc_id, row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn FROM fresh)
+          |SELECT doc_id FROM r WHERE rn = 1""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val index = docs
+          .filter(col("doc_id") < 250)
+          .select(Fingerprints.contentKeyMd5(col("text")).as("ck"))
+        Dedup
+          .dedupIncremental(
+            docs.filter(col("doc_id") >= 250),
+            index,
+            "ck",
+            Fingerprints.contentKeyMd5(col("text")),
+            col("doc_id")
+          )
+          .select("doc_id")
+      }
+    ),
     // Frequency-ranked corpus vocabulary (tokenizer id assignment): the
     // global rank runs over the distinct-token set only, never the corpus.
     QueryDef(

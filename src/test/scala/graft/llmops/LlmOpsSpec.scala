@@ -573,6 +573,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(top.head._3 == 6.0)
   }
 
+  test("dedupIncremental drops index hits and within-batch dups, keeps the rest") {
+    // index covers doc 1/4's content; batch has an index dup (4), a
+    // within-batch dup pair (2 repeated as 6), and fresh content (3, 5)
+    val batch = docs.filter(col("doc_id") >= 2L).union(
+      Seq((6L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text")
+    )
+    val index = docs
+      .filter(col("doc_id") === 1L)
+      .select(Fingerprints.contentKeyMd5(col("text")).as("ck"))
+    val kept = Dedup
+      .dedupIncremental(batch, index, "ck", Fingerprints.contentKeyMd5(col("text")), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L, 5L)) // 4 = index dup, 6 = batch dup of 2
+  }
+
   test("hashSampledQuantiles: deterministic sample, exact ledger matches full data") {
     val events = (1L to 1000L).map(i => (i, "a", i.toDouble)).toDF("event_id", "event_type", "value")
     val out = Sketches
