@@ -60,6 +60,8 @@ object Bench {
     "llm_simhash",
     "llm_dedup_exact",
     "llm_dedup_incremental",
+    "llm_dedup_normalized",
+    "llm_source_mix",
     "llm_dedup_minhash",
     "llm_dedup_ngram",
     "llm_dedup_ngram_capped",

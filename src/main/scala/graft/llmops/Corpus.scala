@@ -91,6 +91,33 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Training-mixture ledger: per-(source, stratum) doc and token counts
+    * plus each cell's token-proportional share of the corpus — the table a
+    * mixture designer reads before assigning per-source rates to
+    * [[stratifiedSampleByHash]]. One hash aggregation + a 1-row total
+    * broadcast; the share division is exact ints into IEEE double
+    * (engine-portable).
+    */
+  def sourceMixture(
+      df: DataFrame,
+      sourceCol: String,
+      strataCol: String,
+      textCol: String
+  ): DataFrame = {
+    val withN = df.select(
+      col(sourceCol),
+      col(strataCol),
+      size(TextStats.tokens(col(textCol))).cast("long").as("__n")
+    )
+    val grouped = withN
+      .groupBy(sourceCol, strataCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    grouped
+      .crossJoin(withN.agg(sum(col("__n")).as("__total"))) // 1-row scalar
+      .withColumn("token_share", col("n_tokens").cast("double") / col("__total"))
+      .drop("__total")
+  }
+
   /** Deterministic stratified downsampling: keep a row iff its content-hash
     * bucket falls under the stratum's rate. Unlike `df.sample`, this is
     * reproducible across runs/engines (no RNG state), duplicate-stable

@@ -141,6 +141,16 @@ object TextStats {
       )
   }
 
+  /** Canonical text normalization for dedup keys (C4-style): lowercase,
+    * strip everything but letters/digits/spaces, collapse whitespace runs,
+    * trim. Deliberately ASCII-conservative — every step is a portable
+    * per-row expression, so normalized-content hashes agree across
+    * engines. Use as the key column of [[graft.llmops.Dedup.dedupExact]]
+    * to catch the case/punctuation near-dups exact hashing misses.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Corpus vocabulary with frequency-ranked ids — the id-assignment step
     * of tokenizer training. Two-phase hash aggregation over the corpus
     * (map-side partial counts), then ONE global window over the distinct

@@ -936,6 +936,42 @@ object LlmQueries {
           .chunkTokens(table(spark, sf, "documents"), "text", chunkSize = 32, overlap = 8)
           .select("doc_id", "chunk_id", "chunk")
     ),
+    // Normalized-content dedup: survivors after deduping on the
+    // case/punctuation-insensitive canonical form — catches the near-dups
+    // byte-exact hashing misses. DuckDB regexes need the 'g' flag to
+    // replace all occurrences (Java replaces all by default).
+    QueryDef(
+      "llm_dedup_normalized",
+      Some(
+        """WITH n AS (SELECT doc_id,
+          |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ck
+          |FROM documents),
+          |r AS (SELECT doc_id, row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn FROM n)
+          |SELECT doc_id FROM r WHERE rn = 1""".stripMargin
+      ),
+      (spark, sf) =>
+        Dedup
+          .dedupExact(
+            table(spark, sf, "documents"),
+            Fingerprints.contentKeyMd5(TextStats.normalizeText(col("text"))),
+            col("doc_id")
+          )
+          .select("doc_id")
+    ),
+    // Training-mixture ledger: per-(source, lang) doc/token counts and the
+    // token-proportional corpus share that drives mixture rates.
+    QueryDef(
+      "llm_source_mix",
+      Some(
+        """WITH t AS (SELECT source, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+          |g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+          |      FROM t GROUP BY 1, 2)
+          |SELECT source, lang, n_docs, n_tokens,
+          |  CAST(n_tokens AS DOUBLE) / (SELECT CAST(sum(n) AS BIGINT) FROM t) AS token_share
+          |FROM g""".stripMargin
+      ),
+      (spark, sf) => Corpus.sourceMixture(table(spark, sf, "documents"), "source", "lang", "text")
+    ),
     // Incremental ingest dedup: docs with id >= 250 arrive as the new
     // batch; the already-ingested half contributes only its content-key
     // index. Survivors = batch docs whose content is new to the corpus AND

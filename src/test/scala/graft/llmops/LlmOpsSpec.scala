@@ -573,6 +573,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(top.head._3 == 6.0)
   }
 
+  test("normalizeText canonicalizes case/punct/whitespace; dedup on it catches variants") {
+    val variants = Seq(
+      (1L, "The quick, brown FOX!"),
+      (2L, "the   quick brown fox"), // normalized dup of 1
+      (3L, "a different doc")
+    ).toDF("doc_id", "text")
+    val normed = variants.select(TextStats.normalizeText(col("text"))).as[String].collect()
+    assert(normed(0) == "the quick brown fox" && normed(0) == normed(1))
+    val kept = Dedup
+      .dedupExact(variants, Fingerprints.contentKeyMd5(TextStats.normalizeText(col("text"))), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("sourceMixture token shares sum to 1 and count per cell") {
+    val corpus = Seq(
+      (1L, "a b c", "s1", "en"),
+      (2L, "d e", "s1", "en"),
+      (3L, "f g h i j", "s2", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val mix = Corpus
+      .sourceMixture(corpus, "source", "lang", "text")
+      .select("source", "lang", "n_docs", "n_tokens", "token_share")
+      .as[(String, String, Long, Long, Double)]
+      .collect()
+      .sortBy(_._1)
+    assert(mix.toSeq == Seq(("s1", "en", 2L, 5L, 0.5), ("s2", "de", 1L, 5L, 0.5)))
+  }
+
   test("dedupIncremental drops index hits and within-batch dups, keeps the rest") {
     // index covers doc 1/4's content; batch has an index dup (4), a
     // within-batch dup pair (2 repeated as 6), and fresh content (3, 5)
