@@ -81,6 +81,7 @@ object Bench {
     "llm_stratified_sample",
     "llm_chunking",
     "llm_corpus_pipeline",
+    "llm_corpus_pipeline_v2",
     "llm_distinct_sketch",
     "llm_heavy_hitters",
     "llm_quantile_sketch",

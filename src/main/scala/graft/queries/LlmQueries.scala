@@ -922,6 +922,76 @@ object LlmQueries {
           )
       }
     ),
+    // CAPSTONE v2: the round-4 tail of the pipeline — after quality
+    // filter → scrub → dedup → sample → split (the v1 chain), the train
+    // half is decontaminated against the valid half (5-gram overlap >= 3)
+    // and packed into 512-token training sequences; output = per-shard
+    // doc/token/sequence counts. One green row certifies that
+    // decontamination and packing compose with everything upstream.
+    QueryDef(
+      "llm_corpus_pipeline_v2",
+      Some {
+        val redacted = TextStats.piiPatterns.foldLeft("text") { case (inner, (pat, tag)) =>
+          s"regexp_replace($inner, '$pat', '$tag', 'g')"
+        }
+        val gram5 = (1 to 5).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+        s"""WITH g AS (
+           |  SELECT doc_id, lang, $redacted AS t2
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) BETWEEN 16 AND 100000
+           |    AND CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+           |    AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) <= 0.2
+           |    AND 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) <= 0.6),
+           |d AS (SELECT * FROM g WHERE doc_id IN (SELECT min(doc_id) FROM g GROUP BY md5(t2))),
+           |f AS (SELECT * FROM d
+           |      WHERE CAST(concat('0x', substr(md5(t2), 1, 8)) AS UBIGINT) % 100 <
+           |        CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 50 ELSE 100 END),
+           |lab AS (SELECT *, CASE WHEN CAST(concat('0x', substr(md5(t2), 1, 8)) AS UBIGINT) % 100 < 90
+           |                       THEN 'train' ELSE 'valid' END AS split FROM f),
+           |ts AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-4), i -> $gram5))) AS sh
+           |       FROM (SELECT doc_id, string_split(t2, ' ') AS toks FROM lab WHERE split = 'train')),
+           |vs AS (SELECT DISTINCT sh FROM (
+           |         SELECT unnest(list_distinct(list_transform(range(len(toks)-4), i -> $gram5))) AS sh
+           |         FROM (SELECT string_split(t2, ' ') AS toks FROM lab WHERE split = 'valid'))),
+           |flag AS (SELECT ts.doc_id, count(*) AS n FROM ts JOIN vs USING (sh) GROUP BY 1),
+           |clean AS (SELECT doc_id, len(string_split(t2, ' ')) AS n FROM lab
+           |          WHERE split = 'train'
+           |            AND doc_id NOT IN (SELECT doc_id FROM flag WHERE n >= 3)),
+           |sh AS (SELECT doc_id, n,
+           |         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard
+           |       FROM clean)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+           |       CAST((sum(n) - 1) // 512 + 1 AS BIGINT) AS n_seqs
+           |FROM sh GROUP BY 1""".stripMargin
+      },
+      (spark, sf) => {
+        val kept = TextStats
+          .gopherRules(table(spark, sf, "documents"))
+          .filter(col("keep"))
+          .select(col("doc_id"), col("lang"), TextStats.redactPii(col("text")).as("t2"))
+        val deduped = Dedup.dedupExact(kept, Fingerprints.contentKeyMd5(col("t2")), col("doc_id"))
+        val sampled = Corpus
+          .stratifiedSampleByHash(deduped, "lang", col("t2"), rates = Map("en" -> 50, "de" -> 50))
+          .withColumn("split", Corpus.splitByContentHash(col("t2"), trainPercent = 90))
+        val train = sampled.filter(col("split") === "train")
+        val valid = sampled.filter(col("split") === "valid")
+        val clean = Dedup.decontaminate(train, valid, "doc_id", "t2", k = 5, minShared = 3)
+        Corpus
+          .packSequences(
+            clean.select(col("doc_id"), size(TextStats.tokens(col("t2"))).cast("long").as("n_tokens")),
+            "doc_id",
+            "n_tokens",
+            budgetTokens = 512,
+            shards = 8
+          )
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            max(col("seq_id") + col("n_seqs")).as("n_seqs")
+          )
+      }
+    ),
     // Overlapping token-window chunking (chunkSize=32, overlap=8).
     QueryDef(
       "llm_chunking",
