@@ -61,6 +61,50 @@ class FingerprintPropertiesSpec extends AnyFunSuite with SparkTestSession {
     assert(bad == 0L)
   }
 
+  test("property: normalizeText is idempotent and canonical-form stable") {
+    val out = corpus
+      .select(
+        TextStats.normalizeText(col("text")).as("n1"),
+        TextStats.normalizeText(TextStats.normalizeText(col("text"))).as("n2")
+      )
+    assert(out.filter(col("n1") =!= col("n2")).count() == 0L)
+    // canonical form never contains uppercase, punctuation or double spaces
+    assert(out.filter(col("n1").rlike("[^a-z0-9 ]|  ")).count() == 0L)
+  }
+
+  test("property: packSequences tiles each shard's token stream exactly (random sizes/budgets)") {
+    val sizesGen = Gen.chooseNum(1, 64).flatMap(n => Gen.listOfN(n, Gen.chooseNum(1L, 700L)))
+    sample(Gen.zip(sizesGen, Gen.chooseNum(16, 1024)), 12).foreach { case (sizes, budget) =>
+      val df = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n_tokens")
+      val packed = Corpus
+        .packSequences(df, "doc_id", "n_tokens", budgetTokens = budget, shards = 3)
+        .select("shard", "doc_id", "n_tokens", "seq_id", "seq_offset", "n_seqs")
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .collect()
+      assert(packed.length == sizes.length)
+      packed.groupBy(_._1).values.foreach { shardRows =>
+        var cum = 0L
+        shardRows.sortBy(_._2).foreach { case (_, _, n, seqId, off, nSeqs) =>
+          assert(seqId * budget + off == cum, s"gap/overlap at budget=$budget")
+          assert(nSeqs == (cum + n - 1) / budget - cum / budget + 1)
+          cum += n
+        }
+      }
+    }
+  }
+
+  test("property: decontaminate survivors shrink monotonically as minShared drops") {
+    val half = corpus.filter(col("doc_id") < 150)
+    val held = corpus.filter(col("doc_id") >= 150)
+    val counts = Seq(1, 2, 4).map { m =>
+      Dedup.decontaminate(half, held, "doc_id", "text", k = 3, minShared = m).count()
+    }
+    assert(counts == counts.sorted) // stricter threshold keeps more docs
+    // an empty held-out set never drops anything
+    val none = Dedup.decontaminate(half, held.filter(lit(false)), "doc_id", "text", k = 3, minShared = 1)
+    assert(none.count() == half.count())
+  }
+
   test("property: simhash banding finds exactly the brute-force Hamming ball") {
     val banded = Dedup
       .simhashNearDupPairs(corpus, "doc_id", "text", bands = 4, maxHamming = 3,
