@@ -203,6 +203,10 @@ object StreamingQueries {
           .parquet(in)
           .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
           .withColumn("text", concat_ws("|", col("user_id"), col("event_type")))
+        // column pruning crosses the stateful dedup: the shuffle carries
+        // only the dedup key + output columns, not the full event row
+        // (measured with tools/ShuffleAudit — an explicit pre-projection
+        // changes nothing)
         val deduped = TypedStreams
           .streamingDedupExact(stream, tsCol = "ts2", watermark = "1 hour")
           .select("user_id", "event_type")

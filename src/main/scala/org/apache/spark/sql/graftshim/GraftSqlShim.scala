@@ -12,6 +12,13 @@ object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Block until all queued listener events are delivered (`listenerBus`
+    * is `private[spark]`) — metrics tools must drain before reading their
+    * accumulated counters or they race the async bus.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Register a function into an existing (classic) session's registry —
     * the post-creation counterpart of SparkSessionExtensions.injectFunction.
     */
