@@ -86,6 +86,7 @@ object Bench {
     "llm_heavy_hitters",
     "llm_quantile_sketch",
     "llm_embed_quantize",
+    "llm_embed_centroids",
     "llm_multimodal",
     "llm_multimodal_decode",
     "llm_multimodal_audio",

@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column utilities for training-data pipelines. Quantization is
@@ -31,4 +31,22 @@ object Embeddings {
           .otherwise(floor((x.cast("double") * lit(127.0)) / scale + lit(0.5)).cast("int"))
     )
   }
+
+  /** Per-group centroids over int8-quantized vectors, one row per
+    * (group, dimension): exact integer sums into one final division, so
+    * the result is identical under ANY partitioning or reduction order —
+    * float centroids can't promise that (fp addition isn't associative),
+    * which is why the quantized path is both the verifiable one and the
+    * scale-honest one (map-side partial integer sums, shuffle = groups ×
+    * dims rows). Used for cluster representatives / class prototypes in
+    * curation pipelines.
+    */
+  def quantizedCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(quantizeInt8(col(vecCol))).as(Seq("dim", "__q")))
+      .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
+      .agg(
+        sum(col("__q")).as("sum_q"),
+        count(lit(1)).as("n"),
+        (sum(col("__q")).cast("double") / count(lit(1))).as("centroid_q")
+      )
 }

@@ -777,6 +777,28 @@ object LlmQueries {
             array_join(Embeddings.quantizeInt8(col("embedding")), ",").as("q")
           )
     ),
+    // Per-label centroids over the int8-quantized embeddings: exact
+    // integer pooling — deterministic under any reduction order, unlike
+    // float mean — so every (label, dim) centroid hash-matches DuckDB's
+    // recompute of the full quantize-then-pool chain.
+    QueryDef(
+      "llm_embed_centroids",
+      Some(
+        """WITH e AS (SELECT label,
+          |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+          |  embedding FROM embeddings),
+          |q AS (SELECT label, list_transform(embedding,
+          |        x -> CASE WHEN scale = 0 THEN 0
+          |                  ELSE CAST(floor((CAST(x AS DOUBLE) * 127.0) / scale + 0.5) AS INTEGER) END) AS qv
+          |      FROM e),
+          |x AS (SELECT label, i AS dim, qv[i+1] AS v FROM q, unnest(range(len(qv))) AS u(i))
+          |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(sum(v) AS BIGINT) AS sum_q,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*) AS centroid_q
+          |FROM x GROUP BY 1, 2""".stripMargin
+      ),
+      (spark, sf) => Embeddings.quantizedCentroids(table(spark, sf, "embeddings"), "label", "embedding")
+    ),
     // KMV distinct sketch, driver-gated like the LSH oracles: the estimate
     // is a deterministic function of the data (md5 hash points, k smallest,
     // (k-1)·2^56/max), so DuckDB recomputes the identical number — an
