@@ -95,6 +95,7 @@ object Bench {
     "t3_sessionize_batch_eq",
     "t4_stream_dedup_batch_eq",
     "t6_stream_enrich_batch_eq",
+    "t7_stream_stream_join_batch_eq",
     "t5_stream_textstats_batch_eq"
   )
 

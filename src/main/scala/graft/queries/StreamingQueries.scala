@@ -187,6 +187,60 @@ object StreamingQueries {
       }
     ),
     QueryDef(
+      "t7_stream_stream_join_batch_eq",
+      Some(
+        // the streaming analogue of q_range_join, inner form: every
+        // (error, click) pair for the same user within ±5 minutes. A
+        // single data micro-batch holds both sides in full, and the
+        // event-time range condition makes the match set a deterministic
+        // function of the data — the batch inequality join reproduces it.
+        """WITH er AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events WHERE event_type = 'error'),
+          |cl AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS cus FROM events WHERE event_type = 'click')
+          |SELECT er.event_id, cl.click_id
+          |FROM er JOIN cl ON er.user_id = cl.user_id
+          |  AND cl.cus BETWEEN er.us - 3600000000 AND er.us + 3600000000""".stripMargin
+      ),
+      (spark, sf) => withStatePartitions(spark, 8) {
+        val (in, out, ckpt) = stageEvents(sf, "t7")
+        val schema = spark.read.parquet(s"$sf/events.parquet").schema
+        def side(tpe: String, idAs: String, uidAs: String, tsAs: String) =
+          spark.readStream
+            .schema(schema)
+            .parquet(in)
+            .filter(col("event_type") === tpe)
+            .select(
+              col("event_id").as(idAs),
+              col("user_id").as(uidAs),
+              timestamp_micros(expr("ts div 1000")).as(tsAs)
+            )
+            // watermarks bound the join state: each side retains only
+            // rows inside (watermark − join window) — at a real stream
+            // rate state is proportional to the time window, never the
+            // stream length
+            .withWatermark(tsAs, "2 hours")
+        val errors = side("error", "event_id", "euid", "ets")
+        val clicks = side("click", "click_id", "cuid", "cts")
+        val joined = errors.join(
+          clicks,
+          expr(
+            """euid = cuid AND
+              |cts BETWEEN ets - INTERVAL 1 HOUR AND ets + INTERVAL 1 HOUR""".stripMargin
+          )
+        )
+        joined
+          .select("event_id", "click_id")
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out)
+      }
+    ),
+    QueryDef(
       "t4_stream_dedup_batch_eq",
       Some(
         // WHICH duplicate row survives streaming dedup depends on arrival
