@@ -583,12 +583,12 @@ object LlmQueries {
       Some {
         import AnnOracles._
         s"""WITH $eCte,
-           |${ivfTopCte(5, cells = 16, nprobe = 4)}
+           |${ivfTopCte(5, cells = 16, nprobe = 8)}
            |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM ivftop""".stripMargin
       },
       (spark, sf) =>
         Similarity
-          .ivfTopK(embeddingsDimChecked(spark, sf), "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
+          .ivfTopK(embeddingsDimChecked(spark, sf), "vec_id", "embedding", k = 5, cells = 16, nprobe = 8)
           .select("qid", "nid", "rank")
     ),
     // ANN recall, driver-verified: per-query overlap between each
@@ -605,7 +605,7 @@ object LlmQueries {
         s"""WITH $eCte,
            |${lshBandsCte(tables = 8, planes = 6, seed = 42L, probeBits = 5, probeDepth = 2)},
            |${lshTopCte(5)},
-           |${ivfTopCte(5, cells = 16, nprobe = 4)},
+           |${ivfTopCte(5, cells = 16, nprobe = 8)},
            |${bruteTopCte(5)},
            |lh AS (SELECT l.qid, count(*) AS c FROM lshtop l JOIN br USING (qid, nid) GROUP BY 1),
            |ih AS (SELECT i.qid, count(*) AS c FROM ivftop i JOIN br USING (qid, nid) GROUP BY 1),
@@ -634,7 +634,7 @@ object LlmQueries {
             .select(lit(method).as("method"), col("hits"), col("n"))
         }
         hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2))
-          .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 4)))
+          .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 8)))
       }
     ),
     // Embedding-cosine near-dup pairs at tau=0.4 through the LSH candidate
