@@ -78,6 +78,7 @@ object Bench {
     "llm_decontaminate",
     "llm_pii_scrub",
     "llm_gopher_rules",
+    "llm_repetition",
     "llm_stratified_sample",
     "llm_chunking",
     "llm_corpus_pipeline",

@@ -141,6 +141,33 @@ object TextStats {
       )
   }
 
+  /** Duplicate n-gram repetition ratios (Gopher §A1.1's "fraction of
+    * duplicate n-grams" family): for each n in `ns`, emits
+    * `dup_{n}gram_ratio` = 1 − distinct_ngrams/total_ngrams — a sharper
+    * repetition signal than token-level distinct ratio (catches looping
+    * phrases, not just repeated words). Pure per-row array expressions;
+    * docs shorter than n score 0.
+    */
+  def repetitionRatios(df: DataFrame, textCol: String = "text", ns: Seq[Int] = Seq(2, 3)): DataFrame =
+    ns.foldLeft(df) { (acc, n) =>
+      val toks = tokens(col(textCol))
+      val total = greatest(size(toks) - (n - 1), lit(0)).cast("long")
+      // guard: sequence(0, -1) would count DOWN and feed slice a zero
+      // start (ANSI error) — short docs get an empty gram list instead
+      val grams = when(
+        size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i => array_join(slice(toks, i + 1, lit(n)), " "))
+      ).otherwise(array())
+      val distinctN = size(array_distinct(grams)).cast("long")
+      acc
+        .withColumn(s"n_${n}grams", total)
+        .withColumn(
+          s"dup_${n}gram_ratio",
+          when(total === 0L, lit(0.0))
+            .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
+        )
+    }
+
   /** Canonical text normalization for dedup keys (C4-style): lowercase,
     * strip everything but letters/digits/spaces, collapse whitespace runs,
     * trim. Deliberately ASCII-conservative — every step is a portable

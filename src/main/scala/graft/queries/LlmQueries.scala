@@ -1097,6 +1097,28 @@ object LlmQueries {
           .select("doc_id")
       }
     ),
+    // Duplicate n-gram repetition ratios (Gopher-style looping-text
+    // signal): per-row exact-int-into-IEEE-division, portable.
+    QueryDef(
+      "llm_repetition",
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          |SELECT doc_id,
+          |  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_2grams,
+          |  CASE WHEN len(toks) < 2 THEN 0.0
+          |       ELSE 1.0 - CAST(len(list_distinct(list_transform(range(len(toks)-1),
+          |              i -> toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE) / (len(toks) - 1) END AS dup_2gram_ratio,
+          |  CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_3grams,
+          |  CASE WHEN len(toks) < 3 THEN 0.0
+          |       ELSE 1.0 - CAST(len(list_distinct(list_transform(range(len(toks)-2),
+          |              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS DOUBLE) / (len(toks) - 2) END AS dup_3gram_ratio
+          |FROM t""".stripMargin
+      ),
+      (spark, sf) =>
+        TextStats
+          .repetitionRatios(table(spark, sf, "documents"))
+          .select("doc_id", "n_2grams", "dup_2gram_ratio", "n_3grams", "dup_3gram_ratio")
+    ),
     // Frequency-ranked corpus vocabulary (tokenizer id assignment): the
     // global rank runs over the distinct-token set only, never the corpus.
     QueryDef(

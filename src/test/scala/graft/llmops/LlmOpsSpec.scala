@@ -573,6 +573,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(top.head._3 == 6.0)
   }
 
+  test("repetitionRatios flags looping phrases that token-distinct ratio misses") {
+    val corpus = Seq(
+      (1L, "a b a b a b a b"),      // 7 bigrams, 2 distinct → 5/7 dup
+      (2L, "one two three four"),   // all bigrams distinct → 0
+      (3L, "x")                     // shorter than any n-gram → 0 by guard
+    ).toDF("doc_id", "text")
+    val out = TextStats
+      .repetitionRatios(corpus)
+      .select("doc_id", "n_2grams", "dup_2gram_ratio", "dup_3gram_ratio")
+      .as[(Long, Long, Double, Double)]
+      .collect()
+      .sortBy(_._1)
+    // expectations written as the operator's expression (1 - distinct/total):
+    // 4.0/6.0 differs from 1.0 - 2.0/6.0 in the last ulp
+    assert(out(0) == ((1L, 7L, 1.0 - 2.0 / 7.0, 1.0 - 2.0 / 6.0)))
+    assert(out(1) == ((2L, 3L, 0.0, 0.0)))
+    assert(out(2) == ((3L, 0L, 0.0, 0.0)))
+  }
+
   test("normalizeText canonicalizes case/punct/whitespace; dedup on it catches variants") {
     val variants = Seq(
       (1L, "The quick, brown FOX!"),
