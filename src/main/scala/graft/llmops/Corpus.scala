@@ -77,18 +77,27 @@ object Corpus {
       conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
       lit(shards.toLong)
     )
-    val w = Window.partitionBy("shard").orderBy(col(idCol))
-    val start = col("__cum") - col(nTokensCol)
+    // ROWS frame (not the orderBy default RANGE): duplicate idCol values
+    // must each advance the running count by their own token length, and
+    // the oracle's cumsum is ROWS-framed.
+    val w = Window
+      .partitionBy("shard")
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val b = lit(budgetTokens.toLong)
+    // `div` = integer division on longs: exact at any cumulative token
+    // count, where floor() over Spark's double-valued `/` loses exactness
+    // past 2^53 (a realistic corpus-scale token total).
     df.withColumn("shard", shard)
       .withColumn("__cum", sum(col(nTokensCol)).over(w))
-      .withColumn("seq_id", floor(start / b).cast("long"))
-      .withColumn("seq_offset", pmod(start, b).cast("long"))
+      .withColumn("__start", (col("__cum") - col(nTokensCol)).cast("long"))
+      .withColumn("seq_id", expr(s"__start div ${budgetTokens}L"))
+      .withColumn("seq_offset", pmod(col("__start"), b).cast("long"))
       .withColumn(
         "n_seqs",
-        (floor((col("__cum") - 1) / b) - floor(start / b) + 1).cast("long")
+        expr(s"(__cum - 1L) div ${budgetTokens}L") - col("seq_id") + lit(1L)
       )
-      .drop("__cum")
+      .drop("__cum", "__start")
   }
 
   /** Training-mixture ledger: per-(source, stratum) doc and token counts

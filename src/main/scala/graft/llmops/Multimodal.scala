@@ -230,7 +230,9 @@ object Multimodal {
   }
 
   /** A real ISO BMFF box parser for [[decodeBatched]]: walks the top-level
-    * boxes from the raw bytes, descends into `moov`, reads the `mvhd`
+    * boxes from the raw bytes (including 64-bit `largesize` and
+    * size-0 extends-to-container-end boxes per ISO 14496-12 §4.2),
+    * descends into `moov`, reads the `mvhd`
     * movie header (version-aware field offsets) and counts `trak` boxes —
     * emitting (id, mime, timescale, duration ticks, track count). This is
     * the metadata-extraction half of a video pipeline; frame decode would
@@ -245,11 +247,29 @@ object Multimodal {
           private var off = from
           def hasNext: Boolean = off + 8 <= until
           def next(): (String, Int, Int) = {
-            val size = buf.getInt(off)
-            require(size >= 8 && off + size <= until, s"corrupt box at $off in doc ${row.doc_id}")
+            val size32 = buf.getInt(off)
             val tpe = new String(row.payload, off + 4, 4, "US-ASCII")
-            val r = (tpe, off + 8, off + size)
-            off += size
+            // ISO 14496-12 §4.2: size==1 → 64-bit largesize after the type;
+            // size==0 → box extends to the end of the enclosing container.
+            val (payloadStart, end) =
+              if (size32 == 0) (off + 8, until)
+              else if (size32 == 1) {
+                require(off + 16 <= until, s"truncated largesize box at $off in doc ${row.doc_id}")
+                val largesize = buf.getLong(off + 8)
+                require(
+                  largesize >= 16 && off.toLong + largesize <= until,
+                  s"corrupt largesize box at $off in doc ${row.doc_id}"
+                )
+                (off + 16, (off.toLong + largesize).toInt)
+              } else {
+                require(
+                  size32 >= 8 && off + size32 <= until,
+                  s"corrupt box at $off in doc ${row.doc_id}"
+                )
+                (off + 8, off + size32)
+              }
+            val r = (tpe, payloadStart, end)
+            off = end
             r
           }
         }

@@ -84,13 +84,13 @@ object Sketches {
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_sample"),
-        qs.map(q => expr(s"percentile($valueCol, $q)").as(s"est_${tag(q)}")): _*
+        qs.map(q => percentile(col(valueCol), lit(q)).as(s"est_${tag(q)}")): _*
       )
     val exact = df
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_total"),
-        qs.map(q => expr(s"percentile($valueCol, $q)").as(s"exact_${tag(q)}")): _*
+        qs.map(q => percentile(col(valueCol), lit(q)).as(s"exact_${tag(q)}")): _*
       )
     est.join(exact, groupCol)
   }

@@ -921,7 +921,7 @@ object LlmQueries {
            |      WHERE CAST(concat('0x', substr(md5(t2), 1, 8)) AS UBIGINT) % 100 <
            |        CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 50 ELSE 100 END)
            |SELECT lang,
-           |  CASE WHEN CAST(concat('0x', substr(md5(t2), 1, 8)) AS UBIGINT) % 100 < 90
+           |  CASE WHEN CAST(concat('0x', substr(md5(concat(t2, '|split')), 1, 8)) AS UBIGINT) % 100 < 90
            |       THEN 'train' ELSE 'valid' END AS split,
            |  CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(len(string_split(t2, ' '))) AS BIGINT) AS total_tokens
@@ -940,7 +940,14 @@ object LlmQueries {
           rates = Map("en" -> 50, "de" -> 50)
         )
         sampled
-          .withColumn("split", Corpus.splitByContentHash(col("t2"), trainPercent = 90))
+          // salted: the sampling gate above buckets on md5(t2), so an
+          // unsalted split hash would make every sampled en/de doc 'train'
+          // (bucket<50 ⊂ bucket<90) and leave the valid split en/de-free —
+          // vacuous decontamination. The salt decorrelates the two hashes.
+          .withColumn(
+            "split",
+            Corpus.splitByContentHash(concat(col("t2"), lit("|split")), trainPercent = 90)
+          )
           .groupBy("lang", "split")
           .agg(
             count(lit(1)).as("n_docs"),
@@ -972,7 +979,7 @@ object LlmQueries {
            |f AS (SELECT * FROM d
            |      WHERE CAST(concat('0x', substr(md5(t2), 1, 8)) AS UBIGINT) % 100 <
            |        CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 50 ELSE 100 END),
-           |lab AS (SELECT *, CASE WHEN CAST(concat('0x', substr(md5(t2), 1, 8)) AS UBIGINT) % 100 < 90
+           |lab AS (SELECT *, CASE WHEN CAST(concat('0x', substr(md5(concat(t2, '|split')), 1, 8)) AS UBIGINT) % 100 < 90
            |                       THEN 'train' ELSE 'valid' END AS split FROM f),
            |ts AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-4), i -> $gram5))) AS sh
            |       FROM (SELECT doc_id, string_split(t2, ' ') AS toks FROM lab WHERE split = 'train')),
@@ -998,7 +1005,14 @@ object LlmQueries {
         val deduped = Dedup.dedupExact(kept, Fingerprints.contentKeyMd5(col("t2")), col("doc_id"))
         val sampled = Corpus
           .stratifiedSampleByHash(deduped, "lang", col("t2"), rates = Map("en" -> 50, "de" -> 50))
-          .withColumn("split", Corpus.splitByContentHash(col("t2"), trainPercent = 90))
+          // salted: the sampling gate above buckets on md5(t2), so an
+          // unsalted split hash would make every sampled en/de doc 'train'
+          // (bucket<50 ⊂ bucket<90) and leave the valid split en/de-free —
+          // vacuous decontamination. The salt decorrelates the two hashes.
+          .withColumn(
+            "split",
+            Corpus.splitByContentHash(concat(col("t2"), lit("|split")), trainPercent = 90)
+          )
         val train = sampled.filter(col("split") === "train")
         val valid = sampled.filter(col("split") === "valid")
         val clean = Dedup.decontaminate(train, valid, "doc_id", "t2", k = 5, minShared = 3)

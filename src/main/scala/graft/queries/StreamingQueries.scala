@@ -190,7 +190,7 @@ object StreamingQueries {
       "t7_stream_stream_join_batch_eq",
       Some(
         // the streaming analogue of q_range_join, inner form: every
-        // (error, click) pair for the same user within ±5 minutes. A
+        // (error, click) pair for the same user within ±1 hour. A
         // single data micro-batch holds both sides in full, and the
         // event-time range condition makes the match set a deterministic
         // function of the data — the batch inequality join reproduces it.
