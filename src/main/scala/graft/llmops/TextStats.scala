@@ -145,20 +145,17 @@ object TextStats {
     * duplicate n-grams" family): for each n in `ns`, emits
     * `dup_{n}gram_ratio` = 1 − distinct_ngrams/total_ngrams — a sharper
     * repetition signal than token-level distinct ratio (catches looping
-    * phrases, not just repeated words). Pure per-row array expressions;
-    * docs shorter than n score 0.
+    * phrases, not just repeated words). The distinct-gram count comes from
+    * the native codegen'd [[graft.functions.TokenShingles]] expression
+    * (via [[graft.llmops.Fingerprints.shingles]]) — the interpreted-HOF
+    * formulation of the same set is ~150× slower per row and was the
+    * slowest query in the whole bench. Docs shorter than n score 0.
     */
   def repetitionRatios(df: DataFrame, textCol: String = "text", ns: Seq[Int] = Seq(2, 3)): DataFrame =
     ns.foldLeft(df) { (acc, n) =>
       val toks = tokens(col(textCol))
       val total = greatest(size(toks) - (n - 1), lit(0)).cast("long")
-      // guard: sequence(0, -1) would count DOWN and feed slice a zero
-      // start (ANSI error) — short docs get an empty gram list instead
-      val grams = when(
-        size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n), i => array_join(slice(toks, i + 1, lit(n)), " "))
-      ).otherwise(array())
-      val distinctN = size(array_distinct(grams)).cast("long")
+      val distinctN = size(Fingerprints.shingles(col(textCol), n)).cast("long")
       acc
         .withColumn(s"n_${n}grams", total)
         .withColumn(
