@@ -63,6 +63,12 @@ object Corpus {
     * integer arithmetic on the running token count: reproducible across
     * engines and runs, no RNG, no driver state. Choose `shards` ≈ cluster
     * parallelism; each shard's packing is contiguous and deterministic.
+    *
+    * PRECONDITION: `idCol` values must be unique — `(shard, idCol)` is the
+    * window's total order, and with duplicate ids the ROWS-framed cumsum
+    * assigns the duplicates' slots in a tie order that can differ across
+    * runs/engines. (Aggregate totals would still agree; the per-row
+    * seq_id/seq_offset assignment would not be reproducible.)
     */
   def packSequences(
       df: DataFrame,
@@ -94,8 +100,13 @@ object Corpus {
       .withColumn("seq_id", expr(s"__start div ${budgetTokens}L"))
       .withColumn("seq_offset", pmod(col("__start"), b).cast("long"))
       .withColumn(
+        // greatest(..., 0): Spark `div` truncates toward zero but the
+        // oracle's `//` floors — they only agree on non-negative operands,
+        // and a zero-token doc at a shard head has __cum - 1 = -1. Clamping
+        // gives both engines n_seqs = 1 for empty docs (they occupy a
+        // zero-width slot at their start position).
         "n_seqs",
-        expr(s"(__cum - 1L) div ${budgetTokens}L") - col("seq_id") + lit(1L)
+        expr(s"greatest(__cum - 1L, 0L) div ${budgetTokens}L") - col("seq_id") + lit(1L)
       )
       .drop("__cum", "__start")
   }

@@ -262,11 +262,15 @@ object Multimodal {
                 )
                 (off + 16, (off.toLong + largesize).toInt)
               } else {
+                // box sizes are unsigned 32-bit per spec; compare in long
+                // arithmetic so sizes near 2^31 can't overflow Int past
+                // the require and fail later with a less clear error
+                val size = size32.toLong & 0xffffffffL
                 require(
-                  size32 >= 8 && off + size32 <= until,
+                  size >= 8 && off.toLong + size <= until,
                   s"corrupt box at $off in doc ${row.doc_id}"
                 )
-                (off + 8, off + size32)
+                (off + 8, off + size.toInt)
               }
             val r = (tpe, payloadStart, end)
             off = end

@@ -1177,7 +1177,7 @@ object LlmQueries {
           |SELECT doc_id, shard, n_tokens,
           |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
           |  CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset,
-          |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
+          |  CAST(greatest(cum - 1, 0) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
           |FROM c""".stripMargin
       ),
       (spark, sf) =>
