@@ -2,15 +2,36 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs the headline queries over SPARK_GRAFT_SF_DIR and
+/** Benchmark main: runs every registered query over SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line with per-query seconds. Failures are reported under
   * "errors" and excluded from the total (a broken query must never look
   * like a fast one).
+  *
+  * Timing protocol (round 6): each query is run `RUNS` (3) times and the
+  * reported number is the MEDIAN — single runs on this host swing up to
+  * 11× with zero code change (round-5 verdict), so round-over-round deltas
+  * need a noise-robust statistic. Runs are INTERLEAVED (3 full passes over
+  * the query list, not 3 back-to-back runs per query) so a minutes-long
+  * host-contention spike lands on at most one of a query's runs and the
+  * median votes it out. min/max per query are kept in "stats".
+  *
+  * Two tiers:
+  *   - `headline` — the scale-representative entry per operator family;
+  *     their medians sum to the headline "value".
+  *   - `secondary` — every other registered query (contract micro-ops,
+  *     set ops, scalar functions, and the verification-only ledgers),
+  *     timed and reported under "secondary" but excluded from the headline
+  *     total. The `verificationOnly` subset (brute-force baselines and
+  *     recall/consistency ledgers that deliberately run O(n²) work) is run
+  *     once, not 3× — they gate semantics, not throughput, and tripling
+  *     their cost would crowd out the queries whose time matters.
   *
   * Execution is forced through the noop sink so every output column is
   * materialized — `count()` would let Spark skip projection work entirely.
   */
 object Bench {
+
+  val RUNS = 3
 
   /** Heavy/representative subset of the registry — every query family is
     * timed. The O(n²) brute ANN baseline (`llm_ann_top1`) and the
@@ -100,6 +121,18 @@ object Bench {
     "t5_stream_textstats_batch_eq"
   )
 
+  /** Queries that verify semantics by deliberately running brute-force /
+    * duplicated work (O(n²) baselines, recall and consistency ledgers).
+    * Timed once each — their number documents the cost of the baseline,
+    * not a throughput claim.
+    */
+  val verificationOnly: Set[String] = Set(
+    "llm_ann_top1",
+    "llm_ann_recall",
+    "llm_cosine_recall",
+    "llm_native_consistency"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -122,19 +155,24 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
 
     val queries = SparkEntry.queries
-    // optional args: subset of headline names (exact or prefix) for fast
-    // local iteration; the driver passes none = full headline
-    val selected =
-      if (args.isEmpty) headline
-      else headline.filter(n => args.exists(a => n == a || n.startsWith(a)))
-    val results: Seq[(String, Either[String, Double])] = selected.map { name =>
+    val secondary: Seq[String] =
+      (queries.keySet -- headline).toSeq.sorted
+
+    // optional args: subset of registered names (exact or prefix) for fast
+    // local iteration; the driver passes none = everything
+    def pick(names: Seq[String]): Seq[String] =
+      if (args.isEmpty) names
+      else names.filter(n => args.exists(a => n == a || n.startsWith(a)))
+    val selHead = pick(headline)
+    val selSec = pick(secondary)
+
+    def runOnce(name: String): Either[String, Double] =
       queries.get(name) match {
         case None =>
           // an unknown headline name must surface as an error, never make
           // the benchmark silently smaller (and faster-looking)
-          name -> Left("not in SparkEntry.queries"): (String, Either[String, Double])
+          Left("not in SparkEntry.queries")
         case Some(fn) =>
-          System.err.println(s"[bench] running $name")
           val t0 = System.nanoTime()
           val r: Either[String, Double] =
             try {
@@ -147,10 +185,33 @@ object Bench {
           // operators persist candidate projections; release between queries
           // so one query's cache can't skew the next one's timing
           spark.catalog.clearCache()
-          r.foreach(s => System.err.println(f"[bench] $name: $s%.2f s"))
-          r.left.foreach(m => System.err.println(s"[bench] $name FAILED: $m"))
-          name -> r
+          r
       }
+
+    // interleaved passes: pass p runs every query once, in registry order
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val plan: Seq[(String, Int)] =
+      (1 to RUNS).flatMap { p =>
+        (selHead ++ selSec).collect { case n if p == 1 || !verificationOnly(n) => n -> p }
+      }
+    plan.foreach { case (name, pass) =>
+      if (!errors.contains(name)) { // a failed query is not retried on later passes
+        System.err.println(s"[bench] pass $pass: $name")
+        runOnce(name) match {
+          case Right(s) =>
+            samples(name) = s :: samples.getOrElse(name, Nil)
+            System.err.println(f"[bench] $name: $s%.2f s")
+          case Left(m) =>
+            errors(name) = m
+            System.err.println(s"[bench] $name FAILED: $m")
+        }
+      }
+    }
+
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2) // odd-length lists everywhere (1 or 3 samples)
     }
 
     def jstr(s: String): String =
@@ -164,13 +225,25 @@ object Bench {
         case c            => c.toString
       } + "\""
 
-    val ok = results.collect { case (n, Right(s)) => n -> s }
-    val errs = results.collect { case (n, Left(m)) => n -> m }
-    val qs = ok.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
-    val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    def fmtTier(names: Seq[String]): (String, String, Double) = {
+      val ok = names.filter(samples.contains)
+      val meds = ok.map(n => n -> median(samples(n)))
+      val qs = meds.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+      val stats = ok.map { n =>
+        val xs = samples(n)
+        s"${jstr(n)}:{\"median\":${"%.3f".format(median(xs))},\"min\":${"%.3f".format(xs.min)},\"max\":${"%.3f".format(xs.max)},\"runs\":${xs.length}}"
+      }.mkString("{", ",", "}")
+      (qs, stats, meds.map(_._2).sum)
+    }
+
+    val (qs, headStats, total) = fmtTier(selHead)
+    val (secQs, secStats, secTotal) = fmtTier(selSec)
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"stats":$headStats,"secondary":$secQs,"secondary_stats":$secStats,"secondary_total":${"%.3f"
+          .format(secTotal)},"verification_only":${verificationOnly.toSeq.sorted
+          .map(jstr)
+          .mkString("[", ",", "]")},"runs":$RUNS,"errors":$es,"sf":${jstr(sfDir)}}"""
     )
     spark.stop()
   }

@@ -243,7 +243,16 @@ object Similarity {
       .filter(col("__crank") <= nprobe)
       .select(col("__id"), col("__v"), col("__cid"), col("__crank"))
       .localCheckpoint(true)
-    val indexed = probed.filter(col("__crank") === 1).select(col("__cid"), col("__id").as("nid"), col("__v").as("__cvv"))
+    ivfProbeRank(probed, k)
+  }
+
+  /** Shared IVF tail: given the probed (__id, __v, __cid, __crank) cell
+    * assignments, join queries (all probed cells) against the index side
+    * (home cell only) on cell id and exact-rank candidates by cosine.
+    */
+  private def ivfProbeRank(probed: DataFrame, k: Int): DataFrame = {
+    val indexed =
+      probed.filter(col("__crank") === 1).select(col("__cid"), col("__id").as("nid"), col("__v").as("__cvv"))
     val queries = probed.select(col("__cid").as("__qcid"), col("__id").as("qid"), col("__v").as("__qv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     queries
@@ -252,6 +261,118 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank", "cos")
+  }
+
+  /** Deterministic spherical k-means centroids (fixed Lloyd iterations)
+    * over int8-quantized vectors — the "real fit" upgrade to [[ivfTopK]]'s
+    * identity quantizer for clustered data.
+    *
+    * Everything is engine-replayable, which is what makes the fit
+    * verifiable rather than trusted:
+    *   - vectors are symmetric-int8 quantized per row
+    *     ([[Embeddings.quantizeInt8]]) so the update step's per-dimension
+    *     means are exact integer sums into ONE IEEE division — identical
+    *     under any partitioning or reduction order (a float mean is not);
+    *   - init is the `cells` vectors first in portable md5-hash order
+    *     (seeded — same ordering expression evaluates in DuckDB);
+    *   - `iters` is a FIXED count (no convergence test — a data-dependent
+    *     stop would make the plan shape data-dependent);
+    *   - assignment is argmax cosine with a cid tie-break.
+    *
+    * Scale shape per iteration: one broadcast of `cells` centroids against
+    * the quantized base (map-side argmax via `max_by`, no window), one
+    * (cells × dim)-row aggregation for the update. The quantized base is
+    * snapshotted once with an eager local checkpoint and reused by every
+    * iteration; centroid sets are snapshotted because iteration N+1's plan
+    * would otherwise recompute iteration N from scratch (lineage doubles
+    * per iteration without it). Empty cells simply drop out (both engines
+    * replay that identically).
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: Int = 16,
+      iters: Int = 2,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(cells > 0 && iters >= 0, "cells must be positive, iters non-negative")
+    val qvd = transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double"))
+    val qbase = df.select(col(idCol).as("__id"), qvd.as("__qv")).localCheckpoint(true)
+    val h = conv(
+      substring(md5(concat_ws(":", lit(seed.toString), col("__id").cast("string"))), 1, 8),
+      16,
+      10
+    ).cast("long")
+    // cells rows: the single-partition window is bounded by `cells`
+    val winit = Window.orderBy(col("__h"), col("__id"))
+    val init = qbase
+      .withColumn("__h", h)
+      .orderBy(col("__h"), col("__id"))
+      .limit(cells)
+      .withColumn("__cid", (row_number().over(winit) - 1).cast("int"))
+      .select(col("__cid"), col("__qv").as("__cv"))
+      .localCheckpoint(true)
+    (1 to iters).foldLeft(init) { (centroids, _) =>
+      val assigned = qbase
+        .crossJoin(broadcast(centroids))
+        .withColumn("__sim", cosine(col("__qv"), col("__cv")))
+        .groupBy("__id")
+        .agg(
+          max_by(col("__cid"), struct(col("__sim"), (-col("__cid")).as("__nc"))).as("__cid"),
+          // all rows of a group carry the same __qv — any_value is exact
+          any_value(col("__qv")).as("__qv")
+        )
+      assigned
+        .select(col("__cid"), posexplode(col("__qv")).as(Seq("__dim", "__x")))
+        .groupBy("__cid", "__dim")
+        // int8 values summed as integral doubles: exact below 2^53 — no
+        // reduction-order dependence; the single division is the only
+        // rounding step and both engines perform it once
+        .agg((sum(col("__x")) / count(lit(1))).as("__m"))
+        .groupBy("__cid")
+        .agg(collect_list(struct(col("__dim"), col("__m"))).as("__dm"))
+        .select(
+          col("__cid"),
+          transform(array_sort(col("__dm")), s => s.getField("__m")).as("__cv")
+        )
+        .localCheckpoint(true)
+    }
+  }
+
+  /** IVF top-k with k-means centroids ([[kmeansCentroids]]): cell
+    * assignment/probing runs on the quantized vectors (consistent with the
+    * space the centroids were fit in); the final candidate ranking is
+    * exact cosine on the ORIGINAL vectors. Join structure is identical to
+    * [[ivfTopK]] — broadcast assignment, bucketed equi-join on cell id —
+    * only the centroid source differs, which is exactly the upgrade the
+    * [[ivfTopK]] scaladoc promises for clustered data.
+    */
+  def ivfTopKKmeans(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 2,
+      iters: Int = 2,
+      seed: Long = 42L
+  ): DataFrame = {
+    val base = df.select(
+      col(idCol).as("__id"),
+      col(vecCol).as("__v"),
+      transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double")).as("__qv")
+    )
+    val centroids = broadcast(kmeansCentroids(df, idCol, vecCol, cells, iters, seed))
+    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
+    val probed = base
+      .crossJoin(centroids)
+      .withColumn("__csim", cosine(col("__qv"), col("__cv")))
+      .withColumn("__crank", row_number().over(wCell))
+      .filter(col("__crank") <= nprobe)
+      .select(col("__id"), col("__v"), col("__cid"), col("__crank"))
+      .localCheckpoint(true)
+    ivfProbeRank(probed, k)
   }
 
   /** Embedding-cosine near-dup pairs: all pairs with cosine >= tau, via the
