@@ -102,9 +102,13 @@ object Corpus {
       .withColumn(
         // greatest(..., 0): Spark `div` truncates toward zero but the
         // oracle's `//` floors — they only agree on non-negative operands,
-        // and a zero-token doc at a shard head has __cum - 1 = -1. Clamping
-        // gives both engines n_seqs = 1 for empty docs (they occupy a
-        // zero-width slot at their start position).
+        // and a zero-token doc at a shard head has __cum - 1 = -1. The
+        // clamp makes a shard-head empty doc report n_seqs = 1 (a
+        // zero-width slot at start 0); an empty doc whose start falls
+        // exactly on a positive budget boundary (__cum = k·budget, k >= 1)
+        // reports n_seqs = 0 — both engines compute the identical clamped
+        // formula (the oracle mirrors the greatest()), so the gate covers
+        // both cases.
         "n_seqs",
         expr(s"greatest(__cum - 1L, 0L) div ${budgetTokens}L") - col("seq_id") + lit(1L)
       )
