@@ -92,6 +92,7 @@ object Bench {
     "llm_simhash_pairs",
     "llm_ann_lsh",
     "llm_ann_ivf",
+    "llm_ann_ivf_kmeans",
     "llm_cosine_neardup",
     "llm_train_split",
     "llm_seq_pack",
@@ -131,6 +132,7 @@ object Bench {
   val verificationOnly: Set[String] = Set(
     "llm_ann_top1",
     "llm_ann_recall",
+    "llm_ann_kmeans_recall",
     "llm_cosine_recall",
     "llm_native_consistency"
   )

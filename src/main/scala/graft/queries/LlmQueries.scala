@@ -124,6 +124,30 @@ object LlmQueries {
     e
   }
 
+  /** The clustered ANN fixture (Spark side of [[AnnOracles.clusteredCte]]):
+    * v = center[md5(vec_id) % 8] + 0.25 · embedding, with the 8 gaussian
+    * centers as plan literals shared with the SQL generator. The zip_with
+    * HOF is fixture construction, not an operator hot path.
+    */
+  private def clusteredFixture(
+      spark: org.apache.spark.sql.SparkSession,
+      sf: String
+  ): org.apache.spark.sql.DataFrame = {
+    import AnnOracles.{fixtureCenters, FixtureClusters, FixtureNoise}
+    val centerArr = array(fixtureCenters.map(cv => array(cv.map(lit): _*)): _*)
+    val cIdx =
+      (conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % FixtureClusters).cast("int")
+    embeddingsDimChecked(spark, sf).select(
+      col("vec_id"),
+      zip_with(
+        element_at(centerArr, cIdx + 1),
+        col("embedding"),
+        (c, x) => c + lit(FixtureNoise) * x.cast("double")
+      ).as("v")
+    )
+  }
+
   /** The (train, valid) halves of the content-hash split — the Spark side
     * of [[decontamCte]]'s `lab`.
     */
@@ -228,6 +252,112 @@ object LlmQueries {
       s"""br AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM e a JOIN e b ON a.vec_id <> b.vec_id
          |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
          |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) <= $k)""".stripMargin
+
+    // -------------------------------------------------------------------
+    // Clustered ANN fixture + k-means IVF replay. The driver's embeddings
+    // are structureless random vectors — the regime where NO coarse
+    // quantizer can beat brute force (llm_ann_ivf's 74% recall ceiling).
+    // k-means IVF is the upgrade for CLUSTERED data, so its gate runs on a
+    // deterministic clustered fixture derived from the same parquet table:
+    //   v = center[md5(vec_id) % 8] + 0.25 · embedding
+    // The 8 gaussian centers are plan literals (Similarity.hyperplanes,
+    // seed 7) shared verbatim with this SQL generator; the md5 cluster
+    // assignment keeps "smallest ids as centroids" from trivially covering
+    // every cluster, so the fixture actually separates the identity
+    // quantizer from the fitted one.
+    // -------------------------------------------------------------------
+    val FixtureClusters = 8
+    val FixtureNoise = 0.25
+    def fixtureCenters: Array[Array[Double]] =
+      Similarity.hyperplanes(FixtureClusters, Dim, seed = 7L)
+
+    /** `cf` CTE: the clustered fixture as (id, v DOUBLE[]). */
+    def clusteredCte: String = {
+      val values = fixtureCenters.zipWithIndex
+        .map { case (cv, c) => s"($c, ${planeArray(cv)})" }
+        .mkString(",\n  ")
+      s"""kc(c, cv) AS (VALUES
+         |  $values),
+         |cf AS (SELECT e.vec_id AS id,
+         |         list_transform(range(1, ${Dim + 1}),
+         |           j -> kc.cv[j] + $FixtureNoise * CAST(e.embedding[j] AS DOUBLE)) AS v
+         |       FROM embeddings e JOIN kc
+         |         ON kc.c = CAST(CAST(concat('0x', substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |                        % $FixtureClusters AS BIGINT))""".stripMargin
+    }
+
+    /** `qb` CTE: fixture rows with their int8-quantized (as DOUBLE) vectors
+      * — the SQL replay of [[Embeddings.quantizeInt8]] (floor(x·127/s + .5),
+      * half-up; all-zero guard).
+      */
+    val kmeansQuantCte: String =
+      s"""qs AS (SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM cf),
+         |qb AS (SELECT id, v,
+         |         list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
+         |                                     ELSE floor(x * 127.0 / s + 0.5) END) AS qv
+         |       FROM qs)""".stripMargin
+
+    /** `kmtop` CTE chain: the full [[Similarity.ivfTopKKmeans]] replay —
+      * md5-order seeded init, `iters` unrolled Lloyd iterations (argmax-
+      * cosine assignment with cid tie-break; exact integer-sum means), then
+      * nprobe cell probing on the quantized vectors and exact re-rank on
+      * the original ones.
+      */
+    def kmeansIvfCte(k: Int, cells: Int, nprobe: Int, iters: Int, seed: Long): String = {
+      val init =
+        s"""k0 AS (SELECT rn - 1 AS cid, qv AS cv FROM (
+           |  SELECT qv, row_number() OVER (ORDER BY
+           |    CAST(concat('0x', substr(md5(concat_ws(':', '$seed', CAST(id AS VARCHAR))), 1, 8)) AS UBIGINT),
+           |    id) AS rn
+           |  FROM qb) WHERE rn <= $cells)""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        s"""a$i AS (SELECT qb.id, qb.qv, c.cid FROM qb CROSS JOIN k${i - 1} c
+           |  QUALIFY row_number() OVER (PARTITION BY qb.id
+           |    ORDER BY list_cosine_similarity(qb.qv, c.cv) DESC, c.cid) = 1),
+           |u$i AS (SELECT a.cid, u.i AS dim, sum(a.qv[u.i + 1]) / count(*) AS m
+           |        FROM a$i a, unnest(range(len(a.qv))) AS u(i) GROUP BY 1, 2),
+           |k$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cid)""".stripMargin
+      }
+      val probe =
+        s"""kp AS (SELECT qb.id, qb.v, c.cid,
+           |         row_number() OVER (PARTITION BY qb.id
+           |           ORDER BY list_cosine_similarity(qb.qv, c.cv) DESC, c.cid) AS crank
+           |       FROM qb CROSS JOIN k$iters c QUALIFY crank <= $nprobe),
+           |kidx AS (SELECT cid, id AS nid, v AS nv FROM kp WHERE crank = 1),
+           |kq AS (SELECT cid, id AS qid, v AS qv2 FROM kp),
+           |kmtop AS (SELECT qid, nid, rnk FROM (
+           |  SELECT kq.qid, kidx.nid,
+           |    row_number() OVER (PARTITION BY kq.qid
+           |      ORDER BY list_cosine_similarity(kq.qv2, kidx.nv) DESC, kidx.nid) AS rnk
+           |  FROM kq JOIN kidx ON kq.cid = kidx.cid AND kq.qid <> kidx.nid)
+           |  WHERE rnk <= $k)""".stripMargin
+      (init +: iterCtes :+ probe).mkString(",\n")
+    }
+
+    /** `fivtop` CTE: [[Similarity.ivfTopK]] (identity smallest-id
+      * quantizer) replayed over the clustered fixture — the comparison row
+      * in the k-means recall ledger.
+      */
+    def fixtureIvfCte(k: Int, cells: Int, nprobe: Int): String =
+      s"""fic AS (SELECT id AS cid, v AS cv FROM cf ORDER BY id LIMIT $cells),
+         |fip AS (SELECT cf.id, cf.v, fic.cid,
+         |          row_number() OVER (PARTITION BY cf.id
+         |            ORDER BY list_cosine_similarity(cf.v, fic.cv) DESC, fic.cid) AS crank
+         |        FROM cf CROSS JOIN fic QUALIFY crank <= $nprobe),
+         |fidx AS (SELECT cid, id AS nid, v AS nv FROM fip WHERE crank = 1),
+         |fiq AS (SELECT cid, id AS qid, v AS qv2 FROM fip),
+         |fivtop AS (SELECT qid, nid FROM (
+         |  SELECT fiq.qid, fidx.nid,
+         |    row_number() OVER (PARTITION BY fiq.qid
+         |      ORDER BY list_cosine_similarity(fiq.qv2, fidx.nv) DESC, fidx.nid) AS rnk
+         |  FROM fiq JOIN fidx ON fiq.cid = fidx.cid AND fiq.qid <> fidx.nid)
+         |  WHERE rnk <= $k)""".stripMargin
+
+    /** `fbr` CTE: brute top-k over the clustered fixture. */
+    def fixtureBruteCte(k: Int): String =
+      s"""fbr AS (SELECT a.id AS qid, b.id AS nid FROM cf a JOIN cf b ON a.id <> b.id
+         |  QUALIFY row_number() OVER (PARTITION BY a.id
+         |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.id) <= $k)""".stripMargin
   }
 
   // Portable (md5-based) simhash + rolling fingerprint CTEs — the DuckDB
@@ -635,6 +765,79 @@ object LlmQueries {
         }
         hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2))
           .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 8)))
+      }
+    ),
+    // IVF top-5 with a real (deterministic Lloyd's) k-means fit, gated on
+    // the clustered fixture — the regime the ivfTopK scaladoc promises the
+    // centroid upgrade for. The oracle replays the ENTIRE algorithm in
+    // DuckDB: int8 quantization, md5-order seeded init, two unrolled Lloyd
+    // iterations (exact integer-sum means — reduction-order-independent by
+    // construction), nprobe probing, exact re-rank. A hash match certifies
+    // the fit itself, not just the probe join.
+    QueryDef(
+      "llm_ann_ivf_kmeans",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${kmeansIvfCte(k = 5, cells = 8, nprobe = 2, iters = 2, seed = 42L)}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM kmtop""".stripMargin
+      },
+      (spark, sf) =>
+        Similarity
+          .ivfTopKKmeans(clusteredFixture(spark, sf), "vec_id", "v", k = 5, cells = 8, nprobe = 2, iters = 2, seed = 42L)
+          .select("qid", "nid", "rank")
+    ),
+    // Recall ledger for the k-means IVF on the clustered fixture, with the
+    // identity-quantizer IVF at the same (cells, nprobe) as the comparison
+    // row — both histograms and the brute baseline recomputed by DuckDB.
+    // Verification-only (contains the O(n²) brute baseline).
+    //
+    // Registered operating point: cells = 8 (matched to the fixture's true
+    // cluster count — what a fitted quantizer is for), nprobe = 2 →
+    // k-means recall 1.000. Measured grid at sf0.01 (DuckDB replay, which
+    // hash-matches the Spark plan): over-segmented settings degrade the
+    // fitted centroids more gracefully than smallest-id ones (cells=16,
+    // nprobe=1: 0.724 vs 0.658; cells=32, nprobe=2: 0.784 vs 0.713), and
+    // both saturate at cells=8 because a cluster's members co-locate in
+    // one cell whichever single centroid serves them.
+    QueryDef(
+      "llm_ann_kmeans_recall",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${kmeansIvfCte(k = 5, cells = 8, nprobe = 2, iters = 2, seed = 42L)},
+           |${fixtureIvfCte(k = 5, cells = 8, nprobe = 2)},
+           |${fixtureBruteCte(5)},
+           |kh AS (SELECT t.qid, count(*) AS c FROM kmtop t JOIN fbr USING (qid, nid) GROUP BY 1),
+           |ih AS (SELECT t.qid, count(*) AS c FROM fivtop t JOIN fbr USING (qid, nid) GROUP BY 1),
+           |rows_ AS (
+           |  SELECT 'ivf_kmeans' AS method, CAST(coalesce(kh.c, 0) AS BIGINT) AS hits
+           |  FROM cf LEFT JOIN kh ON kh.qid = cf.id
+           |  UNION ALL
+           |  SELECT 'ivf_smallid' AS method, CAST(coalesce(ih.c, 0) AS BIGINT) AS hits
+           |  FROM cf LEFT JOIN ih ON ih.qid = cf.id)
+           |SELECT method, hits, CAST(count(*) AS BIGINT) AS n FROM rows_ GROUP BY 1, 2""".stripMargin
+      },
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val brute = Similarity.bruteTopK(fx, "vec_id", "v", k = 5).select("qid", "nid")
+        def hist(method: String, approx: org.apache.spark.sql.DataFrame) = {
+          val hits = approx
+            .select("qid", "nid")
+            .join(brute, Seq("qid", "nid"))
+            .groupBy("qid")
+            .agg(count(lit(1)).as("__c"))
+          fx.select(col("vec_id").as("qid"))
+            .join(hits, Seq("qid"), "left")
+            .select(coalesce(col("__c"), lit(0L)).as("hits"))
+            .groupBy("hits")
+            .agg(count(lit(1)).as("n"))
+            .select(lit(method).as("method"), col("hits"), col("n"))
+        }
+        hist("ivf_kmeans", Similarity.ivfTopKKmeans(fx, "vec_id", "v", 5, cells = 8, nprobe = 2, iters = 2, seed = 42L))
+          .unionByName(hist("ivf_smallid", Similarity.ivfTopK(fx, "vec_id", "v", 5, cells = 8, nprobe = 2)))
       }
     ),
     // Embedding-cosine near-dup pairs at tau=0.4 through the LSH candidate

@@ -134,6 +134,37 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     top1.foreach { case (q, n) => assert(q % 4 == n % 4, s"q=$q n=$n") }
   }
 
+  test("kmeansCentroids: at most `cells` centroids, input dim preserved, axis clusters recovered") {
+    val vecs = (0L until 40L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f + i * 0.001f else 0.01f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity
+      .kmeansCentroids(vecs, "vec_id", "embedding", cells = 4, iters = 2)
+      .as[(Int, Seq[Double])]
+      .collect()
+    assert(cents.length <= 4)
+    cents.foreach { case (_, cv) => assert(cv.length == 8) }
+    // each surviving centroid's dominant dimension is one of the 4 cluster axes
+    cents.foreach { case (cid, cv) =>
+      val dom = cv.indexOf(cv.max)
+      assert(dom >= 0 && dom < 4, s"centroid $cid dominant dim $dom")
+    }
+  }
+
+  test("ivfTopKKmeans finds in-cluster neighbors with fitted centroids") {
+    val vecs = (0L until 40L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f + i * 0.001f else 0.01f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity
+      .ivfTopKKmeans(vecs, "vec_id", "embedding", k = 1, cells = 4, nprobe = 2, iters = 2)
+      .select("qid", "nid")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(top1.size == 40)
+    top1.foreach { case (q, n) => assert(q % 4 == n % 4, s"q=$q n=$n") }
+  }
+
   test("cosineNearDupPairs: LSH candidates are a subset of brute pairs and find the planted dup") {
     val rnd = new scala.util.Random(7)
     val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
