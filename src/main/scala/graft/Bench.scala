@@ -133,9 +133,20 @@ object Bench {
     "llm_ann_top1",
     "llm_ann_recall",
     "llm_ann_kmeans_recall",
-    "llm_cosine_recall",
-    "llm_native_consistency"
+    "llm_cosine_recall"
   )
+
+  /** Registered-for-correctness entries that are not timed at all: their
+    * cost IS the deliberately interpreted HOF reference path (~150× the
+    * native expression by design), so timing them at bench SF measures
+    * the verification harness, not any registered operator — and at sf0.1
+    * llm_native_consistency alone costs ~25 minutes, which round 6 paid
+    * for a number with no engineering signal (it was ~97% of the entire
+    * secondary tier). Their semantics stay gated at sf0.01 by the
+    * CORRECTNESS_r* artifact every round; the bench lists them under
+    * "skipped" so the omission is loud.
+    */
+  val skippedAtBench: Set[String] = Set("llm_native_consistency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -197,7 +208,9 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val plan: Seq[(String, Int)] =
       (1 to RUNS).flatMap { p =>
-        (selHead ++ selSec).collect { case n if p == 1 || !verificationOnly(n) => n -> p }
+        (selHead ++ selSec).collect {
+          case n if !skippedAtBench(n) && (p == 1 || !verificationOnly(n)) => n -> p
+        }
       }
     plan.foreach { case (name, pass) =>
       if (!errors.contains(name)) { // a failed query is not retried on later passes
@@ -252,6 +265,8 @@ object Bench {
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"stats":$headStats,"secondary":$secQs,"secondary_stats":$secStats,"secondary_total":${"%.3f"
           .format(secTotal)},"verification_only":${verificationOnly.toSeq.sorted
           .map(jstr)
+          .mkString("[", ",", "]")},"skipped":${skippedAtBench.toSeq.sorted
+          .map(jstr)
           .mkString("[", ",", "]")},"runs":$RUNS,"errors":$es,"sf":${jstr(sfDir)}}"""
 
     // The driver's BENCH artifact keeps only the last ~2000 chars of stdout
@@ -271,6 +286,7 @@ object Bench {
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","runs":$RUNS,""" +
         s""""queries_timed":${slowest.length},"errors_n":${errors.size},""" +
         s""""secondary_total":${"%.3f".format(secTotal)},""" +
+        s""""skipped":${skippedAtBench.toSeq.sorted.map(jstr).mkString("[", ",", "]")},""" +
         s""""full":"bench_results/bench_full_latest.json","sf":${jstr(sfDir)},"queries":{"""
     val budget = 1500 // chars for the whole line; tail window is ~2000
     val entries = scala.collection.mutable.ListBuffer.empty[String]
