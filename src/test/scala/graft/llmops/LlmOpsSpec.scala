@@ -382,6 +382,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("Window"), s"needless Window sort in threshold path:\n$plan")
   }
 
+  test("ivfTopKKmeans candidate path is a bucketed equi-join: no BNLJ, no cartesian past the probe snapshot") {
+    val vecs = (0L until 24L)
+      .map(i => (i, Seq.tabulate(4)(d => if (d == (i % 3).toInt) 1.0f else 0.05f)))
+      .toDF("vec_id", "embedding")
+    // the broadcast centroid-assignment cross joins live behind the eager
+    // localCheckpoint; the plan that scales with n — probe → candidate
+    // join → re-rank — must be a plain equi-join on the cell id
+    val plan = Similarity
+      .ivfTopKKmeans(vecs, "vec_id", "embedding", k = 2, cells = 3, nprobe = 2, iters = 1)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in kmeans-IVF candidate plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in kmeans-IVF candidate plan:\n$plan")
+  }
+
   test("redactPii replaces emails, IPs and phone runs with typed tags, in order") {
     val df = Seq(
       (1L, "contact bob.smith+x@mail.example.org or call +1 (415) 555-0199 now"),
