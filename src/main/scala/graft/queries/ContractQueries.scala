@@ -312,9 +312,16 @@ object ContractQueries {
       }
     ),
     // O16 — duplicate-name detector over a deliberately duplicated schema.
+    // Independent oracle (round 7): the INPUT field names ride as literals
+    // and DuckDB recomputes the clustering itself (case-fold, group,
+    // sort-join) — the diff engine's output is recomputed, not echoed.
     QueryDef(
       "o16_duplicate_names",
-      Some(valuesSql(Seq(Tuple1("ID,id")), Seq("dup_cluster"))),
+      Some(
+        """WITH f(name) AS (VALUES ('id'), ('ID'))
+          |SELECT string_agg(name, ',' ORDER BY name) AS dup_cluster
+          |FROM f GROUP BY lower(name) HAVING count(*) > 1""".stripMargin
+      ),
       (spark, sf) => {
         val df = table(spark, sf, "customer")
           .select(col("c_custkey").as("id"), col("c_nationkey").as("ID"))
@@ -334,40 +341,104 @@ object ContractQueries {
       }
     ),
     // O18 — by-name structural diff with deep container paths.
+    // Independent oracle (round 7): both schemas ride as hand-flattened
+    // (path, leaf-type) literal tables — DocOut/DocIn spelled out in the
+    // diff engine's path grammar — and DuckDB computes the diff itself
+    // with outer joins (missing = expected-only, extra = found-only,
+    // mismatch = shared path with different leaf type). A hash match now
+    // certifies the diff SEMANTICS against a second implementation, not
+    // merely the engine's own output replayed.
     QueryDef(
-      "o18_diff_by_name", {
-        val rows = diffRows(SchemaConforms.diff[DocOut, DocIn, SchemaPolicy.ExactT])
-        Some(valuesSql(rows, Seq("kind", "path", "detail")))
-      },
+      "o18_diff_by_name",
+      Some(
+        """WITH exp(path, dtype) AS (VALUES
+          |  ('doc', 'string'),
+          |  ('items[].id', 'bigint'),
+          |  ('items[].payload<key>', 'string'),
+          |  ('items[].payload<value>.code', 'string'),
+          |  ('items[].payload<value>.level', 'int'),
+          |  ('owner', 'string')),
+          |fnd(path, dtype) AS (VALUES
+          |  ('doc', 'string'),
+          |  ('items[].id', 'bigint'),
+          |  ('items[].payload<key>', 'string'),
+          |  ('items[].payload<value>.code', 'int'),
+          |  ('items[].payload<value>.note', 'string'))
+          |SELECT 'missing' AS kind, e.path AS path, e.dtype AS detail
+          |FROM exp e LEFT JOIN fnd f ON f.path = e.path WHERE f.path IS NULL
+          |UNION ALL
+          |SELECT 'extra', f.path, regexp_extract(f.path, '([^.<>]+)$', 1)
+          |FROM fnd f LEFT JOIN exp e ON e.path = f.path WHERE e.path IS NULL
+          |UNION ALL
+          |SELECT 'mismatch', e.path, concat('expected ', e.dtype, ', found ', f.dtype)
+          |FROM exp e JOIN fnd f ON f.path = e.path WHERE e.dtype <> f.dtype""".stripMargin
+      ),
       (spark, _) => spark.createDataFrame(diffRows(SchemaConforms.diff[DocOut, DocIn, SchemaPolicy.ExactT]))
     ),
-    // O19 — ordered structural diff: @i(name) paths.
+    // O19 — ordered structural diff: @i(name) paths. Independent oracle:
+    // positional literal tables; DuckDB pairs fields BY POSITION and
+    // reports name drift at `.@i(name)` plus leaf-type drift at the
+    // expected field's name — the ordered-policy semantics recomputed.
     QueryDef(
-      "o19_diff_ordered", {
-        val rows = diffRows(SchemaConforms.diff[POut, PIn, SchemaPolicy.ExactOrderedT])
-        Some(valuesSql(rows, Seq("kind", "path", "detail")))
-      },
+      "o19_diff_ordered",
+      Some(
+        """WITH exp(pos, name, dtype) AS (VALUES (0, 'a', 'int'), (1, 'c', 'double'), (2, 'b', 'string')),
+          |fnd(pos, name, dtype) AS (VALUES (0, 'a', 'int'), (1, 'b', 'string'), (2, 'c', 'double'))
+          |SELECT 'mismatch' AS kind, concat('.@', e.pos, '(name)') AS path,
+          |       concat('expected ', e.name, ', found ', f.name) AS detail
+          |FROM exp e JOIN fnd f ON f.pos = e.pos WHERE e.name <> f.name
+          |UNION ALL
+          |SELECT 'mismatch', e.name, concat('expected ', e.dtype, ', found ', f.dtype)
+          |FROM exp e JOIN fnd f ON f.pos = e.pos WHERE e.dtype <> f.dtype""".stripMargin
+      ),
       (spark, _) => spark.createDataFrame(diffRows(SchemaConforms.diff[POut, PIn, SchemaPolicy.ExactOrderedT]))
     ),
-    // O20 — by-position structural diff: @i paths.
+    // O20 — by-position structural diff: @i paths, names ignored.
+    // Independent oracle: type-only positional compare in SQL.
     QueryDef(
-      "o20_diff_by_position", {
-        val rows = diffRows(SchemaConforms.diff[PosOut, PosIn, SchemaPolicy.ExactByPositionT])
-        Some(valuesSql(rows, Seq("kind", "path", "detail")))
-      },
+      "o20_diff_by_position",
+      Some(
+        """WITH exp(pos, dtype) AS (VALUES (0, 'int'), (1, 'int')),
+          |fnd(pos, dtype) AS (VALUES (0, 'int'), (1, 'string'))
+          |SELECT 'mismatch' AS kind, concat('.@', e.pos) AS path,
+          |       concat('expected ', e.dtype, ', found ', f.dtype) AS detail
+          |FROM exp e JOIN fnd f ON f.pos = e.pos WHERE e.dtype <> f.dtype""".stripMargin
+      ),
       (spark, _) => spark.createDataFrame(diffRows(SchemaConforms.diff[PosOut, PosIn, SchemaPolicy.ExactByPositionT]))
     ),
     // O21 — policy post-filter: the same drifting pair is fatal under Exact
     // and conformant under Backward (optional/default Missing + Extra dropped).
+    // Independent oracle: the schemas ride as literals with a `relaxed`
+    // flag (optional-or-default), and DuckDB recomputes BOTH policies —
+    // Exact reports every divergence, Backward drops relaxed missing +
+    // all extra, and the conforms verdict is derived from the Backward
+    // violation count, not echoed.
     QueryDef(
-      "o21_policy_filter", {
-        val exact = diffRows(SchemaConforms.diff[BOut, BIn, SchemaPolicy.ExactT])
-          .map(r => DiffRow(s"Exact:${r.kind}", r.path, r.detail))
-        val backward = diffRows(SchemaConforms.diff[BOut, BIn, SchemaPolicy.BackwardT])
-          .map(r => DiffRow(s"Backward:${r.kind}", r.path, r.detail))
-        val verdict = DiffRow("Backward:conforms", SchemaConforms.diff[BOut, BIn, SchemaPolicy.BackwardT].conforms.toString, "")
-        Some(valuesSql(exact ++ backward :+ verdict, Seq("kind", "path", "detail")))
-      },
+      "o21_policy_filter",
+      Some(
+        """WITH exp(name, dtype, relaxed) AS (VALUES
+          |  ('req', 'string', false), ('opt', 'int', true), ('dflt', 'int', true)),
+          |fnd(name, dtype) AS (VALUES ('req', 'string'), ('extraCol', 'int')),
+          |bviol AS (
+          |  SELECT 'missing' AS kind, e.name AS path, e.dtype AS detail
+          |  FROM exp e LEFT JOIN fnd f ON f.name = e.name
+          |  WHERE f.name IS NULL AND NOT e.relaxed
+          |  UNION ALL
+          |  SELECT 'mismatch', e.name, concat('expected ', e.dtype, ', found ', f.dtype)
+          |  FROM exp e JOIN fnd f ON f.name = e.name WHERE e.dtype <> f.dtype)
+          |SELECT 'Exact:missing' AS kind, e.name AS path, e.dtype AS detail
+          |FROM exp e LEFT JOIN fnd f ON f.name = e.name WHERE f.name IS NULL
+          |UNION ALL
+          |SELECT 'Exact:extra', f.name, f.name
+          |FROM fnd f LEFT JOIN exp e ON e.name = f.name WHERE e.name IS NULL
+          |UNION ALL
+          |SELECT 'Exact:mismatch', e.name, concat('expected ', e.dtype, ', found ', f.dtype)
+          |FROM exp e JOIN fnd f ON f.name = e.name WHERE e.dtype <> f.dtype
+          |UNION ALL
+          |SELECT concat('Backward:', kind), path, detail FROM bviol
+          |UNION ALL
+          |SELECT 'Backward:conforms', CAST((SELECT count(*) FROM bviol) = 0 AS VARCHAR), ''""".stripMargin
+      ),
       (spark, _) => {
         val exact = diffRows(SchemaConforms.diff[BOut, BIn, SchemaPolicy.ExactT])
           .map(r => DiffRow(s"Exact:${r.kind}", r.path, r.detail))
