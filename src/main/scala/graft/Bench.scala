@@ -102,7 +102,9 @@ object Bench {
     "llm_decontaminate",
     "llm_pii_scrub",
     "llm_gopher_rules",
+    "llm_c4_clean",
     "llm_repetition",
+    "llm_shuffle_order",
     "llm_stratified_sample",
     "llm_chunking",
     "llm_corpus_pipeline",

@@ -115,6 +115,39 @@ object Corpus {
       .drop("__cum", "__start")
   }
 
+  /** Deterministic training-order assignment ("corpus shuffle"): LLM
+    * training consumes the corpus in a pseudorandom order that must be
+    * reproducible (checkpoint resume mid-epoch; ablation reruns) — but a
+    * literal ORDER BY rand() is neither reproducible nor scalable (one
+    * total order serializes a 100 TB corpus through a single sort). Each
+    * row instead gets
+    *
+    *   - `shard` — md5(seed ‖ id) % `shards`: which output file/stream,
+    *   - `pos`   — its 0-based rank inside the shard, ordered by the same
+    *     hash (id tie-break).
+    *
+    * A reader that round-robins the shard files in `pos` order replays one
+    * fixed pseudorandom permutation per seed; a new seed is a fresh
+    * permutation (new epoch). One hash shuffle + per-shard sort — packing
+    * parallelizes across shards exactly like [[packSequences]], and the
+    * md5 hash makes the permutation engine-portable (no RNG state).
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    // 15 hex chars = 60 bits: exact in a signed long (conv returns the
+    // value as a decimal string) and exact in the oracle's UBIGINT.
+    val h = conv(
+      substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15),
+      16,
+      10
+    ).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
   /** Training-mixture ledger: per-(source, stratum) doc and token counts
     * plus each cell's token-proportional share of the corpus — the table a
     * mixture designer reads before assigning per-source rates to

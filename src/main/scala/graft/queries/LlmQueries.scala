@@ -1439,6 +1439,87 @@ object LlmQueries {
         table(spark, sf, "documents")
           .select(col("doc_id"), Corpus.splitByContentHash(col("text"), trainPercent = 90).as("split"))
     ),
+    // C4-style line-level page cleaning. The corpus is single-line, so the
+    // query first synthesizes deterministic line structure IN BOTH ENGINES
+    // (the clustered-kmeans-fixture pattern): every 5 words become a
+    // '.'-terminated line, lines containing 'slow' lose their terminal dot
+    // (so the punctuation rule fires), the word-remainder tail line stays
+    // unpunctuated (so the word-count rule fires), and every 17th doc gets
+    // a '{javascript}' boilerplate line appended (so the page flags fire).
+    // The oracle recomputes the fixture and the cleaning with DuckDB's RE2
+    // — the shared pattern is lookaround-free on purpose — and the cleaned
+    // text must match byte-for-byte.
+    QueryDef(
+      "llm_c4_clean",
+      Some(
+        """WITH lined AS (SELECT doc_id,
+          |    regexp_replace(
+          |      regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1.' || chr(10), 'g'),
+          |      '(?m)^(.*slow.*)\.$', '\1', 'g') AS t
+          |  FROM documents),
+          |fx AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 17 = 0 THEN t || chr(10) || 'var x = {javascript};'
+          |         ELSE t END AS text
+          |  FROM lined),
+          |c AS (SELECT doc_id, text,
+          |    regexp_extract_all(text, '(?m)^(?:\S+ ){4,}\S+[.!?"]$') AS kept
+          |  FROM fx)
+          |SELECT doc_id,
+          |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept,
+          |  contains(lower(text), 'javascript') AS has_javascript,
+          |  contains(text, '{') AS has_brace,
+          |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+          |  len(kept) >= 3 AND NOT contains(lower(text), 'javascript')
+          |    AND NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum') AS keep,
+          |  array_to_string(kept, chr(10)) AS clean_text
+          |FROM c""".stripMargin
+      ),
+      (spark, sf) => {
+        val lined = regexp_replace(
+          regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1.\n"),
+          "(?m)^(.*slow.*)\\.$",
+          "$1"
+        )
+        val fixture = table(spark, sf, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(lined, lit("\nvar x = {javascript};")))
+            .otherwise(lined)
+            .as("text")
+        )
+        TextStats
+          .c4CleanLines(fixture)
+          .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            "has_javascript",
+            "has_brace",
+            "has_lorem",
+            "keep",
+            "clean_text"
+          )
+      }
+    ),
+    // Deterministic corpus shuffle: shard + in-shard rank from a seeded
+    // md5 — one fixed pseudorandom permutation per seed, replayed by the
+    // oracle from scratch (no RNG, no global sort).
+    QueryDef(
+      "llm_shuffle_order",
+      Some(
+        """WITH h AS (SELECT doc_id,
+          |    CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS hv
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(hv % 8 AS BIGINT) AS shard,
+          |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+          |FROM h""".stripMargin
+      ),
+      (spark, sf) =>
+        Corpus
+          .shuffleOrder(table(spark, sf, "documents").select("doc_id"), "doc_id", seed = 7L, shards = 8)
+          .select("doc_id", "shard", "pos")
+    ),
     // Multimodal plumbing: binary payload + typed metadata through the
     // contract, stub feature extraction (see Multimodal scaladoc).
     QueryDef(

@@ -653,6 +653,58 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("c4CleanLines keeps punctuated >=minWords lines, flags boilerplate pages") {
+    val pages = Seq(
+      // 3 good lines -> kept page; short line and unpunctuated line dropped
+      (1L, "one two three four five.\nsix seven eight nine ten!\na b c d e?\ntoo short.\nno terminal punct here at all"),
+      // only 2 good lines -> dropped page (minKeptLines = 3)
+      (2L, "one two three four five.\nsix seven eight nine ten."),
+      // good lines but a javascript page flag -> dropped, lines still counted
+      (3L, "one two three four five.\nsix seven eight nine ten.\na b c d e.\nEnable JavaScript to continue"),
+      // curly brace page flag
+      (4L, "one two three four five.\nsix seven eight nine ten.\na b c d e.\nif (x) { y(); }"),
+      // lorem ipsum page flag
+      (5L, "one two three four five.\nsix seven eight nine ten.\na b c d e.\nLorem Ipsum dolor sit amet.")
+    ).toDF("doc_id", "text")
+    val out = TextStats
+      .c4CleanLines(pages)
+      .select("doc_id", "n_lines", "n_kept", "keep", "clean_text")
+      .as[(Long, Long, Long, Boolean, String)]
+      .collect()
+      .sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 5L, 3L, true),
+      (2L, 2L, 2L, false),
+      (3L, 4L, 3L, false),
+      (4L, 4L, 3L, false),
+      (5L, 4L, 4L, false) // 'Lorem Ipsum dolor sit amet.' is itself a valid line
+    ))
+    assert(out.head._5 == "one two three four five.\nsix seven eight nine ten!\na b c d e?")
+  }
+
+  test("shuffleOrder is a reproducible permutation: dense ranks per shard, seed changes order") {
+    val ids = (1L to 200L).toDF("doc_id")
+    val a = Corpus.shuffleOrder(ids, "doc_id", seed = 7L, shards = 4)
+    val b = Corpus.shuffleOrder(ids, "doc_id", seed = 7L, shards = 4)
+    val c = Corpus.shuffleOrder(ids, "doc_id", seed = 8L, shards = 4)
+    val rows = a.select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    // every row assigned; positions are dense 0..n-1 within each shard
+    assert(rows.length == 200)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq)
+    }
+    // same seed -> identical assignment across runs
+    assert(b.select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq ==
+      rows.sortBy(_._1).toSeq)
+    // different seed -> a different permutation (some doc moves)
+    assert(c.select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq !=
+      rows.sortBy(_._1).toSeq)
+    // the shuffle is not the identity order: within some shard, doc_ids
+    // are not monotone in pos
+    val byShard = rows.groupBy(_._2).values
+    assert(byShard.exists(g => g.sortBy(_._3).map(_._1).toSeq != g.map(_._1).sorted.toSeq))
+  }
+
   test("sourceMixture token shares sum to 1 and count per cell") {
     val corpus = Seq(
       (1L, "a b c", "s1", "en"),
