@@ -287,6 +287,18 @@ object Similarity {
     * would otherwise recompute iteration N from scratch (lineage doubles
     * per iteration without it). Empty cells simply drop out (both engines
     * replay that identically).
+    *
+    * `fitSamplePercent` < 100 fits on a deterministic md5-bucket sample of
+    * the corpus (same RNG-free idiom as
+    * [[graft.llmops.Corpus.stratifiedSampleByHash]]) — the standard move
+    * at 100 TB, where two extra full-corpus passes just to place `cells`
+    * centroids is wasted I/O: centroid positions converge on a sample
+    * orders of magnitude smaller than the corpus, and the full corpus
+    * still gets assigned/probed exactly as before (only the FIT sees the
+    * sample; callers' assignment joins are unchanged). The sample must
+    * still contain at least `cells` rows. Default 100 = fit on everything
+    * (bit-identical to the pre-knob behavior, and what the registered
+    * oracle replays).
     */
   def kmeansCentroids(
       df: DataFrame,
@@ -294,11 +306,26 @@ object Similarity {
       vecCol: String,
       cells: Int = 16,
       iters: Int = 2,
-      seed: Long = 42L
+      seed: Long = 42L,
+      fitSamplePercent: Int = 100
   ): DataFrame = {
     require(cells > 0 && iters >= 0, "cells must be positive, iters non-negative")
+    require(
+      fitSamplePercent > 0 && fitSamplePercent <= 100,
+      "fitSamplePercent must be in (0, 100]"
+    )
     val qvd = transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double"))
-    val qbase = df.select(col(idCol).as("__id"), qvd.as("__qv")).localCheckpoint(true)
+    val sampled =
+      if (fitSamplePercent == 100) df
+      else {
+        val bucket = conv(
+          substring(md5(concat_ws(":", lit("fit"), lit(seed.toString), col(idCol).cast("string"))), 1, 8),
+          16,
+          10
+        ).cast("long") % 100
+        df.filter(bucket < fitSamplePercent)
+      }
+    val qbase = sampled.select(col(idCol).as("__id"), qvd.as("__qv")).localCheckpoint(true)
     val h = conv(
       substring(md5(concat_ws(":", lit(seed.toString), col("__id").cast("string"))), 1, 8),
       16,
@@ -356,14 +383,16 @@ object Similarity {
       cells: Int = 16,
       nprobe: Int = 2,
       iters: Int = 2,
-      seed: Long = 42L
+      seed: Long = 42L,
+      fitSamplePercent: Int = 100
   ): DataFrame = {
     val base = df.select(
       col(idCol).as("__id"),
       col(vecCol).as("__v"),
       transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double")).as("__qv")
     )
-    val centroids = broadcast(kmeansCentroids(df, idCol, vecCol, cells, iters, seed))
+    val centroids =
+      broadcast(kmeansCentroids(df, idCol, vecCol, cells, iters, seed, fitSamplePercent))
     val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
     val probed = base
       .crossJoin(centroids)

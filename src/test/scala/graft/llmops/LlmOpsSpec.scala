@@ -165,6 +165,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     top1.foreach { case (q, n) => assert(q % 4 == n % 4, s"q=$q n=$n") }
   }
 
+  test("ivfTopKKmeans with a sampled fit (100 TB shape) still recovers in-cluster neighbors") {
+    val vecs = (0L until 40L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f + i * 0.001f else 0.01f)))
+      .toDF("vec_id", "embedding")
+    // fit on a ~50% md5-bucket sample; assignment/probing still covers all 40
+    val top1 = Similarity
+      .ivfTopKKmeans(vecs, "vec_id", "embedding", k = 1, cells = 4, nprobe = 2, iters = 2, fitSamplePercent = 50)
+      .select("qid", "nid")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(top1.size == 40) // every vector assigned and served, not just the sample
+    top1.foreach { case (q, n) => assert(q % 4 == n % 4, s"q=$q n=$n") }
+    // sampled fit must differ from the full fit's input: the sample is a strict subset
+    val full = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", cells = 4, iters = 0)
+    val samp = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", cells = 4, iters = 0, fitSamplePercent = 50)
+    assert(full.count() == 4 && samp.count() == 4)
+  }
+
   test("cosineNearDupPairs: LSH candidates are a subset of brute pairs and find the planted dup") {
     val rnd = new scala.util.Random(7)
     val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
