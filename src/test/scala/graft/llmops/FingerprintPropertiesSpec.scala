@@ -125,6 +125,53 @@ class FingerprintPropertiesSpec extends AnyFunSuite with SparkTestSession {
     assert(banded.toSeq == brute)
   }
 
+  test("property: c4CleanLines' regex equals the line-by-line model on random pages") {
+    // random line structure: tokens (some punctuation-terminated, some page
+    // flags), joined by single or occasionally double spaces, lines joined
+    // by newlines — exercises the word-count rule, the terminal-punct rule,
+    // the double-space corner (breaks the \S+-chain), and the page flags
+    val wordGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)).suchThat(_.nonEmpty),
+      Gen.oneOf("fox.", "run!", "ok?", "say\"", "x.", ".", "!", "mid.dle", "{", "JavaScript", "lorem", "ipsum")
+    )
+    val lineGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 9)
+      ws <- Gen.listOfN(n, wordGen)
+      doubled <- Gen.prob(0.15)
+    } yield ws.mkString(if (doubled) "  " else " ")
+    val pageGen: Gen[String] =
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, lineGen)).map(_.mkString("\n"))
+
+    val punct = Set('.', '!', '?', '"')
+    def modelKeep(line: String): Boolean = {
+      val parts = line.split(" ", -1)
+      parts.length >= 5 && parts.forall(_.nonEmpty) &&
+      parts.last.length >= 2 && punct(parts.last.last)
+    }
+    val pages = sample(pageGen, 250).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val expected = pages.map { case (id, t) =>
+      val kept = t.split("\n", -1).filter(modelKeep)
+      val low = t.toLowerCase
+      id -> (
+        (
+          kept.length.toLong,
+          kept.mkString("\n"),
+          kept.length >= 3 && !low.contains("javascript") && !t.contains("{") && !low.contains("lorem ipsum")
+        )
+      )
+    }.toMap
+    val got = TextStats
+      .c4CleanLines(pages.toDF("doc_id", "text"))
+      .select("doc_id", "n_kept", "clean_text", "keep")
+      .as[(Long, Long, String, Boolean)]
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, nk, ct, keep) =>
+      val (enk, ect, ekeep) = expected(id)
+      assert(nk == enk && ct == ect && keep == ekeep, s"doc $id: got ($nk, $keep, '$ct'), want ($enk, $ekeep, '$ect')")
+    }
+  }
+
   test("property: redactPii is idempotent (tags never re-match any pattern)") {
     val piiGen: Gen[String] = Gen.oneOf(
       "mail me at first.last@example.com today",
