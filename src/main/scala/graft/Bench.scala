@@ -91,6 +91,7 @@ object Bench {
     "llm_dedup_clusters",
     "llm_simhash_pairs",
     "llm_ann_lsh",
+    "llm_ann_lsh_xtable",
     "llm_ann_ivf",
     "llm_ann_ivf_kmeans",
     "llm_cosine_neardup",

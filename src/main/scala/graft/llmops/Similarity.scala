@@ -140,6 +140,36 @@ object Similarity {
     * downstream, so it stays lazy (a snapshot there would be a pure extra
     * materialization pass).
     */
+  /** Sign-bucket keys for every (vector, table) pair, snapshotted (both
+    * the probe side and the index side read it).
+    */
+  private def bandedKeys(base: DataFrame, tables: Int, planesPerTable: Int, seed: Long, dim: Int): DataFrame = {
+    val keysPerTable: Seq[Column] = (0 until tables).map { t =>
+      planeSignature(col("__v"), hyperplanes(planesPerTable, dim, seed + t))
+    }
+    base
+      .select(col("__id"), posexplode(array(keysPerTable: _*)).as(Seq("__table", "__key")))
+      .localCheckpoint(true)
+  }
+
+  /** Multi-probe expansion (Lv et al., VLDB'07): the query side also
+    * probes the `probeBits` buckets up to `probeDepth` sign-flips away —
+    * pure XOR arithmetic on the already-computed key, no extra dot
+    * products; the index side stays at base keys, so recall rises at the
+    * cost of extra equi-join lookups per (vector, table), never a wider
+    * scan.
+    */
+  private def probeExpand(banded: DataFrame, probeBits: Int, probeDepth: Int): DataFrame =
+    if (probeBits <= 0) banded
+    else {
+      val flips = probeMasks(probeBits, probeDepth).map(lit)
+      banded.select(
+        col("__id"),
+        col("__table"),
+        explode(array(flips.map(f => col("__key").bitwiseXOR(f)): _*)).as("__key")
+      )
+    }
+
   private[graft] def lshCandidates(
       base: DataFrame,
       tables: Int,
@@ -152,28 +182,9 @@ object Similarity {
     // signature dots (ArrayDot rejects length mismatches). One tiny driver
     // job on one row; pass-through cost is irrelevant next to the join.
     val dim = base.select(size(col("__v"))).head().getInt(0)
-    val keysPerTable: Seq[Column] = (0 until tables).map { t =>
-      planeSignature(col("__v"), hyperplanes(planesPerTable, dim, seed + t))
-    }
-    val banded = base
-      .select(col("__id"), posexplode(array(keysPerTable: _*)).as(Seq("__table", "__key")))
-      .localCheckpoint(true)
-    // multi-probe (Lv et al., VLDB'07): the query side also probes the
-    // `probeBits` buckets one sign-flip away — pure XOR arithmetic on the
-    // already-computed key, no extra dot products; the index side stays at
-    // base keys, so recall rises at the cost of probeBits extra equi-join
-    // lookups per (vector, table), never a wider scan.
-    val probeSide =
-      if (probeBits <= 0) banded
-      else {
-        val flips = probeMasks(probeBits, probeDepth).map(lit)
-        banded.select(
-          col("__id"),
-          col("__table"),
-          explode(array(flips.map(f => col("__key").bitwiseXOR(f)): _*)).as("__key")
-        )
-      }
-    val a = probeSide.select(col("__table"), col("__key"), col("__id").as("qid"))
+    val banded = bandedKeys(base, tables, planesPerTable, seed, dim)
+    val a = probeExpand(banded, probeBits, probeDepth)
+      .select(col("__table"), col("__key"), col("__id").as("qid"))
     val b = banded.select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
     a.join(b, col("__table") === col("__t2") && col("__key") === col("__k2") && col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
@@ -202,6 +213,56 @@ object Similarity {
     candidates
       .join(base.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
       .join(base.select(col("__id").as("nid"), col("__v").as("__cv")), "nid")
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+  }
+
+  /** Cross-table LSH top-k: approximate `k` nearest `corpus` vectors for
+    * every `queries` vector — the retrieval shape (query set ⋈ corpus),
+    * where [[lshTopK]] is the self-join shape (near-neighbor graph over
+    * one table). Embedding-based benchmark decontamination, eval-set
+    * retrieval, and hard-negative mining all consume this form: the query
+    * side is typically orders of magnitude smaller than the corpus, so
+    * banding it (plus multi-probe expansion) is cheap while the corpus is
+    * banded once at base keys and joined by bucket — identical scale shape
+    * to [[lshTopK]], no corpus self-join, no BNLJ.
+    *
+    * Both sides must carry `idCol`/`vecCol` with the same embedding
+    * dimensionality (a mismatch nulls the signature dots — ArrayDot
+    * rejects length mismatches — and the query returns nothing rather
+    * than garbage). Ids may overlap across tables: a query matching its
+    * own corpus copy is reported (rank 1, cos 1.0) — callers that index
+    * the query set itself filter `qid =!= nid` downstream.
+    */
+  def lshTopKAgainst(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tables: Int = 8,
+      planesPerTable: Int = 10,
+      seed: Long = 42L,
+      probeBits: Int = 0,
+      probeDepth: Int = 1
+  ): DataFrame = {
+    val qbase = queries.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val cbase = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val dim = cbase.select(size(col("__v"))).head().getInt(0)
+    val a = probeExpand(bandedKeys(qbase, tables, planesPerTable, seed, dim), probeBits, probeDepth)
+      .select(col("__table"), col("__key"), col("__id").as("qid"))
+    val b = bandedKeys(cbase, tables, planesPerTable, seed, dim)
+      .select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
+    val candidates = a
+      .join(b, col("__table") === col("__t2") && col("__key") === col("__k2"))
+      .select(col("qid"), col("nid"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    candidates
+      .join(qbase.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
+      .join(cbase.select(col("__id").as("nid"), col("__v").as("__cv")), "nid")
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -219,6 +219,48 @@ object LlmQueries {
         "ON x.tbl = y.tbl AND x.key = y.key AND x.vec_id <> y.vec_id)"
     }
 
+    /** Two-sided banded keys + candidates for the cross-table (retrieval)
+      * shape: the query subset (rows of `e` matching `qPred`) is banded
+      * and multi-probe-expanded, the corpus subset (`cPred`) is banded at
+      * base keys, candidates are the bucket join WITHOUT the self-pair
+      * exclusion — the SQL replay of [[Similarity.lshTopKAgainst]].
+      */
+    def lshBandsXtableCte(
+        tables: Int,
+        planes: Int,
+        seed: Long,
+        qPred: String,
+        cPred: String,
+        probeBits: Int = 0,
+        probeDepth: Int = 1
+    ): String = {
+      def blocks(pred: String): String =
+        (0 until tables)
+          .map { t =>
+            val ps = Similarity.hyperplanes(planes, Dim, seed + t)
+            val key = ps.zipWithIndex
+              .map { case (p, i) =>
+                s"(CASE WHEN list_inner_product(v, ${planeArray(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+              }
+              .mkString(" + ")
+            s"SELECT vec_id, $t AS tbl, $key AS key FROM e WHERE $pred"
+          }
+          .mkString("\nUNION ALL\n")
+      val probeSide =
+        if (probeBits <= 0) "lbq"
+        else {
+          val flips = Similarity
+            .probeMasks(probeBits, probeDepth)
+            .drop(1) // identity handled by the base SELECT
+            .map(m => s"SELECT vec_id, tbl, xor(key, $m) AS key FROM lbq")
+          s"(SELECT vec_id, tbl, key FROM lbq UNION ALL ${flips.mkString(" UNION ALL ")})"
+        }
+      s"lbq AS (${blocks(qPred)}),\n" +
+        s"lbc AS (${blocks(cPred)}),\n" +
+        s"cand AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid FROM $probeSide x JOIN lbc y " +
+        "ON x.tbl = y.tbl AND x.key = y.key)"
+    }
+
     /** LSH top-k as (qid, nid, rnk) — exact cosine re-rank of the bucketed
       * candidates, ties broken by nid, identical to [[Similarity.lshTopK]].
       */
@@ -704,6 +746,36 @@ object LlmQueries {
         Similarity
           .lshTopK(embeddingsDimChecked(spark, sf), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2)
           .select("qid", "nid", "rank")
+    ),
+    // Cross-table LSH top-5 — the retrieval shape (query set vs corpus:
+    // embedding decontamination, eval retrieval, hard-negative mining).
+    // Query side = every 20th vector, corpus = the rest; same planes and
+    // multi-probe masks as llm_ann_lsh, replayed two-sidedly by DuckDB.
+    QueryDef(
+      "llm_ann_lsh_xtable",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${lshBandsXtableCte(tables = 8, planes = 6, seed = 42L, qPred = "vec_id % 20 = 0", cPred = "vec_id % 20 <> 0", probeBits = 5, probeDepth = 2)},
+           |${lshTopCte(5)}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM lshtop""".stripMargin
+      },
+      (spark, sf) => {
+        val e = embeddingsDimChecked(spark, sf)
+        Similarity
+          .lshTopKAgainst(
+            e.filter(col("vec_id") % 20 === 0),
+            e.filter(col("vec_id") % 20 =!= 0),
+            "vec_id",
+            "embedding",
+            k = 5,
+            tables = 8,
+            planesPerTable = 6,
+            probeBits = 5,
+            probeDepth = 2
+          )
+          .select("qid", "nid", "rank")
+      }
     ),
     // IVF-bucketed approximate top-5 (alternative scale path to LSH): the
     // deterministic smallest-id centroids make the whole algorithm

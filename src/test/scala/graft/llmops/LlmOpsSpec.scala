@@ -165,6 +165,36 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     top1.foreach { case (q, n) => assert(q % 4 == n % 4, s"q=$q n=$n") }
   }
 
+  test("lshTopKAgainst retrieves corpus neighbors for a separate query table") {
+    // corpus: 40 axis-clustered vectors; queries: 4 fresh vectors, one per
+    // axis (ids disjoint from the corpus), plus one exact corpus copy
+    val corpus = (0L until 40L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f + i * 0.001f else 0.01f)))
+      .toDF("vec_id", "embedding")
+    val queries = ((100L until 104L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 2.0f else 0.02f))) :+
+      (200L, Seq.tabulate(8)(d => if (d == 3) 1.039f else 0.01f))) // copy of corpus id 39
+      .toDF("vec_id", "embedding")
+    val top = Similarity
+      .lshTopKAgainst(queries, corpus, "vec_id", "embedding", k = 3, tables = 8, planesPerTable = 4, probeBits = 4, probeDepth = 2)
+      .select("qid", "nid", "rank", "cos")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+    val byQ = top.groupBy(_._1)
+    assert(byQ.keySet == Set(100L, 101L, 102L, 103L, 200L))
+    // every retrieved neighbor comes from the corpus id space and shares
+    // the query's dominant axis
+    top.foreach { case (q, n, _, _) =>
+      assert(n < 40L, s"nid $n not from corpus")
+      // axis of query 100+i is i % 4; the planted copy (id 200) is axis 3
+      val qAxis = if (q == 200L) 3L else q % 4
+      assert(qAxis == n % 4, s"q=$q n=$n")
+    }
+    // the planted copy retrieves its corpus twin at rank 1, cosine ~ 1
+    val first = byQ(200L).minBy(_._3)
+    assert(first._2 == 39L && first._4 > 0.9999)
+  }
+
   test("ivfTopKKmeans with a sampled fit (100 TB shape) still recovers in-cluster neighbors") {
     val vecs = (0L until 40L)
       .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f + i * 0.001f else 0.01f)))
