@@ -136,6 +136,7 @@ object Bench {
     "llm_ann_top1",
     "llm_ann_recall",
     "llm_ann_kmeans_recall",
+    "llm_ann_xtable_recall",
     "llm_cosine_recall"
   )
 
