@@ -431,6 +431,18 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("Window"), s"needless Window sort in threshold path:\n$plan")
   }
 
+  test("lshTopKAgainst candidate path is a bucketed equi-join: no BNLJ, no cartesian") {
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, Seq.tabulate(4)(d => if (d == (i % 3).toInt) 1.0f else 0.05f))).toDF("vec_id", "embedding")
+    val plan = Similarity
+      .lshTopKAgainst(mk(100L until 104L), mk(0L until 24L), "vec_id", "embedding", k = 2, tables = 2, planesPerTable = 2, probeBits = 2)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in cross-table plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in cross-table plan:\n$plan")
+  }
+
   test("ivfTopKKmeans candidate path is a bucketed equi-join: no BNLJ, no cartesian past the probe snapshot") {
     val vecs = (0L until 24L)
       .map(i => (i, Seq.tabulate(4)(d => if (d == (i % 3).toInt) 1.0f else 0.05f)))
