@@ -86,6 +86,7 @@ object Bench {
     "llm_dedup_normalized",
     "llm_source_mix",
     "llm_dedup_minhash",
+    "llm_dedup_minhash_xtable",
     "llm_dedup_ngram",
     "llm_dedup_ngram_capped",
     "llm_dedup_clusters",

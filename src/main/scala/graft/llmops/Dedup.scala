@@ -216,6 +216,73 @@ object Dedup {
     verifyJaccard(candidates, sig.select(col("__id"), col("__sh")), tau)
   }
 
+  /** Cross-table MinHash-LSH near-dup pairs (batch `a` vs corpus `b`) —
+    * the near-dup analogue of [[dedupIncremental]]'s exact anti-join, and
+    * the ingest-time question ("is this new doc a near-copy of anything
+    * already stored?"). Same banded signature bucketing as
+    * [[minhashNearDupPairs]], but neither side ever self-joins: the batch
+    * side is typically orders of magnitude smaller than the corpus, and
+    * the corpus side's snapshot holds ids + band keys only (never text) —
+    * at 100 TB that index is the thing you precompute and keep. Candidates
+    * are verified with the exact two-sided shingle Jaccard, so precision
+    * is exact; recall at `tau` follows the (numHashes, bands) collision
+    * curve (see [[minhashNearDupPairs]]). `maxBucket` caps CORPUS-side
+    * bucket sizes (the side whose skew can straggle a task).
+    */
+  def minhashNearDupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      tau: Double = 0.8,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    def sigOf(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("__id"), Fingerprints.shingles(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("__id"), col("__sh"), Fingerprints.minhashSignature(col("__sh"), numHashes).as("__sig"))
+    def bandsOf(sig: DataFrame): DataFrame = sig
+      .select(
+        col("__id"),
+        posexplode(Fingerprints.bandKeys(col("__sig"), bands, r)).as(Seq("__band", "__key"))
+      )
+      .localCheckpoint(true)
+    val sigA = sigOf(batch)
+    val sigB = sigOf(corpus)
+    val bandedB = bandsOf(sigB)
+    val bucketsB =
+      if (maxBucket <= 0) bandedB
+      else {
+        val sizes = bandedB.groupBy("__band", "__key").agg(count(lit(1)).as("__bs"))
+        bandedB.join(sizes.filter(col("__bs") <= maxBucket).select("__band", "__key"), Seq("__band", "__key"))
+      }
+    val candidates = bandsOf(sigA)
+      .select(col("__band"), col("__key"), col("__id").as("a"))
+      .join(
+        bucketsB.select(col("__band").as("__band2"), col("__key").as("__key2"), col("__id").as("b")),
+        col("__band") === col("__band2") && col("__key") === col("__key2")
+      )
+      .select("a", "b")
+      .distinct()
+    // two-sided verification (each side against its own shingle table, so
+    // overlapping id spaces across the two tables stay unambiguous)
+    candidates
+      .join(sigA.select(col("__id").as("a"), col("__sh").as("__sha")), "a")
+      .join(sigB.select(col("__id").as("b"), col("__sh").as("__shb")), "b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))).cast("double")
+      )
+      .filter(col("jaccard") >= tau)
+      .select("a", "b", "jaccard")
+  }
+
   /** SimHash near-dup pairs: band the simhash into `bands` bit slices
     * (pigeonhole guarantees any pair within Hamming distance < bands shares
     * a band), bucket-join, then verify exact Hamming distance <= maxHamming.

@@ -161,6 +161,22 @@ object LlmQueries {
       docs.filter(col("__split") === "valid").drop("__split"))
   }
 
+  /** Cross-table exact-Jaccard oracle: all (a, b) pairs with a from the
+    * batch predicate, b from the corpus predicate, jaccard >= tau — the
+    * answer [[Dedup.minhashNearDupAgainst]] must equal at its registered
+    * (numHashes, bands), where recall at tau is effectively 1.
+    */
+  private def jaccardPairsXtableSql(tau: Double, aPred: String, bPred: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+       |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh FROM t),
+       |n AS (SELECT doc_id, count(*) AS n FROM s0 GROUP BY 1),
+       |p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |      FROM s0 a JOIN s0 b ON a.sh = b.sh AND ($aPred) AND ($bPred) GROUP BY 1, 2)
+       |SELECT p.a, p.b, CAST(p.inter AS DOUBLE)/(na.n + nb.n - p.inter) AS jaccard
+       |FROM p JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
+       |WHERE CAST(p.inter AS DOUBLE)/(na.n + nb.n - p.inter) >= $tau""".stripMargin
+
   private def jaccardPairsSql(tau: Double, maxDf: Int = 0): String =
     s"""${shingleCteCapped(maxDf)}
        |SELECT p.a, p.b, CAST(p.inter AS DOUBLE)/(na.n + nb.n - p.inter) AS jaccard
@@ -589,6 +605,28 @@ object LlmQueries {
           bands = 32,
           tau = 0.8
         )
+    ),
+    // Cross-table MinHash near-dup: a 10% "incoming batch" against the
+    // remaining 90% "stored corpus" — the ingest-time near-dup check.
+    // Oracle = the exact cross-pair Jaccard (banding recall at tau=0.8 is
+    // 1-5e-8, and precision is exact by re-verification), mirroring the
+    // llm_dedup_minhash methodology two-sidedly.
+    QueryDef(
+      "llm_dedup_minhash_xtable",
+      Some(jaccardPairsXtableSql(0.8, "a.doc_id % 10 = 0", "b.doc_id % 10 <> 0")),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        Dedup.minhashNearDupAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id",
+          "text",
+          k = 3,
+          numHashes = 128,
+          bands = 32,
+          tau = 0.8
+        )
+      }
     ),
     // Exact n-gram Jaccard pairs via the inverted-index join (lower tau:
     // exercises the exact path on a wider candidate set).

@@ -781,6 +781,29 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(mix.toSeq == Seq(("s1", "en", 2L, 5L, 0.5), ("s2", "de", 1L, 5L, 0.5)))
   }
 
+  test("minhashNearDupAgainst finds batch-vs-corpus near-dups, never within-side pairs") {
+    // corpus: docs 1 and 4 are identical to each other (a within-corpus
+    // pair that must NOT be reported); batch doc 100 near-dups corpus doc
+    // 1, batch doc 101 is fresh, batch docs 100/102 are identical to each
+    // other (a within-batch pair that must NOT be reported either)
+    val corpus = docs // ids 1..5
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "nothing like anything stored before at all"),
+      (102L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashNearDupAgainst(batch, corpus, "doc_id", "text", k = 3, numHashes = 64, bands = 16, tau = 0.8)
+      .as[(Long, Long, Double)]
+      .collect()
+      .sortBy(p => (p._1, p._2))
+    // every reported pair crosses the tables: a from batch, b from corpus
+    pairs.foreach { case (a, b, _) => assert(a >= 100L && b < 100L, s"pair ($a,$b)") }
+    // both identical batch docs hit both identical corpus docs at jaccard 1
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((100L, 1L), (100L, 4L), (102L, 1L), (102L, 4L)))
+    assert(pairs.forall(_._3 == 1.0))
+  }
+
   test("dedupIncremental drops index hits and within-batch dups, keeps the rest") {
     // index covers doc 1/4's content; batch has an index dup (4), a
     // within-batch dup pair (2 repeated as 6), and fresh content (3, 5)
