@@ -94,6 +94,7 @@ object Bench {
     "llm_ann_lsh",
     "llm_ann_lsh_xtable",
     "llm_ann_ivf",
+    "llm_ann_ivf_xtable",
     "llm_ann_ivf_kmeans",
     "llm_cosine_neardup",
     "llm_train_split",

@@ -307,6 +307,54 @@ object Similarity {
     ivfProbeRank(probed, k)
   }
 
+  /** Cross-table IVF top-k — the standard vector-index query mode: the
+    * corpus is indexed ONCE (each vector filed in its home cell under the
+    * deterministic smallest-id coarse quantizer, as [[ivfTopK]]), and the
+    * query table — not part of the index — probes its `nprobe` nearest
+    * cells. Candidates are the cell-id equi-join, exact-ranked by cosine.
+    * Same scale shape as [[ivfTopK]]: broadcast centroid assignment, then
+    * O(|q|·|corpus|/cells × nprobe) bucketed candidates instead of the
+    * brute O(|q|·|corpus|). Recall behavior matches [[ivfTopK]] at the
+    * same (cells, nprobe) — see `llm_ann_recall`; for clustered corpora,
+    * fit real centroids with [[kmeansCentroids]] (public) and feed the
+    * same probe join. Ids may overlap across tables: a query matching its
+    * own corpus copy is reported (callers filter `qid =!= nid` if the
+    * query set is indexed too).
+    */
+  def ivfTopKAgainst(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val cbase = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val qbase = queries.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val centroids = broadcast(
+      cbase.orderBy("__id").limit(cells)
+        .select(col("__id").as("__cid"), col("__v").as("__cv"))
+    )
+    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
+    def assign(b: DataFrame, n: Int): DataFrame = b
+      .crossJoin(centroids)
+      .withColumn("__csim", cosine(col("__v"), col("__cv")))
+      .withColumn("__crank", row_number().over(wCell))
+      .filter(col("__crank") <= n)
+      .select(col("__id"), col("__v"), col("__cid"))
+      .localCheckpoint(true)
+    val indexed = assign(cbase, 1).select(col("__cid"), col("__id").as("nid"), col("__v").as("__cvv"))
+    val probes = assign(qbase, nprobe).select(col("__cid").as("__qcid"), col("__id").as("qid"), col("__v").as("__qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    probes
+      .join(indexed, col("__qcid") === col("__cid"))
+      .withColumn("cos", cosine(col("__qv"), col("__cvv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+  }
+
   /** Shared IVF tail: given the probed (__id, __v, __cid, __crank) cell
     * assignments, join queries (all probed cells) against the index side
     * (home cell only) on cell id and exact-rank candidates by cosine.

@@ -305,6 +305,28 @@ object LlmQueries {
          |  FROM iq JOIN iidx ON iq.cid = iidx.cid AND iq.qid <> iidx.nid)
          |  WHERE rnk <= $k)""".stripMargin
 
+    /** Cross-table IVF top-k (qid, nid, rnk): centroids and home-cell
+      * index from the corpus predicate only, probing from the query
+      * predicate — the SQL replay of [[Similarity.ivfTopKAgainst]].
+      * Predicates are written against `vec_id`.
+      */
+    def ivfTopXtableCte(k: Int, cells: Int, nprobe: Int, qPred: String, cPred: String): String =
+      s"""ic AS (SELECT vec_id AS cid, v AS cv FROM e WHERE $cPred ORDER BY vec_id LIMIT $cells),
+         |ia AS (SELECT e.vec_id AS id, e.v AS pv, ic.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_cosine_similarity(e.v, ic.cv) DESC, ic.cid) AS crank
+         |       FROM e CROSS JOIN ic WHERE $cPred QUALIFY crank = 1),
+         |qa AS (SELECT e.vec_id AS id, e.v AS pv, ic.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_cosine_similarity(e.v, ic.cv) DESC, ic.cid) AS crank
+         |       FROM e CROSS JOIN ic WHERE $qPred QUALIFY crank <= $nprobe),
+         |ivfxtop AS (SELECT qid, nid, rnk FROM (
+         |  SELECT qa.id AS qid, ia.id AS nid,
+         |    row_number() OVER (PARTITION BY qa.id
+         |      ORDER BY list_cosine_similarity(qa.pv, ia.pv) DESC, ia.id) AS rnk
+         |  FROM qa JOIN ia ON qa.cid = ia.cid)
+         |  WHERE rnk <= $k)""".stripMargin
+
     /** Brute top-k (qid, nid) — the exact baseline for recall math. */
     def bruteTopCte(k: Int): String =
       s"""br AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM e a JOIN e b ON a.vec_id <> b.vec_id
@@ -875,6 +897,33 @@ object LlmQueries {
         }
         hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2))
           .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 8)))
+      }
+    ),
+    // Cross-table IVF top-5 — the standard vector-index query mode (index
+    // the corpus once, probe per query). Same knobs as llm_ann_ivf; the
+    // oracle replays centroid selection, home-cell indexing, and probing
+    // two-sidedly.
+    QueryDef(
+      "llm_ann_ivf_xtable",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${ivfTopXtableCte(5, cells = 16, nprobe = 8, qPred = "vec_id % 20 = 0", cPred = "vec_id % 20 <> 0")}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM ivfxtop""".stripMargin
+      },
+      (spark, sf) => {
+        val e = embeddingsDimChecked(spark, sf)
+        Similarity
+          .ivfTopKAgainst(
+            e.filter(col("vec_id") % 20 === 0),
+            e.filter(col("vec_id") % 20 =!= 0),
+            "vec_id",
+            "embedding",
+            k = 5,
+            cells = 16,
+            nprobe = 8
+          )
+          .select("qid", "nid", "rank")
       }
     ),
     // Recall ledger for the cross-table path: per-query overlap between

@@ -195,6 +195,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(first._2 == 39L && first._4 > 0.9999)
   }
 
+  test("ivfTopKAgainst retrieves corpus neighbors for a separate query table") {
+    val corpus = (0L until 40L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f + i * 0.001f else 0.01f)))
+      .toDF("vec_id", "embedding")
+    val queries = (100L until 104L)
+      .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 2.0f else 0.02f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity
+      .ivfTopKAgainst(queries, corpus, "vec_id", "embedding", k = 3, cells = 4, nprobe = 2)
+      .select("qid", "nid")
+      .as[(Long, Long)]
+      .collect()
+    assert(top.map(_._1).toSet == Set(100L, 101L, 102L, 103L))
+    top.foreach { case (q, n) =>
+      assert(n < 40L, s"nid $n not from corpus")
+      assert(q % 4 == n % 4, s"q=$q n=$n")
+    }
+  }
+
   test("ivfTopKKmeans with a sampled fit (100 TB shape) still recovers in-cluster neighbors") {
     val vecs = (0L until 40L)
       .map(i => (i, Seq.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f + i * 0.001f else 0.01f)))
