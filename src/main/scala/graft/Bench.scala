@@ -91,6 +91,8 @@ object Bench {
     "llm_dedup_ngram_capped",
     "llm_dedup_clusters",
     "llm_simhash_pairs",
+    "llm_simhash_xtable",
+    "llm_ingest_pipeline",
     "llm_ann_lsh",
     "llm_ann_lsh_xtable",
     "llm_ann_ivf",

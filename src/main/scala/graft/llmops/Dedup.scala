@@ -327,6 +327,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-table SimHash near-dup pairs (batch `a` vs corpus `b`): the
+    * ingest-time Hamming check, with the same pigeonhole exactness as
+    * [[simhashNearDupPairs]] — any cross pair within Hamming < `bands`
+    * shares a band slice, so banding is a candidate optimization, never a
+    * semantics change, and the result EQUALS the brute cross-pair Hamming
+    * set. Neither side self-joins; the corpus index is (id, simhash, band
+    * keys) only — 3 longs per band per stored doc at 100 TB.
+    */
+  def simhashNearDupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      simFn: Column => Column = Fingerprints.simhash64,
+      simBits: Int = 64
+  ): DataFrame = {
+    def bandedOf(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("__id"), simFn(col(textCol)).as("__sim"))
+      .select(
+        col("__id"),
+        col("__sim"),
+        posexplode(Fingerprints.simhashBands(col("__sim"), bands, simBits)).as(Seq("__band", "__key"))
+      )
+    val a = bandedOf(batch)
+      .select(col("__band"), col("__key"), col("__id").as("a"), col("__sim").as("__sima"))
+    val b = bandedOf(corpus).select(
+      col("__band").as("__band2"),
+      col("__key").as("__key2"),
+      col("__id").as("b"),
+      col("__sim").as("__simb")
+    )
+    a.join(b, col("__band") === col("__band2") && col("__key") === col("__key2"))
+      .select(col("a"), col("b"), bit_count(col("__sima").bitwiseXOR(col("__simb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact-Jaccard verification of candidate pairs: join the two shingle
     * sets back and compute |A∩B| / |A∪B| per pair (row-local array math —
     * the arrays are per-document, small, and only candidate pairs pay it).

@@ -771,6 +771,33 @@ object LlmQueries {
           simBits = 56
         )
     ),
+    // Cross-table SimHash near-dup: incoming 10% batch vs stored 90%
+    // corpus at Hamming <= 3. Banding stays pigeonhole-exact two-sidedly,
+    // so the oracle is the brute cross-pair Hamming set recomputed from
+    // scratch — same certification as llm_simhash_pairs, ingest-shaped.
+    QueryDef(
+      "llm_simhash_xtable",
+      Some(
+        s"""WITH $simhash56Cte
+           |SELECT x.doc_id AS a, y.doc_id AS b,
+           |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+           |FROM sh56 x JOIN sh56 y ON x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+           |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        Dedup.simhashNearDupAgainst(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id",
+          "text",
+          bands = 4,
+          maxHamming = 3,
+          simFn = Fingerprints.simhash56Md5,
+          simBits = 56
+        )
+      }
+    ),
     // Brute-force cosine top-1 neighbor (ids only; cosine computed in
     // double on both sides). Oracle baseline — NOT the scale path and no
     // longer a bench headline; lshTopK/ivfTopK are the registered ANN.
@@ -1439,6 +1466,81 @@ object LlmQueries {
             sum(col("n_tokens")).as("total_tokens"),
             max(col("seq_id") + col("n_seqs")).as("n_seqs")
           )
+      }
+    ),
+    // Ingest-pipeline capstone (v3): the batch-arrival path the corpus
+    // capstones (v1/v2) don't cover — a 10% incoming batch plus six
+    // deterministic re-ingested corpus copies (ids +100000; the corpus has
+    // no natural exact dups, so re-ingests make the dedup stage
+    // non-vacuous) flows through quality gate → exact dedup vs the stored
+    // corpus → MinHash near-dup drop vs the corpus → deterministic shuffle
+    // order. Stage survivor counts at sf0.01: 56 → 36 → 33 → 30. The
+    // oracle replays the whole chain; its near-dup stage is the EXACT
+    // cross-pair Jaccard, which the banded Spark plan must equal (recall
+    // at tau=0.8 is 1-5e-8; pair equality itself is gated by
+    // llm_dedup_minhash_xtable).
+    QueryDef(
+      "llm_ingest_pipeline",
+      Some(
+        """WITH batch AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 97 = 1 AND doc_id % 10 <> 0),
+          |g AS (SELECT doc_id, text, length(text) AS nc, len(string_split(text, ' ')) AS nt,
+          |      len(list_distinct(string_split(text, ' '))) AS nd,
+          |      length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS nsym FROM batch),
+          |keep AS (SELECT doc_id, text FROM g
+          |  WHERE (nt BETWEEN 16 AND 100000) AND (CAST(nc - nt + 1 AS DOUBLE)/nt BETWEEN 2.0 AND 12.0)
+          |    AND (CAST(nsym AS DOUBLE)/nc <= 0.2) AND (1.0 - CAST(nd AS DOUBLE)/nt <= 0.6)),
+          |dedup AS (SELECT k.doc_id, k.text FROM keep k
+          |  WHERE md5(k.text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)
+          |  QUALIFY row_number() OVER (PARTITION BY md5(k.text) ORDER BY k.doc_id) = 1),
+          |tb AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dedup),
+          |sb AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh FROM tb),
+          |tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 <> 0),
+          |sc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh FROM tc),
+          |nb AS (SELECT doc_id, count(*) AS n FROM sb GROUP BY 1),
+          |ncn AS (SELECT doc_id, count(*) AS n FROM sc GROUP BY 1),
+          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter FROM sb a JOIN sc b ON a.sh = b.sh GROUP BY 1, 2),
+          |flag AS (SELECT DISTINCT p.a FROM p JOIN nb ON nb.doc_id = p.a JOIN ncn ON ncn.doc_id = p.b
+          |         WHERE CAST(p.inter AS DOUBLE)/(nb.n + ncn.n - p.inter) >= 0.8),
+          |surv AS (SELECT doc_id FROM dedup WHERE doc_id NOT IN (SELECT a FROM flag)),
+          |h AS (SELECT doc_id,
+          |    CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS hv
+          |  FROM surv)
+          |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+          |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+          |FROM h""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val batch = docs
+          .filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+          .unionByName(
+            docs
+              .filter(col("doc_id") % 97 === 1 && col("doc_id") % 10 =!= 0)
+              .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+          )
+        val kept = TextStats.gopherRules(batch).filter(col("keep")).select("doc_id", "text")
+        val fresh = Dedup.dedupIncremental(
+          kept,
+          corpus.select(Fingerprints.contentKeyMd5(col("text")).as("ck")),
+          "ck",
+          Fingerprints.contentKeyMd5(col("text")),
+          col("doc_id")
+        )
+        val flagged = Dedup
+          .minhashNearDupAgainst(fresh, corpus, "doc_id", "text", k = 3, numHashes = 128, bands = 32, tau = 0.8)
+          .select(col("a").as("doc_id"))
+          .distinct()
+        val surv = fresh.join(flagged, Seq("doc_id"), "left_anti")
+        Corpus
+          .shuffleOrder(surv.select("doc_id"), "doc_id", seed = 7L, shards = 8)
+          .select("doc_id", "shard", "pos")
       }
     ),
     // Overlapping token-window chunking (chunkSize=32, overlap=8).

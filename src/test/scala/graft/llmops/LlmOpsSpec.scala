@@ -823,6 +823,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.forall(_._3 == 1.0))
   }
 
+  test("simhashNearDupAgainst equals the brute cross-pair Hamming set") {
+    val corpus = docs // ids 1..5
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // = corpus 1/4
+      (101L, "completely different words entirely here now"), // = corpus 3
+      (102L, "unrelated fresh content with no stored match")
+    ).toDF("doc_id", "text")
+    val banded = Dedup
+      .simhashNearDupAgainst(batch, corpus, "doc_id", "text", bands = 4, maxHamming = 3)
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(p => (p._1, p._2))
+    // brute reference: every (batch, corpus) pair within Hamming 3
+    val simOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), Fingerprints.simhash64(col("text"))).as[(Long, Long)].collect().toMap
+    val (bs, cs) = (simOf(batch), simOf(corpus))
+    val brute = (for {
+      (a, sa) <- bs.toSeq; (b, sb) <- cs.toSeq
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).sortBy(p => (p._1, p._2))
+    assert(banded.toSeq == brute)
+    assert(brute.exists(p => p._1 == 100L && (p._2 == 1L || p._2 == 4L))) // non-vacuous
+    banded.foreach { case (a, b, _) => assert(a >= 100L && b < 100L) }    // cross-only
+  }
+
   test("dedupIncremental drops index hits and within-batch dups, keeps the rest") {
     // index covers doc 1/4's content; batch has an index dup (4), a
     // within-batch dup pair (2 repeated as 6), and fresh content (3, 5)
