@@ -1780,7 +1780,7 @@ object LlmQueries {
           |  contains(lower(text), 'lorem ipsum') AS has_lorem,
           |  len(kept) >= 3 AND NOT contains(lower(text), 'javascript')
           |    AND NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum') AS keep,
-          |  array_to_string(kept, chr(10)) AS clean_text
+          |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
           |FROM c""".stripMargin
       ),
       (spark, sf) => {

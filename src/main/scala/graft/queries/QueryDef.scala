@@ -16,7 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     to HUGEINT, Spark stays long;
   *   - never hash an order-dependent float aggregate: sum doubles through
   *     `DECIMAL(18,2)` (exact, order-independent) and cast the final value
-  *     back to double; per-row double arithmetic is fine (deterministic IEEE).
+  *     back to double; per-row double arithmetic is fine (deterministic IEEE);
+  *   - `coalesce(array_to_string(...), '')` when the list can be empty —
+  *     DuckDB returns NULL for an empty list where Spark's `array_join`
+  *     returns '' (found at sf0.1 on `llm_c4_clean`: invisible at any SF
+  *     where the empty case never occurs).
   */
 final case class QueryDef(
     name: String,
