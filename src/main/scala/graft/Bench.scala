@@ -99,6 +99,7 @@ object Bench {
     "llm_ann_ivf_xtable",
     "llm_ann_ivf_kmeans",
     "llm_cosine_neardup",
+    "llm_cosine_xtable",
     "llm_train_split",
     "llm_seq_pack",
     "llm_vocab",

@@ -553,4 +553,52 @@ object Similarity {
       }
     pairs.filter(col("cos") >= tau).select("a", "b", "cos")
   }
+
+  /** Cross-table embedding near-dup pairs (batch `a` vs corpus `b`,
+    * cosine >= tau) — the ingest-time semantic-duplicate check, completing
+    * the cross-table family ([[minhashNearDupAgainst]] for token overlap,
+    * [[Dedup.simhashNearDupAgainst]] for Hamming, this for embeddings).
+    * `tables > 0` runs the two-sided banded candidate generator of
+    * [[lshTopKAgainst]] (batch side multi-probed, corpus banded once at
+    * base keys — no self-joins); `tables == 0` is the brute cross join
+    * (baseline/oracle only — never register at scale). Precision is exact
+    * either way (every candidate re-checked against the true cosine);
+    * banded recall at tau is the LSH collision probability — see the
+    * object scaladoc and `llm_cosine_recall`.
+    */
+  def cosineNearDupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      tables: Int = 0,
+      planesPerTable: Int = 4,
+      seed: Long = 42L,
+      probeBits: Int = 0,
+      probeDepth: Int = 1
+  ): DataFrame = {
+    val qbase = batch.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val cbase = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val pairs =
+      if (tables <= 0) {
+        qbase
+          .select(col("__id").as("a"), col("__v").as("__va"))
+          .crossJoin(cbase.select(col("__id").as("b"), col("__v").as("__vb")))
+          .withColumn("cos", cosine(col("__va"), col("__vb")))
+      } else {
+        val dim = cbase.select(size(col("__v"))).head().getInt(0)
+        val a = probeExpand(bandedKeys(qbase, tables, planesPerTable, seed, dim), probeBits, probeDepth)
+          .select(col("__table"), col("__key"), col("__id").as("a"))
+        val b = bandedKeys(cbase, tables, planesPerTable, seed, dim)
+          .select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("b"))
+        a.join(b, col("__table") === col("__t2") && col("__key") === col("__k2"))
+          .select(col("a"), col("b"))
+          .dropDuplicates("a", "b")
+          .join(qbase.select(col("__id").as("a"), col("__v").as("__va")), "a")
+          .join(cbase.select(col("__id").as("b"), col("__v").as("__vb")), "b")
+          .withColumn("cos", cosine(col("__va"), col("__vb")))
+      }
+    pairs.filter(col("cos") >= tau).select("a", "b", "cos")
+  }
 }

@@ -1101,6 +1101,36 @@ object LlmQueries {
           )
           .select("a", "b")
     ),
+    // Cross-table embedding near-dup at tau=0.4 (ingest batch vs stored
+    // corpus), completing the cross-table near-dup family for the
+    // embedding path. Same knobs as llm_cosine_neardup; two-sided DuckDB
+    // replay of the banded candidate generator + threshold.
+    QueryDef(
+      "llm_cosine_xtable",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${lshBandsXtableCte(tables = 8, planes = 4, seed = 42L, qPred = "vec_id % 20 = 0", cPred = "vec_id % 20 <> 0", probeBits = 4)}
+           |SELECT c.qid AS a, c.nid AS b FROM cand c
+           |JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid
+           |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin
+      },
+      (spark, sf) => {
+        val e = embeddingsDimChecked(spark, sf)
+        Similarity
+          .cosineNearDupAgainst(
+            e.filter(col("vec_id") % 20 === 0),
+            e.filter(col("vec_id") % 20 =!= 0),
+            "vec_id",
+            "embedding",
+            tau = 0.4,
+            tables = 8,
+            planesPerTable = 4,
+            probeBits = 4
+          )
+          .select("a", "b")
+      }
+    ),
     // Honest recall ledger for the LSH near-dup config above: exact pair
     // count, LSH-found count, and their intersection — all three recomputed
     // independently by DuckDB. (At tau=0.4 on near-orthogonal synthetic

@@ -165,6 +165,27 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     top1.foreach { case (q, n) => assert(q % 4 == n % 4, s"q=$q n=$n") }
   }
 
+  test("cosineNearDupAgainst: banded cross pairs are a subset of brute, find the planted dup") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val corpus = ((0L until 20L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat))) :+
+      (20L, base.toSeq)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, base.map(x => x * 1.01f).toSeq), // near-dup of corpus 20
+      (101L, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    ).toDF("vec_id", "embedding")
+    val banded = Similarity
+      .cosineNearDupAgainst(batch, corpus, "vec_id", "embedding", tau = 0.9, tables = 4, planesPerTable = 2, probeBits = 2)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val brute = Similarity
+      .cosineNearDupAgainst(batch, corpus, "vec_id", "embedding", tau = 0.9, tables = 0)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(banded.subsetOf(brute))           // precision exact
+    assert(brute.contains((100L, 20L)))      // the planted pair exists
+    assert(banded.contains((100L, 20L)))     // and the banded path finds it
+    banded.foreach { case (a, b) => assert(a >= 100L && b <= 20L) } // cross-only
+  }
+
   test("lshTopKAgainst retrieves corpus neighbors for a separate query table") {
     // corpus: 40 axis-clustered vectors; queries: 4 fresh vectors, one per
     // axis (ids disjoint from the corpus), plus one exact corpus copy
