@@ -131,6 +131,12 @@ object Corpus {
     * permutation (new epoch). One hash shuffle + per-shard sort — packing
     * parallelizes across shards exactly like [[packSequences]], and the
     * md5 hash makes the permutation engine-portable (no RNG state).
+    *
+    * Duplicate `idCol` values are safe here (unlike [[packSequences]]):
+    * equal ids share (hash, shard) and occupy adjacent positions, so
+    * whichever physical row takes which position, the OUTPUT multiset of
+    * (id, shard, pos) rows is identical — reproducible across runs and
+    * engines.
     */
   def shuffleOrder(df: DataFrame, idCol: String, seed: Long, shards: Int): DataFrame = {
     require(shards > 0, "shards must be positive")
