@@ -129,6 +129,7 @@ object Bench {
     "t4_stream_dedup_batch_eq",
     "t6_stream_enrich_batch_eq",
     "t7_stream_stream_join_batch_eq",
+    "t8_stream_ingest_dedup_batch_eq",
     "t5_stream_textstats_batch_eq"
   )
 

@@ -274,6 +274,58 @@ object StreamingQueries {
           .awaitTermination()
         spark.read.parquet(out).select("user_id", "event_type")
       }
+    ),
+    QueryDef(
+      "t8_stream_ingest_dedup_batch_eq",
+      Some(
+        // streaming form of the ingest-dedup stage of llm_ingest_pipeline:
+        // the arriving batch (10% of docs plus six re-ingested corpus
+        // copies, so the drop path is non-vacuous) streams through a
+        // stream-static LEFT ANTI join against the stored corpus's content
+        // keys. Stateless — no watermark, no state — so the streamed
+        // survivor set must equal the batch anti-join exactly.
+        """WITH batch AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 97 = 1 AND doc_id % 10 <> 0)
+          |SELECT doc_id, md5(text) AS ck FROM batch
+          |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)""".stripMargin
+      ),
+      (spark, sf) => {
+        val in = tmpDir("t8_in")
+        val out = tmpDir("t8_out")
+        val ckpt = tmpDir("t8_ckpt")
+        val docs = spark.read.parquet(s"$sf/documents.parquet")
+        docs
+          .filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+          .unionByName(
+            docs
+              .filter(col("doc_id") % 97 === 1 && col("doc_id") % 10 =!= 0)
+              .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+          )
+          .write
+          .mode("overwrite")
+          .parquet(in)
+        val index = docs
+          .filter(col("doc_id") % 10 =!= 0)
+          .select(graft.llmops.Fingerprints.contentKeyMd5(col("text")).as("ck"))
+          .distinct()
+        val stream = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .parquet(in)
+          .select(col("doc_id"), graft.llmops.Fingerprints.contentKeyMd5(col("text")).as("ck"))
+          .join(index, Seq("ck"), "left_anti")
+        stream.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out).select("doc_id", "ck")
+      }
     )
   )
 
