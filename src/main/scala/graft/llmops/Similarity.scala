@@ -140,6 +140,16 @@ object Similarity {
     * downstream, so it stays lazy (a snapshot there would be a pure extra
     * materialization pass).
     */
+  /** Embedding dimensionality probe (one driver job on one row), with a
+    * named failure instead of a bare NoSuchElementException on an empty
+    * table.
+    */
+  private def probeDim(base: DataFrame): Int = {
+    val row = base.select(size(col("__v"))).limit(1).collect()
+    require(row.nonEmpty, "cannot infer embedding dimensionality from an empty vector table")
+    row(0).getInt(0)
+  }
+
   /** Sign-bucket keys for every (vector, table) pair, snapshotted (both
     * the probe side and the index side read it).
     */
@@ -181,7 +191,7 @@ object Similarity {
     // hyperplane dimensionality must match the data: a wrong dim nulls the
     // signature dots (ArrayDot rejects length mismatches). One tiny driver
     // job on one row; pass-through cost is irrelevant next to the join.
-    val dim = base.select(size(col("__v"))).head().getInt(0)
+    val dim = probeDim(base)
     val banded = bandedKeys(base, tables, planesPerTable, seed, dim)
     val a = probeExpand(banded, probeBits, probeDepth)
       .select(col("__table"), col("__key"), col("__id").as("qid"))
@@ -250,7 +260,7 @@ object Similarity {
   ): DataFrame = {
     val qbase = queries.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val cbase = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val dim = cbase.select(size(col("__v"))).head().getInt(0)
+    val dim = probeDim(cbase)
     val a = probeExpand(bandedKeys(qbase, tables, planesPerTable, seed, dim), probeBits, probeDepth)
       .select(col("__table"), col("__key"), col("__id").as("qid"))
     val b = bandedKeys(cbase, tables, planesPerTable, seed, dim)
@@ -587,7 +597,7 @@ object Similarity {
           .crossJoin(cbase.select(col("__id").as("b"), col("__v").as("__vb")))
           .withColumn("cos", cosine(col("__va"), col("__vb")))
       } else {
-        val dim = cbase.select(size(col("__v"))).head().getInt(0)
+        val dim = probeDim(cbase)
         val a = probeExpand(bandedKeys(qbase, tables, planesPerTable, seed, dim), probeBits, probeDepth)
           .select(col("__table"), col("__key"), col("__id").as("a"))
         val b = bandedKeys(cbase, tables, planesPerTable, seed, dim)
