@@ -132,11 +132,16 @@ object Corpus {
     * parallelizes across shards exactly like [[packSequences]], and the
     * md5 hash makes the permutation engine-portable (no RNG state).
     *
-    * Duplicate `idCol` values are safe here (unlike [[packSequences]]):
-    * equal ids share (hash, shard) and occupy adjacent positions, so
-    * whichever physical row takes which position, the OUTPUT multiset of
-    * (id, shard, pos) rows is identical — reproducible across runs and
-    * engines.
+    * Duplicate `idCol` values are safe here (unlike [[packSequences]])
+    * WITH one precise boundary: equal ids share (hash, shard) and occupy
+    * adjacent positions, so the OUTPUT multiset of (id, shard, pos) rows
+    * is identical across runs and engines — but which PHYSICAL row of a
+    * duplicated id takes which of those adjacent positions is not
+    * pinned, so any non-id payload columns riding through (text, source,
+    * …) get a nondeterministic (payload, pos) association under
+    * duplicate ids. Callers needing payload determinism must either
+    * dedup/disambiguate ids first or select only (idCol, shard, pos)
+    * from the result and re-join on a unique key.
     */
   def shuffleOrder(df: DataFrame, idCol: String, seed: Long, shards: Int): DataFrame = {
     require(shards > 0, "shards must be positive")

@@ -228,6 +228,16 @@ object Dedup {
     * is exact; recall at `tau` follows the (numHashes, bands) collision
     * curve (see [[minhashNearDupPairs]]). `maxBucket` caps CORPUS-side
     * bucket sizes (the side whose skew can straggle a task).
+    *
+    * RECALL CAVEAT at `maxBucket > 0`: over-cap (band, key) buckets are
+    * dropped WHOLESALE from the corpus index — any true near-dup whose
+    * only shared bands are boilerplate-hot buckets is then missed, and
+    * that loss is config-dependent and NOT measured by the published
+    * recall ledgers (which run at the default maxBucket = 0). Callers who
+    * enable the cap should count the dropped buckets first
+    * (`bandedCorpus.groupBy(band, key).count().filter(n > maxBucket)` —
+    * one cheap aggregation on the ids+keys index) and price the loss, the
+    * same way the `maxDf` shingle cap documents its drop semantics.
     */
   def minhashNearDupAgainst(
       batch: DataFrame,
@@ -425,6 +435,19 @@ object Dedup {
       .select(col(idCol).as("__n"))
       .withColumn("__comp", col("__n"))
       .localCheckpoint(true)
+    // Convergence is detected from the label-sum invariant: labels are
+    // monotonically non-increasing per node, so the labeling changed in a
+    // round iff sum(__comp) strictly decreased. That turns the per-round
+    // convergence probe into ONE bare aggregation job over the
+    // already-checkpointed ids-only label table (summed as decimal(38,0)
+    // so id-scale sums can't overflow), instead of the former
+    // join-plus-isEmpty job. Per-round driver cost: the eager checkpoint
+    // job + this scan — O(iterations) tiny jobs by design.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      // empty input → null sum → treat as zero (loop exits on first round)
+      Option(l.agg(sum(col("__comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -448,10 +471,9 @@ object Dedup {
         )
         .select(col("__n"), col("__cc").as("__comp"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("__comp", "__old"), Seq("__n"))
-        .filter(col("__comp") =!= col("__old"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -415,7 +415,9 @@ object Similarity {
     * orders of magnitude smaller than the corpus, and the full corpus
     * still gets assigned/probed exactly as before (only the FIT sees the
     * sample; callers' assignment joins are unchanged). The sample must
-    * still contain at least `cells` rows. Default 100 = fit on everything
+    * still contain at least `cells` rows — ENFORCED with a named error
+    * (one cheap count on the checkpointed sample), never a silent
+    * fewer-centroids degradation. Default 100 = fit on everything
     * (bit-identical to the pre-knob behavior, and what the registered
     * oracle replays).
     */
@@ -445,6 +447,17 @@ object Similarity {
         df.filter(bucket < fitSamplePercent)
       }
     val qbase = sampled.select(col(idCol).as("__id"), qvd.as("__qv")).localCheckpoint(true)
+    // Enforce the documented invariant instead of silently degrading: a
+    // too-aggressive fitSamplePercent (or an empty input) would otherwise
+    // produce fewer than `cells` centroids via the limit() below and
+    // quietly change ivfTopKKmeans' nprobe semantics. One cheap count job
+    // on the already-checkpointed (ids + quantized vecs) sample.
+    val sampleRows = qbase.limit(cells).count()
+    require(
+      sampleRows == cells,
+      s"kmeansCentroids: fit sample has only $sampleRows rows but cells=$cells — " +
+        s"raise fitSamplePercent (=$fitSamplePercent) or lower cells"
+    )
     val h = conv(
       substring(md5(concat_ws(":", lit(seed.toString), col("__id").cast("string"))), 1, 8),
       16,

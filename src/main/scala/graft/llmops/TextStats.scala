@@ -170,6 +170,16 @@ object TextStats {
     * Deliberately lookaround-free (RE2-compatible) so Spark's Java regex
     * and DuckDB's RE2 extract the identical line set — the oracle checks
     * the cleaned text byte-for-byte.
+    *
+    * Cross-engine precondition: Java and RE2 agree on this pattern ONLY
+    * when lines are `\n`-terminated and words are free of exotic
+    * whitespace — Java's `(?m)$` also matches before `\r\n`, U+0085 and
+    * U+2028/9 (RE2: `\n` only), and Java's `\S` excludes U+000B where
+    * RE2's includes it. [[c4CleanLines]] normalizes `\r\n`/`\r` to `\n`
+    * before extraction (closing the common CRLF case on both engines);
+    * the remaining U+000B/U+0085/U+2028/U+2029 divergence is documented
+    * here rather than guarded — those code points do not occur in
+    * whitespace-tokenized training text.
     */
   def c4LinePattern(minWords: Int): String =
     s"(?m)^(?:\\S+ ){${minWords - 1},}\\S+[.!?\"]$$"
@@ -196,7 +206,10 @@ object TextStats {
       minKeptLines: Int = 3
   ): DataFrame = {
     require(minWords >= 2, "minWords must be at least 2 (pattern needs a leading word group)")
-    val t = col(textCol)
+    // CRLF normalization BEFORE extraction: Java's (?m)$ matches before
+    // \r\n where DuckDB's RE2 does not — see the c4LinePattern scaladoc.
+    // Identity on \n-only text (the registered oracle mirrors it).
+    val t = regexp_replace(col(textCol), "\r\n?", "\n")
     val kept = regexp_extract_all(t, lit(c4LinePattern(minWords)), lit(0))
     val lower = org.apache.spark.sql.functions.lower(t)
     df.withColumn("n_lines", size(split(t, "\n", -1)).cast("long"))

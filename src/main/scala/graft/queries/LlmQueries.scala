@@ -1799,9 +1799,10 @@ object LlmQueries {
           |    CASE WHEN doc_id % 17 = 0 THEN t || chr(10) || 'var x = {javascript};'
           |         ELSE t END AS text
           |  FROM lined),
+          |norm AS (SELECT doc_id, regexp_replace(text, '\r\n?', chr(10), 'g') AS text FROM fx),
           |c AS (SELECT doc_id, text,
           |    regexp_extract_all(text, '(?m)^(?:\S+ ){4,}\S+[.!?"]$') AS kept
-          |  FROM fx)
+          |  FROM norm)
           |SELECT doc_id,
           |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
           |  CAST(len(kept) AS BIGINT) AS n_kept,

@@ -342,6 +342,15 @@ object RelationalQueries {
           .groupBy("s_nationkey")
           .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
     ),
+    // Salted two-phase aggregation: result must equal the plain GROUP BY
+    // (the salt only reshapes the shuffle, never the counts).
+    QueryDef(
+      "q_salted_count",
+      Some("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1"),
+      (spark, sf) =>
+        graft.relational.Scale
+          .saltedCount(table(spark, sf, "lineitem"), "l_returnflag", saltFactor = 8)
+    ),
     // Bucketed co-located join: shuffle paid at write time, join reads
     // bucket-aligned (no Exchange before the join in the plan).
     QueryDef(
