@@ -69,6 +69,7 @@ object Bench {
     "q_json_extract",
     "q_monthly_orders",
     "q_salted_join",
+    "q_salted_count",
     "q_bucketed_join",
     "q_typed_udaf",
     "q_asof_join",
@@ -94,11 +95,13 @@ object Bench {
     "llm_simhash_xtable",
     "llm_ingest_pipeline",
     "llm_ann_lsh",
+    "llm_ann_lsh_auto",
     "llm_ann_lsh_xtable",
     "llm_ann_ivf",
     "llm_ann_ivf_xtable",
     "llm_ann_ivf_kmeans",
     "llm_cosine_neardup",
+    "llm_cosine_neardup_auto",
     "llm_cosine_xtable",
     "llm_train_split",
     "llm_seq_pack",

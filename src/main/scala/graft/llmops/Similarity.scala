@@ -97,11 +97,67 @@ object Similarity {
     }
   }
 
-  /** Deterministic random hyperplanes (seeded) as a plan literal. */
+  /** Deterministic random hyperplanes (seeded) as a plan literal.
+    *
+    * PREFIX-CONSISTENT by construction: the seeded generator fills plane 0
+    * completely before plane 1, so `hyperplanes(p, d, s)` is exactly the
+    * first `p` rows of `hyperplanes(P, d, s)` for any P >= p. The
+    * auto-sized LSH oracle depends on this — it embeds a capped plane set
+    * as SQL literals and gates each sign bit on the data-derived plane
+    * count, which only replays the Spark plan if prefixes agree (asserted
+    * by LlmOpsSpec).
+    */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)
     Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
+
+  /** Knob sentinel: `planesPerTable = AutoPlanes` (0) asks the LSH entry
+    * points to size the key width from the data via [[suggestedPlanes]].
+    */
+  val AutoPlanes: Int = 0
+
+  /** Smallest key width (planes per table) that keeps the EXPECTED sign
+    * bucket occupancy n/2^planes at or below `targetBucket`: the integer
+    * form of ceil(log2(n / targetBucket)), clamped to >= 1.
+    *
+    * Why this is the scale knob that must NOT be fixed: at a fixed width,
+    * bucket occupancy grows linearly in n, so candidate pairs grow ~n² —
+    * the round-7 shuffle audit measured 13-15× candidate-shuffle growth
+    * across the gate SFs at fixed knobs. Sizing the width so expected
+    * occupancy stays ~targetBucket bounds RAW candidate volume at
+    * n·tables·masks·targetBucket — linear in n BY CONSTRUCTION (measured:
+    * bench_results/round8_lsh_knobs.md, including the honest caveats —
+    * distinct-candidate counts saturate at n² on small corpora, and on
+    * STRUCTURELESS data 99%-class recall inherently needs near-all-pairs
+    * candidates; on clusterable data — real embeddings — deep keys hold
+    * recall 1.0 while candidates track true near-pair density).
+    *
+    * Pure integer arithmetic (a doubling loop, no floating log): the
+    * DuckDB oracle replays the identical count with integer shifts, so a
+    * one-ULP log2 difference at a power-of-two boundary can never split
+    * the engines.
+    *
+    * The recall trade is real and priced by the ledgers: a wider key
+    * lowers per-table collision probability, so auto-sizing keeps recall
+    * ledgers (`llm_ann_recall`) registered at the same knobs — recall is
+    * a measured, driver-verified number, never assumed.
+    */
+  def suggestedPlanes(n: Long, targetBucket: Long = 32L): Int = {
+    require(n > 0, "suggestedPlanes needs a positive row count")
+    require(targetBucket > 0, "targetBucket must be positive")
+    var p = 1
+    while (p < 62 && (targetBucket << p) < n) p += 1
+    p
+  }
+
+  /** Resolve the effective key width: explicit when > 0, else
+    * [[suggestedPlanes]] from a count of `base` (ids+vectors projection —
+    * one cheap job, amortized across the whole candidate build).
+    */
+  private def resolvePlanes(base: DataFrame, planesPerTable: Int, targetBucket: Long): Int =
+    if (planesPerTable > 0) planesPerTable
+    else suggestedPlanes(base.count(), targetBucket)
 
   /** Sign-bit signature under `planes`: bit p = (v · plane_p) > 0. */
   def planeSignature(vec: Column, planes: Array[Array[Double]]): Column = {
@@ -205,6 +261,14 @@ object Similarity {
     * (band = one table of `planesPerTable` sign bits); vectors sharing a
     * bucket in any table become candidates; candidates are exact-ranked by
     * cosine. Recall grows with `tables`; all joins are bucketed equi-joins.
+    *
+    * `planesPerTable = AutoPlanes` (0) sizes the key width from the data
+    * ([[suggestedPlanes]] at `targetBucket`) so expected bucket occupancy
+    * — and with it candidate-shuffle volume per row — stays constant as
+    * the corpus grows, instead of the fixed-knob ~n² candidate blowup.
+    * `probeBits` above the effective width is clamped (flipping a bit the
+    * index side never sets can only probe empty buckets — identical
+    * result, wasted lookups).
     */
   def lshTopK(
       df: DataFrame,
@@ -212,13 +276,15 @@ object Similarity {
       vecCol: String,
       k: Int,
       tables: Int = 8,
-      planesPerTable: Int = 10,
+      planesPerTable: Int = AutoPlanes,
       seed: Long = 42L,
       probeBits: Int = 0,
-      probeDepth: Int = 1
+      probeDepth: Int = 1,
+      targetBucket: Long = 32L
   ): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val candidates = lshCandidates(base, tables, planesPerTable, seed, probeBits, probeDepth)
+    val planes = resolvePlanes(base, planesPerTable, targetBucket)
+    val candidates = lshCandidates(base, tables, planes, seed, math.min(probeBits, planes), probeDepth)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     candidates
       .join(base.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
@@ -253,17 +319,22 @@ object Similarity {
       vecCol: String,
       k: Int,
       tables: Int = 8,
-      planesPerTable: Int = 10,
+      planesPerTable: Int = AutoPlanes,
       seed: Long = 42L,
       probeBits: Int = 0,
-      probeDepth: Int = 1
+      probeDepth: Int = 1,
+      targetBucket: Long = 32L
   ): DataFrame = {
     val qbase = queries.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val cbase = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // occupancy — hence candidate volume — is driven by the CORPUS side,
+    // so auto width sizes from its count (the query side only probes)
+    val planes = resolvePlanes(cbase, planesPerTable, targetBucket)
+    val effBits = math.min(probeBits, planes)
     val dim = probeDim(cbase)
-    val a = probeExpand(bandedKeys(qbase, tables, planesPerTable, seed, dim), probeBits, probeDepth)
+    val a = probeExpand(bandedKeys(qbase, tables, planes, seed, dim), effBits, probeDepth)
       .select(col("__table"), col("__key"), col("__id").as("qid"))
-    val b = bandedKeys(cbase, tables, planesPerTable, seed, dim)
+    val b = bandedKeys(cbase, tables, planes, seed, dim)
       .select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
     val candidates = a
       .join(b, col("__table") === col("__t2") && col("__key") === col("__k2"))
@@ -553,10 +624,11 @@ object Similarity {
       vecCol: String,
       tau: Double,
       tables: Int = 0,
-      planesPerTable: Int = 4,
+      planesPerTable: Int = AutoPlanes,
       seed: Long = 42L,
       probeBits: Int = 0,
-      probeDepth: Int = 1
+      probeDepth: Int = 1,
+      targetBucket: Long = 32L
   ): DataFrame = {
     val pairs =
       if (tables <= 0) {
@@ -566,9 +638,10 @@ object Similarity {
           .withColumn("cos", cosine(col("__va"), col("__vb")))
       } else {
         val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        val planes = resolvePlanes(base, planesPerTable, targetBucket)
         // 1-bit flips are symmetric (a probes b's bucket ⟺ b probes a's),
         // so the candidate set stays symmetric and the a<b filter is safe
-        lshCandidates(base, tables, planesPerTable, seed, probeBits, probeDepth)
+        lshCandidates(base, tables, planes, seed, math.min(probeBits, planes), probeDepth)
           .filter(col("qid") < col("nid"))
           .join(base.select(col("__id").as("qid"), col("__v").as("__va")), "qid")
           .join(base.select(col("__id").as("nid"), col("__v").as("__vb")), "nid")
@@ -596,10 +669,11 @@ object Similarity {
       vecCol: String,
       tau: Double,
       tables: Int = 0,
-      planesPerTable: Int = 4,
+      planesPerTable: Int = AutoPlanes,
       seed: Long = 42L,
       probeBits: Int = 0,
-      probeDepth: Int = 1
+      probeDepth: Int = 1,
+      targetBucket: Long = 32L
   ): DataFrame = {
     val qbase = batch.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val cbase = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
@@ -610,10 +684,12 @@ object Similarity {
           .crossJoin(cbase.select(col("__id").as("b"), col("__v").as("__vb")))
           .withColumn("cos", cosine(col("__va"), col("__vb")))
       } else {
+        val planes = resolvePlanes(cbase, planesPerTable, targetBucket)
+        val effBits = math.min(probeBits, planes)
         val dim = probeDim(cbase)
-        val a = probeExpand(bandedKeys(qbase, tables, planesPerTable, seed, dim), probeBits, probeDepth)
+        val a = probeExpand(bandedKeys(qbase, tables, planes, seed, dim), effBits, probeDepth)
           .select(col("__table"), col("__key"), col("__id").as("a"))
-        val b = bandedKeys(cbase, tables, planesPerTable, seed, dim)
+        val b = bandedKeys(cbase, tables, planes, seed, dim)
           .select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("b"))
         a.join(b, col("__table") === col("__t2") && col("__key") === col("__k2"))
           .select(col("a"), col("b"))

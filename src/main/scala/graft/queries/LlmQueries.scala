@@ -277,14 +277,69 @@ object LlmQueries {
         "ON x.tbl = y.tbl AND x.key = y.key)"
     }
 
+    /** Auto-width banded sign-bucket keys — the SQL replay of the
+      * `planesPerTable = AutoPlanes` path: embeds `capPlanes` hyperplane
+      * literals per table (a PREFIX superset — [[Similarity.hyperplanes]]
+      * fills plane-by-plane, asserted by LlmOpsSpec) and gates sign
+      * bit i on `i < pl`, where `pl` replays
+      * [[Similarity.suggestedPlanes]]'s integer rule (smallest p >= 1 with
+      * n <= targetBucket·2^p) from count(*) — integer shifts on both
+      * engines, so no floating-log ULP can split them at power-of-two
+      * boundaries. Valid only while n <= targetBucket·2^capPlanes (beyond
+      * it `pl` is NULL and every key degenerates to 0); callers guard the
+      * row count loudly before running.
+      *
+      * `prefix` renames the emitted CTEs (np/lb/cand → {p}np/{p}lb/{p}cand)
+      * so an auto chain can coexist with the fixed-knob chain in one
+      * statement (the recall ledger does).
+      */
+    def lshBandsAutoCte(
+        tables: Int,
+        capPlanes: Int,
+        seed: Long,
+        targetBucket: Long,
+        probeBits: Int = 0,
+        probeDepth: Int = 1,
+        prefix: String = ""
+    ): String = {
+      val np = s"${prefix}np"
+      val lb = s"${prefix}lb"
+      val cand = s"${prefix}cand"
+      val npCte =
+        s"""$np AS (SELECT CAST(min(p) AS INTEGER) AS pl FROM range(1, ${capPlanes + 1}) r(p)
+           |  WHERE (SELECT count(*) FROM e) <= $targetBucket * (CAST(1 AS BIGINT) << p))""".stripMargin
+      val blocks = (0 until tables).map { t =>
+        val ps = Similarity.hyperplanes(capPlanes, Dim, seed + t)
+        val key = ps.zipWithIndex
+          .map { case (p, i) =>
+            s"(CASE WHEN $i < $np.pl AND list_inner_product(v, ${planeArray(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+          }
+          .mkString(" + ")
+        s"SELECT vec_id, $t AS tbl, $key AS key FROM e, $np"
+      }
+      val probeSide =
+        if (probeBits <= 0) lb
+        else {
+          val flips = Similarity
+            .probeMasks(probeBits, probeDepth)
+            .drop(1) // identity handled by the base SELECT
+            .map(m => s"SELECT vec_id, tbl, xor(key, $m) AS key FROM $lb")
+          s"(SELECT vec_id, tbl, key FROM $lb UNION ALL ${flips.mkString(" UNION ALL ")})"
+        }
+      s"$npCte,\n$lb AS (${blocks.mkString("\nUNION ALL\n")}),\n" +
+        s"$cand AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid FROM $probeSide x JOIN $lb y " +
+        "ON x.tbl = y.tbl AND x.key = y.key AND x.vec_id <> y.vec_id)"
+    }
+
     /** LSH top-k as (qid, nid, rnk) — exact cosine re-rank of the bucketed
       * candidates, ties broken by nid, identical to [[Similarity.lshTopK]].
+      * `prefix` must match the bands CTE feeding it.
       */
-    def lshTopCte(k: Int): String =
-      s"""lr AS (SELECT c.qid, c.nid, list_cosine_similarity(ea.v, eb.v) AS cos
-         |       FROM cand c JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid),
-         |lshtop AS (SELECT qid, nid, rnk FROM (
-         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM lr)
+    def lshTopCte(k: Int, prefix: String = ""): String =
+      s"""${prefix}lr AS (SELECT c.qid, c.nid, list_cosine_similarity(ea.v, eb.v) AS cos
+         |       FROM ${prefix}cand c JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid),
+         |${prefix}lshtop AS (SELECT qid, nid, rnk FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM ${prefix}lr)
          |  WHERE rnk <= $k)""".stripMargin
 
     /** IVF top-k as (qid, nid, rnk) — smallest-id centroids, nprobe cell
@@ -864,6 +919,36 @@ object LlmQueries {
           .select("qid", "nid", "rank")
       }
     ),
+    // Auto-sized LSH top-5 — the 100×-scale answer to the fixed-knob
+    // candidate blowup: planesPerTable is unset (AutoPlanes), so the key
+    // width comes from suggestedPlanes(n, targetBucket=32) and expected
+    // bucket occupancy stays ~32 at ANY corpus size (4 planes at sf0.01,
+    // 8 at sf0.1 — candidates grow ~linearly where the fixed-knob family
+    // measured 13-15× under 10× data). The oracle replays the SAME
+    // auto-sizing: capped prefix-consistent plane literals with each sign
+    // bit gated on the integer-replayed plane count — so the hash match
+    // certifies the sizing rule itself at every SF the gate runs.
+    QueryDef(
+      "llm_ann_lsh_auto",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${lshBandsAutoCte(tables = 8, capPlanes = 10, seed = 42L, targetBucket = 32L, probeBits = 5, probeDepth = 2)},
+           |${lshTopCte(5)}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM lshtop""".stripMargin
+      },
+      (spark, sf) => {
+        val e = embeddingsDimChecked(spark, sf)
+        val n = e.count()
+        require(
+          n <= (32L << 10),
+          s"auto-LSH oracle embeds 10 capped plane literals (valid to n = ${32L << 10}); n=$n needs a larger capPlanes"
+        )
+        Similarity
+          .lshTopK(e, "vec_id", "embedding", k = 5, tables = 8, probeBits = 5, probeDepth = 2)
+          .select("qid", "nid", "rank")
+      }
+    ),
     // IVF-bucketed approximate top-5 (alternative scale path to LSH): the
     // deterministic smallest-id centroids make the whole algorithm
     // SQL-replayable — oracled end-to-end like llm_ann_lsh.
@@ -894,13 +979,19 @@ object LlmQueries {
         s"""WITH $eCte,
            |${lshBandsCte(tables = 8, planes = 6, seed = 42L, probeBits = 5, probeDepth = 2)},
            |${lshTopCte(5)},
+           |${lshBandsAutoCte(tables = 8, capPlanes = 10, seed = 42L, targetBucket = 32L, probeBits = 5, probeDepth = 2, prefix = "a")},
+           |${lshTopCte(5, prefix = "a")},
            |${ivfTopCte(5, cells = 16, nprobe = 8)},
            |${bruteTopCte(5)},
            |lh AS (SELECT l.qid, count(*) AS c FROM lshtop l JOIN br USING (qid, nid) GROUP BY 1),
+           |ah AS (SELECT l.qid, count(*) AS c FROM alshtop l JOIN br USING (qid, nid) GROUP BY 1),
            |ih AS (SELECT i.qid, count(*) AS c FROM ivftop i JOIN br USING (qid, nid) GROUP BY 1),
            |rows_ AS (
            |  SELECT 'lsh' AS method, CAST(coalesce(lh.c, 0) AS BIGINT) AS hits
            |  FROM e LEFT JOIN lh ON lh.qid = e.vec_id
+           |  UNION ALL
+           |  SELECT 'lsh_auto' AS method, CAST(coalesce(ah.c, 0) AS BIGINT) AS hits
+           |  FROM e LEFT JOIN ah ON ah.qid = e.vec_id
            |  UNION ALL
            |  SELECT 'ivf' AS method, CAST(coalesce(ih.c, 0) AS BIGINT) AS hits
            |  FROM e LEFT JOIN ih ON ih.qid = e.vec_id)
@@ -923,6 +1014,9 @@ object LlmQueries {
             .select(lit(method).as("method"), col("hits"), col("n"))
         }
         hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2))
+          .unionByName(
+            hist("lsh_auto", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, probeBits = 5, probeDepth = 2))
+          )
           .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 8)))
       }
     ),
@@ -1101,6 +1195,32 @@ object LlmQueries {
           )
           .select("a", "b")
     ),
+    // Auto-sized variant of llm_cosine_neardup: same threshold semantics,
+    // key width from suggestedPlanes(n, 32) instead of the fixed 4 bits —
+    // the knob schedule the near-dup path runs at growing corpus sizes
+    // (see llm_ann_lsh_auto for the sizing rationale and oracle replay).
+    QueryDef(
+      "llm_cosine_neardup_auto",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${lshBandsAutoCte(tables = 8, capPlanes = 10, seed = 42L, targetBucket = 32L, probeBits = 5, probeDepth = 2)}
+           |SELECT c.qid AS a, c.nid AS b FROM cand c
+           |JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid
+           |WHERE c.qid < c.nid AND list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin
+      },
+      (spark, sf) => {
+        val e = embeddingsDimChecked(spark, sf)
+        val n = e.count()
+        require(
+          n <= (32L << 10),
+          s"auto-LSH oracle embeds 10 capped plane literals (valid to n = ${32L << 10}); n=$n needs a larger capPlanes"
+        )
+        Similarity
+          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, probeBits = 5, probeDepth = 2)
+          .select("a", "b")
+      }
+    ),
     // Cross-table embedding near-dup at tau=0.4 (ingest batch vs stored
     // corpus), completing the cross-table near-dup family for the
     // embedding path. Same knobs as llm_cosine_neardup; two-sided DuckDB
@@ -1142,27 +1262,44 @@ object LlmQueries {
         import AnnOracles._
         s"""WITH $eCte,
            |${lshBandsCte(tables = 8, planes = 4, seed = 42L, probeBits = 4)},
+           |${lshBandsAutoCte(tables = 8, capPlanes = 10, seed = 42L, targetBucket = 32L, probeBits = 5, probeDepth = 2, prefix = "a")},
            |ex AS (SELECT a.vec_id AS a, b.vec_id AS b FROM e a JOIN e b ON a.vec_id < b.vec_id
            |       WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
            |ls AS (SELECT c.qid AS a, c.nid AS b FROM cand c
            |       JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid
+           |       WHERE c.qid < c.nid AND list_cosine_similarity(ea.v, eb.v) >= 0.4),
+           |als AS (SELECT c.qid AS a, c.nid AS b FROM acand c
+           |       JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid
            |       WHERE c.qid < c.nid AND list_cosine_similarity(ea.v, eb.v) >= 0.4)
-           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+           |SELECT 'fixed' AS config,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
            |       (SELECT CAST(count(*) AS BIGINT) FROM ls) AS n_lsh,
-           |       (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN ls USING (a, b)) AS n_hit""".stripMargin
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN ls USING (a, b)) AS n_hit
+           |UNION ALL
+           |SELECT 'auto' AS config,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM als) AS n_lsh,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN als USING (a, b)) AS n_hit""".stripMargin
       },
       (spark, sf) => {
         val e = embeddingsDimChecked(spark, sf)
         val exact =
           Similarity.cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 0).select("a", "b")
-        val lsh = Similarity
+        def ledger(config: String, approx: org.apache.spark.sql.DataFrame) = {
+          val hit = exact.join(approx, Seq("a", "b"))
+          exact
+            .agg(count(lit(1)).as("n_exact"))
+            .crossJoin(approx.agg(count(lit(1)).as("n_lsh")))
+            .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+            .select(lit(config).as("config"), col("n_exact"), col("n_lsh"), col("n_hit"))
+        }
+        val fixed = Similarity
           .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, planesPerTable = 4, probeBits = 4)
           .select("a", "b")
-        val hit = exact.join(lsh, Seq("a", "b"))
-        exact
-          .agg(count(lit(1)).as("n_exact"))
-          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        val auto = Similarity
+          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, probeBits = 5, probeDepth = 2)
+          .select("a", "b")
+        ledger("fixed", fixed).unionByName(ledger("auto", auto))
       }
     ),
     // PII redaction: email → IP → phone-ish digit runs, fixed order. The

@@ -271,6 +271,51 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(lsh.contains((0L, 1L))) // near-identical vectors share buckets
   }
 
+  test("suggestedPlanes: integer ceil-log2 rule, boundaries exact") {
+    // smallest p >= 1 with n <= targetBucket * 2^p
+    assert(Similarity.suggestedPlanes(1L) == 1)
+    assert(Similarity.suggestedPlanes(64L) == 1)
+    assert(Similarity.suggestedPlanes(65L) == 2)
+    assert(Similarity.suggestedPlanes(500L) == 4)
+    assert(Similarity.suggestedPlanes(512L) == 4) // exact power-of-two boundary
+    assert(Similarity.suggestedPlanes(513L) == 5)
+    assert(Similarity.suggestedPlanes(5000L) == 8)
+    assert(Similarity.suggestedPlanes(100L, targetBucket = 10L) == 4)
+    intercept[IllegalArgumentException](Similarity.suggestedPlanes(0L))
+  }
+
+  test("hyperplanes are prefix-consistent (the auto-LSH oracle's gating invariant)") {
+    val full = Similarity.hyperplanes(10, 16, seed = 42L)
+    val short = Similarity.hyperplanes(4, 16, seed = 42L)
+    assert(full.take(4).map(_.toSeq).toSeq == short.map(_.toSeq).toSeq)
+  }
+
+  test("AutoPlanes path: lshTopK and lshTopKAgainst stay subsets of brute, find the planted dup") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val planted = base.map(x => x + 0.01f)
+    val vecs = ((0L, base) +: (1L, planted) +: (2L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    // self-join shape, planesPerTable unset -> auto (n=40, target 32 -> 1 plane)
+    val auto = Similarity
+      .lshTopK(vecs, "vec_id", "embedding", k = 1, tables = 6, probeBits = 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(auto.get(0L).contains(1L) && auto.get(1L).contains(0L))
+    // cross-table shape: width sized from the corpus side
+    val hits = Similarity
+      .lshTopKAgainst(
+        vecs.filter($"vec_id" === 1L),
+        vecs.filter($"vec_id" =!= 1L),
+        "vec_id",
+        "embedding",
+        k = 1,
+        tables = 6,
+        probeBits = 2
+      )
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert(hits.get(1L).contains(0L))
+  }
+
   test("chunkTokens: overlapping windows, short tail, stable ids") {
     val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
     val chunks = Corpus
