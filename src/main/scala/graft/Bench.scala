@@ -33,6 +33,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The failed-late accounting invariant, extracted for its unit spec: a
+    * query that succeeded on an early pass but failed on a later one has
+    * BOTH samples and an error — it must contribute to NO tier total ("a
+    * broken query must never look like a fast one", round-6 advisor
+    * finding). Only names with samples and no error are settled.
+    */
+  private[graft] def settled(
+      names: Seq[String],
+      samples: collection.Map[String, List[Double]],
+      errors: collection.Map[String, String]
+  ): Seq[String] =
+    names.filter(n => samples.contains(n) && !errors.contains(n))
+
   val RUNS = 3
 
   /** Heavy/representative subset of the registry — every query family is
@@ -97,6 +110,7 @@ object Bench {
     "llm_ann_lsh",
     "llm_ann_lsh_auto",
     "llm_ann_lsh_xtable",
+    "llm_ann_lsh_auto_xtable",
     "llm_ann_ivf",
     "llm_ann_ivf_xtable",
     "llm_ann_ivf_kmeans",
@@ -257,11 +271,8 @@ object Bench {
         case c            => c.toString
       } + "\""
 
-    // a query that succeeded on an early pass but failed later is an error,
-    // not a sample: it must never contribute to any total ("a broken query
-    // must never look like a fast one")
     def fmtTier(names: Seq[String]): (String, String, Double, Seq[(String, Double)]) = {
-      val ok = names.filter(n => samples.contains(n) && !errors.contains(n))
+      val ok = settled(names, samples, errors)
       val meds = ok.map(n => n -> median(samples(n)))
       val qs = meds.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
       val stats = ok.map { n =>

@@ -577,6 +577,15 @@ object Similarity {
     * [[ivfTopK]] — broadcast assignment, bucketed equi-join on cell id —
     * only the centroid source differs, which is exactly the upgrade the
     * [[ivfTopK]] scaladoc promises for clustered data.
+    *
+    * EMPTY-CELL INVARIANT (when `cells` exceeds the data's distinct
+    * cluster count): [[kmeansCentroids]] drops a cell whose assignment set
+    * empties during an update — deterministically, identically in both
+    * engines — so the index can hold FEWER than `cells` cells and `nprobe`
+    * then probes a larger fraction of the corpus than `nprobe/cells`
+    * suggests (recall rises, candidate volume rises with it). Spec-covered
+    * (LlmOpsSpec "kmeans empty cells"); size `cells` below the expected
+    * cluster count if candidate volume must stay bounded.
     */
   def ivfTopKKmeans(
       df: DataFrame,

@@ -331,6 +331,53 @@ object LlmQueries {
         "ON x.tbl = y.tbl AND x.key = y.key AND x.vec_id <> y.vec_id)"
     }
 
+    /** Auto-width two-sided banded keys + candidates — the cross-table
+      * (retrieval) form of [[lshBandsAutoCte]]: width from the CORPUS-side
+      * count (`cPred` rows — the side that drives occupancy, exactly as
+      * [[Similarity.lshTopKAgainst]] resolves it), query side banded at
+      * the same gated width and multi-probe-expanded, candidates joined
+      * without the self-pair exclusion.
+      */
+    def lshBandsXtableAutoCte(
+        tables: Int,
+        capPlanes: Int,
+        seed: Long,
+        targetBucket: Long,
+        qPred: String,
+        cPred: String,
+        probeBits: Int = 0,
+        probeDepth: Int = 1
+    ): String = {
+      val npCte =
+        s"""np AS (SELECT CAST(min(p) AS INTEGER) AS pl FROM range(1, ${capPlanes + 1}) r(p)
+           |  WHERE (SELECT count(*) FROM e WHERE $cPred) <= $targetBucket * (CAST(1 AS BIGINT) << p))""".stripMargin
+      def blocks(pred: String): String =
+        (0 until tables)
+          .map { t =>
+            val ps = Similarity.hyperplanes(capPlanes, Dim, seed + t)
+            val key = ps.zipWithIndex
+              .map { case (p, i) =>
+                s"(CASE WHEN $i < np.pl AND list_inner_product(v, ${planeArray(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+              }
+              .mkString(" + ")
+            s"SELECT vec_id, $t AS tbl, $key AS key FROM e, np WHERE $pred"
+          }
+          .mkString("\nUNION ALL\n")
+      val probeSide =
+        if (probeBits <= 0) "lbq"
+        else {
+          val flips = Similarity
+            .probeMasks(probeBits, probeDepth)
+            .drop(1) // identity handled by the base SELECT
+            .map(m => s"SELECT vec_id, tbl, xor(key, $m) AS key FROM lbq")
+          s"(SELECT vec_id, tbl, key FROM lbq UNION ALL ${flips.mkString(" UNION ALL ")})"
+        }
+      s"$npCte,\nlbq AS (${blocks(qPred)}),\n" +
+        s"lbc AS (${blocks(cPred)}),\n" +
+        s"cand AS (SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid FROM $probeSide x JOIN lbc y " +
+        "ON x.tbl = y.tbl AND x.key = y.key)"
+    }
+
     /** LSH top-k as (qid, nid, rnk) — exact cosine re-rank of the bucketed
       * candidates, ties broken by nid, identical to [[Similarity.lshTopK]].
       * `prefix` must match the bands CTE feeding it.
@@ -946,6 +993,40 @@ object LlmQueries {
         )
         Similarity
           .lshTopK(e, "vec_id", "embedding", k = 5, tables = 8, probeBits = 5, probeDepth = 2)
+          .select("qid", "nid", "rank")
+      }
+    ),
+    // Cross-table auto-width LSH top-5 — completes the auto family across
+    // all three LSH shapes (self-join, threshold pairs, retrieval): width
+    // from the corpus-side count, two-sided gated replay in DuckDB.
+    QueryDef(
+      "llm_ann_lsh_auto_xtable",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${lshBandsXtableAutoCte(tables = 8, capPlanes = 10, seed = 42L, targetBucket = 32L, qPred = "vec_id % 20 = 0", cPred = "vec_id % 20 <> 0", probeBits = 5, probeDepth = 2)},
+           |${lshTopCte(5)}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM lshtop""".stripMargin
+      },
+      (spark, sf) => {
+        val e = embeddingsDimChecked(spark, sf)
+        val corpus = e.filter(col("vec_id") % 20 =!= 0)
+        val n = corpus.count()
+        require(
+          n <= (32L << 10),
+          s"auto-LSH oracle embeds 10 capped plane literals (valid to n = ${32L << 10}); n=$n needs a larger capPlanes"
+        )
+        Similarity
+          .lshTopKAgainst(
+            e.filter(col("vec_id") % 20 === 0),
+            corpus,
+            "vec_id",
+            "embedding",
+            k = 5,
+            tables = 8,
+            probeBits = 5,
+            probeDepth = 2
+          )
           .select("qid", "nid", "rank")
       }
     ),

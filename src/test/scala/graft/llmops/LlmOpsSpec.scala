@@ -271,6 +271,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(lsh.contains((0L, 1L))) // near-identical vectors share buckets
   }
 
+  test("kmeans empty cells: cells > distinct-cluster-count shrinks the index deterministically") {
+    // two orthogonal degenerate clusters; asking for 4 cells can keep at
+    // most 2 after one Lloyd update (ties break to the min cid, so the
+    // surviving set is deterministic)
+    val vecs = ((0L until 6L).map(i => (i, Seq(1.0f, 0.0f))) ++ (6L until 12L).map(i => (i, Seq(0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", cells = 4, iters = 2)
+    val kept = cents.count()
+    assert(kept < 4 && kept >= 1, s"expected empty cells to drop out, got $kept of 4")
+    // the shrunken index still answers: every vector finds a same-cluster neighbor
+    val top1 = Similarity
+      .ivfTopKKmeans(vecs, "vec_id", "embedding", k = 1, cells = 4, nprobe = 1, iters = 2)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(top1.nonEmpty)
+    top1.foreach { case (q, n) => assert((q < 6) == (n < 6), s"cross-cluster neighbor: q=$q n=$n") }
+  }
+
   test("suggestedPlanes: integer ceil-log2 rule, boundaries exact") {
     // smallest p >= 1 with n <= targetBucket * 2^p
     assert(Similarity.suggestedPlanes(1L) == 1)
