@@ -112,6 +112,7 @@ object Bench {
     "llm_ann_lsh_xtable",
     "llm_ann_lsh_auto_xtable",
     "llm_ann_ivf",
+    "llm_ann_ivf_auto",
     "llm_ann_ivf_xtable",
     "llm_ann_ivf_kmeans",
     "llm_cosine_neardup",
@@ -147,6 +148,7 @@ object Bench {
     "t6_stream_enrich_batch_eq",
     "t7_stream_stream_join_batch_eq",
     "t8_stream_ingest_dedup_batch_eq",
+    "t9_stream_neardup_ingest_batch_eq",
     "t5_stream_textstats_batch_eq"
   )
 
@@ -158,6 +160,7 @@ object Bench {
   val verificationOnly: Set[String] = Set(
     "llm_ann_top1",
     "llm_ann_recall",
+    "llm_ann_ivf_auto_recall",
     "llm_ann_kmeans_recall",
     "llm_ann_xtable_recall",
     "llm_cosine_recall"

@@ -159,6 +159,26 @@ object Similarity {
     if (planesPerTable > 0) planesPerTable
     else suggestedPlanes(base.count(), targetBucket)
 
+  /** The classic IVF cell-count rule: smallest c >= 1 with c² >= n
+    * (⌈√n⌉), making candidates per query ~nprobe·√n — sublinear in corpus
+    * size at FIXED nprobe, where a fixed cell count degrades to
+    * O(n·nprobe/cells). Integer-exact (FP sqrt only seeds the search; the
+    * two fix-up loops settle the boundary), so the DuckDB oracle replays
+    * the identical count with integer comparisons — same contract as
+    * [[suggestedPlanes]]. The recall trade at fixed nprobe (probed
+    * fraction shrinks as n grows) is priced by the registered ledgers; on
+    * structureless data flat IVF recall falls with corpus size by nature
+    * (bench_results/round8_lsh_knobs.md discusses the regime), while
+    * clustered corpora keep recall through [[kmeansCentroids]].
+    */
+  def suggestedCells(n: Long): Int = {
+    require(n > 0, "suggestedCells needs a positive row count")
+    var c = math.max(1L, math.sqrt(n.toDouble).floor.toLong - 1L)
+    while (c * c < n) c += 1
+    while (c > 1 && (c - 1) * (c - 1) >= n) c -= 1
+    c.toInt
+  }
+
   /** Sign-bit signature under `planes`: bit p = (v · plane_p) > 0. */
   def planeSignature(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>

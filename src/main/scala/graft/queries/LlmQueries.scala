@@ -407,6 +407,33 @@ object LlmQueries {
          |  FROM iq JOIN iidx ON iq.cid = iidx.cid AND iq.qid <> iidx.nid)
          |  WHERE rnk <= $k)""".stripMargin
 
+    /** Auto-cells IVF top-k — the SQL replay of the
+      * [[Similarity.suggestedCells]] sqrt rule: `cells` is the smallest c
+      * with c² >= count(*) (integer comparisons, same
+      * no-floating-point-boundary contract as the auto-LSH width), the
+      * smallest-id centroid set is rank-gated on that count, and the rest
+      * of the probe chain is [[ivfTopCte]] verbatim. Valid while
+      * n <= capCells²; callers guard the row count loudly.
+      */
+    def ivfTopAutoCte(k: Int, capCells: Int, nprobe: Int): String =
+      s"""nc AS (SELECT CAST(min(c) AS INTEGER) AS cells FROM range(1, ${capCells + 1}) r(c)
+         |  WHERE (SELECT count(*) FROM e) <= CAST(c AS BIGINT) * c),
+         |ic AS (SELECT vec_id AS cid, v AS cv FROM (
+         |         SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+         |       WHERE rn <= (SELECT cells FROM nc)),
+         |ip AS (SELECT e.vec_id AS id, e.v AS pv, ic.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_cosine_similarity(e.v, ic.cv) DESC, ic.cid) AS crank
+         |       FROM e CROSS JOIN ic QUALIFY crank <= $nprobe),
+         |iidx AS (SELECT cid, id AS nid, pv AS nv FROM ip WHERE crank = 1),
+         |iq AS (SELECT cid, id AS qid, pv AS qv FROM ip),
+         |ivftop AS (SELECT qid, nid, rnk FROM (
+         |  SELECT iq.qid, iidx.nid,
+         |    row_number() OVER (PARTITION BY iq.qid
+         |      ORDER BY list_cosine_similarity(iq.qv, iidx.nv) DESC, iidx.nid) AS rnk
+         |  FROM iq JOIN iidx ON iq.cid = iidx.cid AND iq.qid <> iidx.nid)
+         |  WHERE rnk <= $k)""".stripMargin
+
     /** Cross-table IVF top-k (qid, nid, rnk): centroids and home-cell
       * index from the corpus predicate only, probing from the query
       * predicate — the SQL replay of [[Similarity.ivfTopKAgainst]].
@@ -545,7 +572,8 @@ object LlmQueries {
   // Portable (md5-based) simhash + rolling fingerprint CTEs — the DuckDB
   // bit-for-bit reproduction of Fingerprints.simhash56Md5 /
   // rollingFingerprintMd5.
-  private val simhash56Cte: String =
+  // shared with StreamingQueries' t9 near-dup ingest oracle
+  private[queries] val simhash56Cte: String =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
       |th AS (SELECT doc_id, (CAST(concat('0x', substr(md5(t), 1, 7)) AS UBIGINT) << 28)
       |                      + CAST(concat('0x', substr(md5(t), 8, 7)) AS UBIGINT) AS hv FROM tok),
@@ -1045,6 +1073,59 @@ object LlmQueries {
         Similarity
           .ivfTopK(embeddingsDimChecked(spark, sf), "vec_id", "embedding", k = 5, cells = 16, nprobe = 8)
           .select("qid", "nid", "rank")
+    ),
+    // Auto-cells IVF top-5: cells = ceil(sqrt(n)) (the classic IVF rule —
+    // candidates per query ~nprobe·sqrt(n), SUBLINEAR at fixed nprobe,
+    // where a fixed cell count degrades to n·nprobe/cells) with the sqrt
+    // rule itself oracle-replayed in integer arithmetic. Recall at fixed
+    // nprobe falls as the probed fraction shrinks — measured honestly by
+    // llm_ann_ivf_auto_recall below; on structureless vectors that is the
+    // data's nature (see round8_lsh_knobs.md), on clustered corpora the
+    // kmeans fit keeps recall (llm_ann_kmeans_recall).
+    QueryDef(
+      "llm_ann_ivf_auto",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${ivfTopAutoCte(5, capCells = 128, nprobe = 8)}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM ivftop""".stripMargin
+      },
+      (spark, sf) => {
+        val e = embeddingsDimChecked(spark, sf)
+        val n = e.count()
+        require(n <= 128L * 128L, s"auto-IVF oracle cell search capped at 128 (n <= 16384); n=$n")
+        Similarity
+          .ivfTopK(e, "vec_id", "embedding", k = 5, cells = Similarity.suggestedCells(n), nprobe = 8)
+          .select("qid", "nid", "rank")
+      }
+    ),
+    // Recall ledger for the auto-cells IVF (exact/approx/hit counts vs the
+    // brute top-5 pair set) — publishes the fixed-nprobe recall number the
+    // sublinear schedule pays on structureless data.
+    QueryDef(
+      "llm_ann_ivf_auto_recall",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${ivfTopAutoCte(5, capCells = 128, nprobe = 8)},
+           |${bruteTopCte(5)}
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM br) AS n_exact,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ivftop) AS n_approx,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM br JOIN ivftop USING (qid, nid)) AS n_hit""".stripMargin
+      },
+      (spark, sf) => {
+        val e = embeddingsDimChecked(spark, sf)
+        val n = e.count()
+        require(n <= 128L * 128L, s"auto-IVF oracle cell search capped at 128 (n <= 16384); n=$n")
+        val brute = Similarity.bruteTopK(e, "vec_id", "embedding", k = 5).select("qid", "nid")
+        val approx = Similarity
+          .ivfTopK(e, "vec_id", "embedding", k = 5, cells = Similarity.suggestedCells(n), nprobe = 8)
+          .select("qid", "nid")
+        brute
+          .agg(count(lit(1)).as("n_exact"))
+          .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+          .crossJoin(brute.join(approx, Seq("qid", "nid")).agg(count(lit(1)).as("n_hit")))
+      }
     ),
     // ANN recall, driver-verified: per-query overlap between each
     // approximate top-5 and the brute-force top-5, as a histogram

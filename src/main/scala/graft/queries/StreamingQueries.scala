@@ -326,6 +326,67 @@ object StreamingQueries {
           .awaitTermination()
         spark.read.parquet(out).select("doc_id", "ck")
       }
+    ),
+    QueryDef(
+      "t9_stream_neardup_ingest_batch_eq",
+      Some(
+        // streaming form of the ingest NEAR-dup stage: arriving docs (10%)
+        // stream through simhash56 banding (4 × 14-bit slices) and a
+        // stream-static equi-join against the stored corpus's band-key
+        // index, candidates verified at Hamming <= 3. Stateless per-row
+        // ops + inner equi-join + filter — no watermark, no state — so
+        // the streamed (a, b, band, hamming) multiset must equal the
+        // batch banding exactly (pairs sharing k bands emit k rows on
+        // both sides; pigeonhole guarantees k >= 1 for every true pair).
+        // The oracle recomputes the simhash from scratch in DuckDB.
+        s"""WITH ${LlmQueries.simhash56Cte},
+           |bb AS (SELECT doc_id, simhash, i AS band, (simhash >> CAST(14 * i AS INTEGER)) & 16383 AS key
+           |       FROM sh56, range(0, 4) r(i) WHERE doc_id % 10 = 0),
+           |cb AS (SELECT doc_id, simhash, i AS band, (simhash >> CAST(14 * i AS INTEGER)) & 16383 AS key
+           |       FROM sh56, range(0, 4) r(i) WHERE doc_id % 10 <> 0)
+           |SELECT bb.doc_id AS a, cb.doc_id AS b, CAST(bb.band AS BIGINT) AS band,
+           |       CAST(bit_count(xor(bb.simhash, cb.simhash)) AS BIGINT) AS hamming
+           |FROM bb JOIN cb ON bb.band = cb.band AND bb.key = cb.key
+           |WHERE bit_count(xor(bb.simhash, cb.simhash)) <= 3""".stripMargin
+      ),
+      (spark, sf) => {
+        import graft.llmops.Fingerprints
+        val in = tmpDir("t9_in")
+        val out = tmpDir("t9_out")
+        val ckpt = tmpDir("t9_ckpt")
+        val docs = spark.read.parquet(s"$sf/documents.parquet")
+        docs
+          .filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+          .write
+          .mode("overwrite")
+          .parquet(in)
+        // corpus index: (band, key, corpus id, corpus simhash) — ids +
+        // band keys + 56-bit hashes only, never text; at 100 TB this is
+        // the precomputed store the stream joins against
+        val index = docs
+          .filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("b"), Fingerprints.simhash56Md5(col("text")).as("__bsim"))
+          .select(col("b"), col("__bsim"), posexplode(Fingerprints.simhashBands(col("__bsim"), 4, 56)).as(Seq("band", "key")))
+        val stream = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .parquet(in)
+          .select(col("doc_id").as("a"), Fingerprints.simhash56Md5(col("text")).as("__asim"))
+          .select(col("a"), col("__asim"), posexplode(Fingerprints.simhashBands(col("__asim"), 4, 56)).as(Seq("band", "key")))
+          .join(index, Seq("band", "key"))
+          .withColumn("hamming", bit_count(col("__asim").bitwiseXOR(col("__bsim"))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("a"), col("b"), col("band").cast("long").as("band"), col("hamming"))
+        stream.writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out).select("a", "b", "band", "hamming")
+      }
     )
   )
 

@@ -301,6 +301,17 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException](Similarity.suggestedPlanes(0L))
   }
 
+  test("suggestedCells: integer ceil-sqrt rule, boundaries exact") {
+    assert(Similarity.suggestedCells(1L) == 1)
+    assert(Similarity.suggestedCells(2L) == 2)
+    assert(Similarity.suggestedCells(4L) == 2) // exact square boundary
+    assert(Similarity.suggestedCells(5L) == 3)
+    assert(Similarity.suggestedCells(500L) == 23)
+    assert(Similarity.suggestedCells(2000L) == 45)
+    assert(Similarity.suggestedCells(1L << 40) == (1L << 20).toInt)
+    intercept[IllegalArgumentException](Similarity.suggestedCells(0L))
+  }
+
   test("hyperplanes are prefix-consistent (the auto-LSH oracle's gating invariant)") {
     val full = Similarity.hyperplanes(10, 16, seed = 42L)
     val short = Similarity.hyperplanes(4, 16, seed = 42L)
