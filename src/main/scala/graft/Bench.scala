@@ -104,6 +104,8 @@ object Bench {
     "llm_dedup_ngram",
     "llm_dedup_ngram_capped",
     "llm_dedup_clusters",
+    "llm_paragraph_dedup",
+    "llm_budget_select",
     "llm_simhash_pairs",
     "llm_simhash_xtable",
     "llm_ingest_pipeline",

@@ -206,4 +206,41 @@ object Corpus {
     }
     df.filter(bucket < rate)
   }
+
+  /** Quality-thresholded corpus selection under a token budget — "take the
+    * best data that fits" (the data-selection step of mixture design),
+    * in the form that scales: instead of globally sorting the corpus by
+    * quality and cutting at a running token total (a single total order —
+    * the one thing a 100 TB job must never do), select WHOLE QUALITY
+    * LEVELS from the top down while their cumulative token count fits in
+    * `budgetTokens`. The only ordered structure is the LEVEL table (one
+    * row per distinct `levelCol` value — callers bucket continuous scores
+    * first, e.g. `round(quality, 1)`, keeping it tiny), so the window
+    * sort is level-cardinality, never corpus-cardinality; docs are then
+    * kept via one semi-join on their level.
+    *
+    * All-or-nothing per level makes the answer order-independent and
+    * engine-exact: a partially-taken level would depend on WHICH docs of
+    * the boundary level are chosen — any such tie-break is a policy, and
+    * the deterministic ones (hash order) compose as
+    * `stratifiedSampleByHash` on the boundary level afterwards.
+    *
+    * Returns the selected rows of `df` unchanged.
+    */
+  def selectUnderTokenBudget(
+      df: DataFrame,
+      levelCol: String,
+      nTokensCol: String,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val levels = df.groupBy(col(levelCol)).agg(sum(col(nTokensCol)).as("__lvl_tokens"))
+    // single-partition window, bounded by level cardinality (see scaladoc)
+    val w = Window.orderBy(col(levelCol).desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keep = levels
+      .withColumn("__cum", sum(col("__lvl_tokens")).over(w))
+      .filter(col("__cum") <= budgetTokens)
+      .select(col(levelCol))
+    df.join(keep, Seq(levelCol), "left_semi")
+  }
 }

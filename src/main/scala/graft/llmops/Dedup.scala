@@ -29,6 +29,56 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Paragraph-level boilerplate removal (the C4/RefinedWeb "repeated
+    * spans" step, at paragraph granularity): a paragraph (a `sep`-split
+    * segment of `textCol`) appearing in MORE than `maxDocs` distinct
+    * documents is boilerplate (nav bars, cookie banners, license
+    * headers) and is removed from EVERY document; surviving paragraphs
+    * are reassembled in their original order (`clean_text`, '' when
+    * everything was boilerplate). Emits (input columns…, n_paragraphs,
+    * n_kept, clean_text).
+    *
+    * Scale shape: one explode (row-local), one hash aggregation over the
+    * paragraph universe for the distinct-doc counts (`maxDocs` caps what
+    * survives — the count table is paragraph-cardinality, not corpus-
+    * cardinality), one broadcastable-or-shuffled semi-join back, one
+    * per-doc regroup. No self-joins, no windows over the corpus; order
+    * reassembly sorts WITHIN each doc's collected list (array_sort on
+    * (pos, para) structs — row-local). Exact and engine-portable:
+    * paragraph identity is byte equality, counts are integers.
+    */
+  def dropRepeatedParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocs: Int,
+      sep: String = "\n"
+  ): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be at least 1")
+    val paras = df
+      .select(col(idCol).as("__pid"), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__para")))
+    val boilerplate = paras
+      .groupBy("__para")
+      .agg(countDistinct(col("__pid")).as("__docs"))
+      .filter(col("__docs") > maxDocs)
+      .select("__para")
+    val kept = paras
+      .join(boilerplate, Seq("__para"), "left_anti")
+      .groupBy(col("__pid"))
+      .agg(
+        count(lit(1)).as("__nkept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__para")))), s => s.getField("__para")),
+          sep
+        ).as("__clean")
+      )
+    df.withColumn("n_paragraphs", size(split(col(textCol), java.util.regex.Pattern.quote(sep), -1)).cast("long"))
+      .join(kept, col(idCol) === col("__pid"), "left")
+      .withColumn("n_kept", coalesce(col("__nkept"), lit(0L)).cast("long"))
+      .withColumn("clean_text", coalesce(col("__clean"), lit("")))
+      .drop("__pid", "__nkept", "__clean")
+  }
+
   /** Exact k-token-shingle Jaccard similar pairs via an inverted-index
     * self-join: explode distinct shingles, equi-join on the shingle,
     * count shared shingles per pair, compute exact Jaccard, keep >= tau.

@@ -690,6 +690,91 @@ object LlmQueries {
         table(spark, sf, "documents")
           .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
     ),
+    // Paragraph-level boilerplate removal (C4/RefinedWeb repeated-spans
+    // step): the corpus is single-line, so the query synthesizes line
+    // structure in both engines (the llm_c4_clean fixture) plus two
+    // planted boilerplate lines — a footer on EVERY doc and a share link
+    // on every 17th — and drops paragraphs appearing in > 5 distinct
+    // docs from all of them. Reassembled clean_text must match
+    // byte-for-byte.
+    QueryDef(
+      "llm_paragraph_dedup",
+      Some(
+        """WITH lined AS (SELECT doc_id,
+          |    regexp_replace(
+          |      regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1.' || chr(10), 'g'),
+          |      '(?m)^(.*slow.*)\.$', '\1', 'g') AS t
+          |  FROM documents),
+          |fx AS (SELECT doc_id, t || chr(10) || 'subscribe to our newsletter now' ||
+          |         CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'share this page' ELSE '' END AS text
+          |  FROM lined),
+          |p0 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM fx),
+          |p1 AS (SELECT doc_id, l, unnest(range(len(l))) AS pos FROM p0),
+          |px AS (SELECT doc_id, pos, l[pos+1] AS para FROM p1),
+          |bp AS (SELECT para FROM px GROUP BY para HAVING count(DISTINCT doc_id) > 5),
+          |kp AS (SELECT doc_id, pos, para FROM px WHERE para NOT IN (SELECT para FROM bp)),
+          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          |          string_agg(para, chr(10) ORDER BY pos) AS clean FROM kp GROUP BY doc_id)
+          |SELECT f.doc_id,
+          |  CAST(len(string_split(f.text, chr(10))) AS BIGINT) AS n_paragraphs,
+          |  coalesce(agg.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+          |  coalesce(agg.clean, '') AS clean_text
+          |FROM fx f LEFT JOIN agg USING (doc_id)""".stripMargin
+      ),
+      (spark, sf) => {
+        val lined = regexp_replace(
+          regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1.\n"),
+          "(?m)^(.*slow.*)\\.$",
+          "$1"
+        )
+        val fx = table(spark, sf, "documents").select(
+          col("doc_id"),
+          concat(
+            lined,
+            lit("\nsubscribe to our newsletter now"),
+            when(col("doc_id") % 17 === 0, lit("\nshare this page")).otherwise(lit(""))
+          ).as("text")
+        )
+        Dedup
+          .dropRepeatedParagraphs(fx, "doc_id", "text", maxDocs = 5)
+          .select("doc_id", "n_paragraphs", "n_kept", "clean_text")
+      }
+    ),
+    // Quality-thresholded selection under a token budget (40% of corpus
+    // tokens): whole quality LEVELS (round(quality, 1) — the level table
+    // stays tiny) are taken top-down while they fit — the scalable form
+    // of "sort by quality, cut at budget" (no corpus-wide total order).
+    // The budget, the level cumsum, and the selection replay exactly in
+    // DuckDB (integer token sums, integer-division budget).
+    QueryDef(
+      "llm_budget_select",
+      Some(
+        s"""WITH q AS (SELECT doc_id,
+           |    round(round(
+           |      0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) +
+           |      0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) +
+           |      0.2 * least(CAST(${hitsSql("en")} AS DOUBLE) / 4.0, 1.0), 6), 1) AS lvl,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |b AS (SELECT sum(n_tokens) * 2 // 5 AS budget FROM q),
+           |lv AS (SELECT lvl, sum(n_tokens) AS lt FROM q GROUP BY lvl),
+           |ks AS (SELECT lvl, sum(lt) OVER (ORDER BY lvl DESC
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM lv),
+           |keep AS (SELECT lvl FROM ks, b WHERE cum <= budget)
+           |SELECT q.doc_id, q.lvl, q.n_tokens FROM q JOIN keep USING (lvl)""".stripMargin
+      ),
+      (spark, sf) => {
+        val q = table(spark, sf, "documents").select(
+          col("doc_id"),
+          round(TextStats.qualityScore(col("text")), 1).as("lvl"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")
+        )
+        val total = q.agg(sum("n_tokens")).head().getLong(0)
+        Corpus
+          .selectUnderTokenBudget(q, "lvl", "n_tokens", total * 2 / 5)
+          .select("doc_id", "lvl", "n_tokens")
+      }
+    ),
     // Content fingerprint (cross-engine md5).
     QueryDef(
       "llm_fingerprint",

@@ -271,6 +271,51 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(lsh.contains((0L, 1L))) // near-identical vectors share buckets
   }
 
+  test("dropRepeatedParagraphs: boilerplate removed everywhere, order kept, empty docs survive") {
+    val df = Seq(
+      (1L, "alpha\nfooter\nbeta"),
+      (2L, "gamma\nfooter"),
+      (3L, "footer\ndelta"),
+      (4L, "footer") // only boilerplate -> empties out
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .dropRepeatedParagraphs(df, "doc_id", "text", maxDocs = 2)
+      .select("doc_id", "n_paragraphs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "alpha\nbeta"),
+      (2L, 2L, 1L, "gamma"),
+      (3L, 2L, 1L, "delta"),
+      (4L, 1L, 0L, "")
+    ))
+    // at maxDocs = 4 the footer is under the cap and everything survives
+    val loose = Dedup
+      .dropRepeatedParagraphs(df, "doc_id", "text", maxDocs = 4)
+      .filter(col("clean_text") =!= col("text"))
+      .count()
+    assert(loose == 0L)
+  }
+
+  test("selectUnderTokenBudget: whole levels top-down, boundary level excluded") {
+    val df = Seq(
+      (1L, 0.9, 30L),
+      (2L, 0.9, 30L),
+      (3L, 0.5, 50L),
+      (4L, 0.1, 100L)
+    ).toDF("doc_id", "lvl", "n_tokens")
+    // budget 110: level .9 (60) fits, +level .5 (50) = 110 fits, +.1 overflows
+    val sel110 = Corpus.selectUnderTokenBudget(df, "lvl", "n_tokens", 110L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel110 == Set(1L, 2L, 3L))
+    // budget 100: level .5 would overflow (60+50=110) -> all-or-nothing excludes it
+    val sel100 = Corpus.selectUnderTokenBudget(df, "lvl", "n_tokens", 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel100 == Set(1L, 2L))
+    assert(Corpus.selectUnderTokenBudget(df, "lvl", "n_tokens", 0L).count() == 0L)
+  }
+
   test("kmeans empty cells: cells > distinct-cluster-count shrinks the index deterministically") {
     // two orthogonal degenerate clusters; asking for 4 cells can keep at
     // most 2 after one Lloyd update (ties break to the min cid, so the
@@ -454,6 +499,18 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       .collect()
       .toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("auto-width LSH plans stay bucketed: no BroadcastNestedLoop, no Cartesian") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val plan = Similarity
+      .lshTopK(vecs, "vec_id", "embedding", k = 2, tables = 4, probeBits = 2) // AutoPlanes default
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in auto-LSH plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"Cartesian in auto-LSH plan:\n$plan")
   }
 
   test("connectedComponents converges on a long chain (label must propagate end-to-end)") {
