@@ -105,6 +105,7 @@ object Bench {
     "llm_dedup_ngram_capped",
     "llm_dedup_clusters",
     "llm_paragraph_dedup",
+    "llm_duplicate_spans",
     "llm_budget_select",
     "llm_simhash_pairs",
     "llm_simhash_xtable",

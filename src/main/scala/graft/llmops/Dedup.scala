@@ -39,13 +39,16 @@ object Dedup {
     * n_kept, clean_text).
     *
     * Scale shape: one explode (row-local), one hash aggregation over the
-    * paragraph universe for the distinct-doc counts (`maxDocs` caps what
-    * survives — the count table is paragraph-cardinality, not corpus-
-    * cardinality), one broadcastable-or-shuffled semi-join back, one
-    * per-doc regroup. No self-joins, no windows over the corpus; order
-    * reassembly sorts WITHIN each doc's collected list (array_sort on
-    * (pos, para) structs — row-local). Exact and engine-portable:
-    * paragraph identity is byte equality, counts are integers.
+    * paragraph universe for the distinct-doc counts — keyed on the
+    * paragraphs' md5 so the count shuffle and the anti-join carry 32-char
+    * hashes, never paragraph bodies (the count table is paragraph-
+    * cardinality, not corpus-cardinality) — then one per-doc regroup (the
+    * only shuffle that moves text, and it must: reassembly needs it). No
+    * self-joins, no windows over the corpus; order reassembly sorts
+    * WITHIN each doc's collected list (array_sort on (pos, para) structs
+    * — row-local). Exact and engine-portable: paragraph identity is byte
+    * equality (md5 is collision-free for any realistic paragraph
+    * universe, and both engines hash identically), counts are integers.
     */
   def dropRepeatedParagraphs(
       df: DataFrame,
@@ -57,13 +60,14 @@ object Dedup {
     require(maxDocs >= 1, "maxDocs must be at least 1")
     val paras = df
       .select(col(idCol).as("__pid"), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__para")))
+      .withColumn("__ph", md5(col("__para")))
     val boilerplate = paras
-      .groupBy("__para")
+      .groupBy("__ph")
       .agg(countDistinct(col("__pid")).as("__docs"))
       .filter(col("__docs") > maxDocs)
-      .select("__para")
+      .select("__ph")
     val kept = paras
-      .join(boilerplate, Seq("__para"), "left_anti")
+      .join(boilerplate, Seq("__ph"), "left_anti")
       .groupBy(col("__pid"))
       .agg(
         count(lit(1)).as("__nkept"),
@@ -77,6 +81,52 @@ object Dedup {
       .withColumn("n_kept", coalesce(col("__nkept"), lit(0L)).cast("long"))
       .withColumn("clean_text", coalesce(col("__clean"), lit("")))
       .drop("__pid", "__nkept", "__clean")
+  }
+
+  /** Duplicated k-token span detection — the exact-substring dedup signal
+    * (Gopher / RefinedWeb remove verbatim repeated spans, not just whole
+    * near-dup documents) at sliding-window granularity, in the form that
+    * distributes: every k-token window is fingerprinted (md5 of the
+    * space-joined window); the CANONICAL occurrence of a fingerprint is
+    * the (doc, pos)-smallest one, every other occurrence is duplicated;
+    * consecutive duplicated windows merge into maximal spans. Emits
+    * (idCol, span_start, span_end, n_windows) with token-index bounds —
+    * the spans a removal pass would cut (suffix arrays give the same
+    * answer but have no good distributed form; window fingerprints are
+    * the standard Spark lowering).
+    *
+    * Scale shape: windows explode row-locally (n windows per doc);
+    * canonicalization is ONE corpus-wide window function partitioned by
+    * fingerprint (hash-partitioned shuffle on the 32-char md5 — bodies
+    * never shuffle); span merging is per-doc (partitioned by id). Fully
+    * deterministic — both window orders are total — hence engine-exact.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2 (single-token spans are stopword noise)")
+    val base = df
+      .select(col(idCol).as("__did"), split(col(textCol), " ", -1).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= k)
+    val wins = base
+      .select(
+        col("__did"),
+        posexplode(
+          expr(s"transform(sequence(0, __n - $k), i -> concat_ws(' ', slice(__toks, i + 1, $k)))")
+        ).as(Seq("__pos", "__w"))
+      )
+      .select(col("__did"), col("__pos"), md5(col("__w")).as("__fp"))
+    val wOcc = Window.partitionBy("__fp").orderBy(col("__did"), col("__pos"))
+    val dups = wins.withColumn("__rn", row_number().over(wOcc)).filter(col("__rn") > 1)
+    val wDoc = Window.partitionBy("__did").orderBy("__pos")
+    dups
+      .withColumn("__isl", col("__pos") - row_number().over(wDoc))
+      .groupBy(col("__did"), col("__isl"))
+      .agg(
+        min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows")
+      )
+      .select(col("__did").as(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
   /** Exact k-token-shingle Jaccard similar pairs via an inverted-index

@@ -740,6 +740,43 @@ object LlmQueries {
           .select("doc_id", "n_paragraphs", "n_kept", "clean_text")
       }
     ),
+    // Duplicated-span detection (exact-substring dedup signal) over the
+    // corpus plus partial copies planted in both engines (every 31st doc
+    // re-ingested under a new id with a 2-token prefix — its whole body
+    // becomes one maximal duplicated span, shifted by the prefix), k=8
+    // windows. Canonical-occurrence choice and island merging are both
+    // total-order deterministic, so the span table matches exactly.
+    QueryDef(
+      "llm_duplicate_spans",
+      Some(
+        """WITH src AS (SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, 'intro segment ' || text AS text
+          |  FROM documents WHERE doc_id % 31 = 0),
+          |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src WHERE len(string_split(text, ' ')) >= 8),
+          |w AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS pos, toks FROM t),
+          |fpw AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS fp FROM w),
+          |d AS (SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos, row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM fpw)
+          |  WHERE rn > 1),
+          |i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM d)
+          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+          |       CAST(count(*) AS BIGINT) AS n_windows
+          |FROM i GROUP BY doc_id, isl""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val src = docs
+          .select("doc_id", "text")
+          .unionByName(
+            docs
+              .filter(col("doc_id") % 31 === 0)
+              .select((col("doc_id") + 100000L).as("doc_id"), concat(lit("intro segment "), col("text")).as("text"))
+          )
+        Dedup.duplicateSpans(src, "doc_id", "text", k = 8)
+      }
+    ),
     // Quality-thresholded selection under a token budget (40% of corpus
     // tokens): whole quality LEVELS (round(quality, 1) — the level table
     // stays tiny) are taken top-down while they fit — the scalable form

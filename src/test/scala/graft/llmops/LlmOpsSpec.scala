@@ -298,6 +298,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(loose == 0L)
   }
 
+  test("duplicateSpans: canonical occurrence survives, copies merge to maximal spans") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), // canonical - no spans reported
+      (2L, "x a b c d e f y"), // contains a 6-token copy of doc 1 at pos 1
+      (3L, "a b c d e f g h") // full copy: every window duplicated, one span
+    ).toDF("doc_id", "text")
+    val spans = Dedup
+      .duplicateSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .sortBy(s => (s._1, s._2))
+    // doc 2: windows at pos 1..3 hit doc 1's windows 0..2 -> one span [1, 6]
+    // doc 3: windows 0..4 all duplicated -> one span [0, 7]
+    assert(spans.toSeq == Seq((2L, 1L, 6L, 3L), (3L, 0L, 7L, 5L)))
+  }
+
   test("selectUnderTokenBudget: whole levels top-down, boundary level excluded") {
     val df = Seq(
       (1L, 0.9, 30L),
