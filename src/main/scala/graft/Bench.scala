@@ -106,6 +106,7 @@ object Bench {
     "llm_dedup_clusters",
     "llm_paragraph_dedup",
     "llm_duplicate_spans",
+    "llm_span_removal",
     "llm_budget_select",
     "llm_simhash_pairs",
     "llm_simhash_xtable",

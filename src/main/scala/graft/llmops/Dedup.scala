@@ -129,6 +129,56 @@ object Dedup {
       .select(col("__did").as(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Cut the spans [[duplicateSpans]] flags: tokens covered by any
+    * duplicated k-window are removed, survivors rejoin in order
+    * (`clean_text`, plus `n_kept_tokens`); the canonical (first)
+    * occurrence of every span is untouched, so exactly one copy of any
+    * repeated substring survives corpus-wide.
+    *
+    * Scale shape: the span table gates everything — docs WITHOUT spans
+    * (the overwhelming majority of a real corpus) pass through with
+    * `clean_text = text` via one anti semi-join and never explode; only
+    * flagged docs pay the token explode + range-filtered anti-join
+    * (equi on doc id, range on position — never a cross join) + per-doc
+    * regroup. The span table is eagerly snapshotted (it feeds the flag
+    * set AND the cut join; recomputing [[duplicateSpans]] twice would
+    * double the fingerprint shuffle).
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k)
+      .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
+      .localCheckpoint(true)
+    val flagged = spans.select(col("__sid")).distinct()
+    val untouched = df
+      .join(flagged, col(idCol) === col("__sid"), "left_anti")
+      .withColumn("n_kept_tokens", size(split(col(textCol), " ", -1)).cast("long"))
+      .withColumn("clean_text", col(textCol))
+    val toks = df
+      .join(flagged, col(idCol) === col("__sid"), "left_semi")
+      .select(col(idCol).as("__tid"), posexplode(split(col(textCol), " ", -1)).as(Seq("__i", "__t")))
+    val keptAgg = toks
+      .join(
+        spans,
+        col("__tid") === col("__sid") && col("__i") >= col("span_start") && col("__i") <= col("span_end"),
+        "left_anti"
+      )
+      .groupBy(col("__tid"))
+      .agg(
+        count(lit(1)).as("__nk"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__i"), col("__t")))), s => s.getField("__t")),
+          " "
+        ).as("__clean")
+      )
+    val touched = df
+      .join(flagged, col(idCol) === col("__sid"), "left_semi")
+      .join(keptAgg, col(idCol) === col("__tid"), "left")
+      .withColumn("n_kept_tokens", coalesce(col("__nk"), lit(0L)))
+      .withColumn("clean_text", coalesce(col("__clean"), lit("")))
+      .drop("__tid", "__nk", "__clean")
+    untouched.unionByName(touched)
+  }
+
   /** Exact k-token-shingle Jaccard similar pairs via an inverted-index
     * self-join: explode distinct shingles, equi-join on the shingle,
     * count shared shingles per pair, compute exact Jaccard, keep >= tau.

@@ -148,6 +148,46 @@ object LlmQueries {
     )
   }
 
+  /** Duplicated-span fixture (shared by llm_duplicate_spans /
+    * llm_span_removal): corpus plus every 31st doc re-ingested under a
+    * new id with a 2-token prefix — its whole body becomes one maximal
+    * duplicated span, shifted by the prefix.
+    */
+  private def spanFixture(
+      spark: org.apache.spark.sql.SparkSession,
+      sf: String
+  ): org.apache.spark.sql.DataFrame = {
+    val docs = table(spark, sf, "documents")
+    docs
+      .select("doc_id", "text")
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), concat(lit("intro segment "), col("text")).as("text"))
+      )
+  }
+
+  /** SQL half of [[spanFixture]] + the k=8 duplicated-span CTE chain
+    * (window fingerprints → canonical-occurrence window → island merge),
+    * ending in `spans(doc_id, span_start, span_end, n_windows)`.
+    */
+  private val dupSpanCtes: String =
+    """src AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, 'intro segment ' || text AS text
+      |  FROM documents WHERE doc_id % 31 = 0),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src WHERE len(string_split(text, ' ')) >= 8),
+      |w AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS pos, toks FROM t),
+      |fpw AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS fp FROM w),
+      |d AS (SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM fpw)
+      |  WHERE rn > 1),
+      |i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM d),
+      |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |            CAST(max(pos) + 7 AS BIGINT) AS span_end,
+      |            CAST(count(*) AS BIGINT) AS n_windows
+      |          FROM i GROUP BY doc_id, isl)""".stripMargin
+
   /** The (train, valid) halves of the content-hash split — the Spark side
     * of [[decontamCte]]'s `lab`.
     */
@@ -749,33 +789,34 @@ object LlmQueries {
     QueryDef(
       "llm_duplicate_spans",
       Some(
-        """WITH src AS (SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 100000 AS doc_id, 'intro segment ' || text AS text
-          |  FROM documents WHERE doc_id % 31 = 0),
-          |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src WHERE len(string_split(text, ' ')) >= 8),
-          |w AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS pos, toks FROM t),
-          |fpw AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS fp FROM w),
-          |d AS (SELECT doc_id, pos FROM (
-          |    SELECT doc_id, pos, row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM fpw)
-          |  WHERE rn > 1),
-          |i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM d)
-          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-          |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
-          |       CAST(count(*) AS BIGINT) AS n_windows
-          |FROM i GROUP BY doc_id, isl""".stripMargin
+        s"""WITH $dupSpanCtes
+           |SELECT doc_id, span_start, span_end, n_windows FROM spans""".stripMargin
       ),
-      (spark, sf) => {
-        val docs = table(spark, sf, "documents")
-        val src = docs
-          .select("doc_id", "text")
-          .unionByName(
-            docs
-              .filter(col("doc_id") % 31 === 0)
-              .select((col("doc_id") + 100000L).as("doc_id"), concat(lit("intro segment "), col("text")).as("text"))
-          )
-        Dedup.duplicateSpans(src, "doc_id", "text", k = 8)
-      }
+      (spark, sf) => Dedup.duplicateSpans(spanFixture(spark, sf), "doc_id", "text", k = 8)
+    ),
+    // Companion removal: cut every duplicated span (the canonical first
+    // occurrence survives corpus-wide), survivors rejoin in order. Docs
+    // without spans pass through untouched; cleaned text byte-identical.
+    QueryDef(
+      "llm_span_removal",
+      Some(
+        s"""WITH $dupSpanCtes,
+           |tka AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src),
+           |tk AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM tka),
+           |tok AS (SELECT doc_id, i, toks[i+1] AS tkn FROM tk),
+           |keep AS (SELECT tok.doc_id, tok.i, tok.tkn FROM tok WHERE NOT EXISTS (
+           |    SELECT 1 FROM spans sp WHERE sp.doc_id = tok.doc_id
+           |      AND tok.i BETWEEN sp.span_start AND sp.span_end)),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_tokens,
+           |          string_agg(tkn, ' ' ORDER BY i) AS clean FROM keep GROUP BY doc_id)
+           |SELECT s.doc_id, coalesce(agg.n_kept_tokens, CAST(0 AS BIGINT)) AS n_kept_tokens,
+           |       coalesce(agg.clean, '') AS clean_text
+           |FROM src s LEFT JOIN agg USING (doc_id)""".stripMargin
+      ),
+      (spark, sf) =>
+        Dedup
+          .removeDuplicateSpans(spanFixture(spark, sf), "doc_id", "text", k = 8)
+          .select("doc_id", "n_kept_tokens", "clean_text")
     ),
     // Quality-thresholded selection under a token budget (40% of corpus
     // tokens): whole quality LEVELS (round(quality, 1) — the level table

@@ -314,6 +314,27 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(spans.toSeq == Seq((2L, 1L, 6L, 3L), (3L, 0L, 7L, 5L)))
   }
 
+  test("removeDuplicateSpans: canonical copy survives, covered tokens cut, untouched docs pass through") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), // canonical: untouched
+      (2L, "x a b c d e f y"), // span [1,6] cut -> "x y"
+      (3L, "a b c d e f g h"), // full copy -> emptied
+      (4L, "p q r") // shorter than k: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .removeDuplicateSpans(df, "doc_id", "text", k = 4)
+      .select("doc_id", "n_kept_tokens", "clean_text")
+      .as[(Long, Long, String)]
+      .collect()
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 8L, "a b c d e f g h"),
+      (2L, 2L, "x y"),
+      (3L, 0L, ""),
+      (4L, 3L, "p q r")
+    ))
+  }
+
   test("selectUnderTokenBudget: whole levels top-down, boundary level excluded") {
     val df = Seq(
       (1L, 0.9, 30L),
