@@ -108,6 +108,7 @@ object Bench {
     "llm_duplicate_spans",
     "llm_span_removal",
     "llm_budget_select",
+    "llm_clean_pipeline",
     "llm_simhash_pairs",
     "llm_simhash_xtable",
     "llm_ingest_pipeline",

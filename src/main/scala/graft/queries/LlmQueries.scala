@@ -818,6 +818,101 @@ object LlmQueries {
           .removeDuplicateSpans(spanFixture(spark, sf), "doc_id", "text", k = 8)
           .select("doc_id", "n_kept_tokens", "clean_text")
     ),
+    // Cleaning-pipeline capstone composing the round-8 operators end to
+    // end: lined fixture with planted boilerplate (footer on every doc,
+    // share-line on every 17th) PLUS partial copies (every 31st doc
+    // re-ingested with a 2-token prefix) → paragraph-level boilerplate
+    // removal (maxDocs=5) → duplicated-span removal (k=8; the re-ingested
+    // bodies lose their copied text, the canonical copies survive) →
+    // token-budget quality selection (40%). Every stage is non-vacuous by
+    // construction and the oracle replays the entire chain.
+    QueryDef(
+      "llm_clean_pipeline",
+      Some(
+        s"""WITH lined AS (SELECT doc_id,
+           |    regexp_replace(
+           |      regexp_replace(text, '((?:\\S+ ){4}\\S+) ', '\\1.' || chr(10), 'g'),
+           |      '(?m)^(.*slow.*)\\.$$', '\\1', 'g') AS t
+           |  FROM documents),
+           |fx0 AS (SELECT doc_id, t || chr(10) || 'subscribe to our newsletter now' ||
+           |          CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'share this page' ELSE '' END AS text
+           |  FROM lined),
+           |src AS (SELECT doc_id, text FROM fx0
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id, 'intro segment ' || text AS text
+           |  FROM fx0 WHERE doc_id % 31 = 0),
+           |pp0 AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM src),
+           |pp1 AS (SELECT doc_id, l, unnest(range(len(l))) AS pos FROM pp0),
+           |ppx AS (SELECT doc_id, pos, l[pos+1] AS para FROM pp1),
+           |pbp AS (SELECT para FROM ppx GROUP BY para HAVING count(DISTINCT doc_id) > 5),
+           |pkp AS (SELECT doc_id, pos, para FROM ppx WHERE para NOT IN (SELECT para FROM pbp)),
+           |pagg AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean FROM pkp GROUP BY doc_id),
+           |c1 AS (SELECT s.doc_id, coalesce(pagg.clean, '') AS text FROM src s LEFT JOIN pagg USING (doc_id)),
+           |st AS (SELECT doc_id, string_split(text, ' ') AS toks FROM c1 WHERE len(string_split(text, ' ')) >= 8),
+           |sw AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS pos, toks FROM st),
+           |sfp AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+8], ' ')) AS fp FROM sw),
+           |sd AS (SELECT doc_id, pos FROM (
+           |    SELECT doc_id, pos, row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM sfp)
+           |  WHERE rn > 1),
+           |si AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM sd),
+           |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end FROM si GROUP BY doc_id, isl),
+           |stk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM c1),
+           |stk1 AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM stk),
+           |stok AS (SELECT doc_id, i, toks[i+1] AS tkn FROM stk1),
+           |skeep AS (SELECT stok.doc_id, stok.i, stok.tkn FROM stok WHERE NOT EXISTS (
+           |    SELECT 1 FROM sp WHERE sp.doc_id = stok.doc_id AND stok.i BETWEEN sp.span_start AND sp.span_end)),
+           |sagg AS (SELECT doc_id, string_agg(tkn, ' ' ORDER BY i) AS clean FROM skeep GROUP BY doc_id),
+           |c2 AS (SELECT c.doc_id, coalesce(sagg.clean, '') AS text FROM c1 c LEFT JOIN sagg USING (doc_id)),
+           |q AS (SELECT doc_id,
+           |    round(round(
+           |      0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) +
+           |      0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) +
+           |      0.2 * least(CAST(${hitsSql("en")} AS DOUBLE) / 4.0, 1.0), 6), 1) AS lvl,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM c2),
+           |b AS (SELECT sum(n_tokens) * 2 // 5 AS budget FROM q),
+           |lv AS (SELECT lvl, sum(n_tokens) AS lt FROM q GROUP BY lvl),
+           |ks AS (SELECT lvl, sum(lt) OVER (ORDER BY lvl DESC
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM lv),
+           |keepl AS (SELECT lvl FROM ks, b WHERE cum <= budget)
+           |SELECT q.doc_id, q.lvl, q.n_tokens FROM q JOIN keepl USING (lvl)""".stripMargin
+      ),
+      (spark, sf) => {
+        val lined = regexp_replace(
+          regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1.\n"),
+          "(?m)^(.*slow.*)\\.$",
+          "$1"
+        )
+        val fx0 = table(spark, sf, "documents").select(
+          col("doc_id"),
+          concat(
+            lined,
+            lit("\nsubscribe to our newsletter now"),
+            when(col("doc_id") % 17 === 0, lit("\nshare this page")).otherwise(lit(""))
+          ).as("text")
+        )
+        val src = fx0.unionByName(
+          fx0
+            .filter(col("doc_id") % 31 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"), concat(lit("intro segment "), col("text")).as("text"))
+        )
+        val c1 = Dedup
+          .dropRepeatedParagraphs(src, "doc_id", "text", maxDocs = 5)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val c2 = Dedup
+          .removeDuplicateSpans(c1, "doc_id", "text", k = 8)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val q = c2.select(
+          col("doc_id"),
+          round(TextStats.qualityScore(col("text")), 1).as("lvl"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")
+        )
+        val total = q.agg(sum("n_tokens")).head().getLong(0)
+        Corpus
+          .selectUnderTokenBudget(q, "lvl", "n_tokens", total * 2 / 5)
+          .select("doc_id", "lvl", "n_tokens")
+      }
+    ),
     // Quality-thresholded selection under a token budget (40% of corpus
     // tokens): whole quality LEVELS (round(quality, 1) — the level table
     // stays tiny) are taken top-down while they fit — the scalable form
