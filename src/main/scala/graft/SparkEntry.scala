@@ -12,7 +12,10 @@ object SparkEntry {
 
   import ContractQueries.CustomerSlim
 
-  private def registry: Seq[QueryDef] =
+  // private[graft] so RegistrySpec can assert the invariants the Map
+  // construction below would otherwise hide (duplicate names silently
+  // collapse in toMap — a dropped query must fail a spec, not vanish)
+  private[graft] def registry: Seq[QueryDef] =
     ContractQueries.all ++ RelationalQueries.all ++ TpchShapes.all ++ LlmQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001: the green-path contract

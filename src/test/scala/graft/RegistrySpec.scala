@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the driver-facing query registry — the properties the
+  * correctness gate depends on but would fail SILENTLY:
+  *   - duplicate names collapse in `queries`' toMap (a query would simply
+  *     vanish from the gate);
+  *   - a missing oracle downgrades a query to the driver's weak rows-only
+  *     check (the repo's standing claim is 0 rows-only entries);
+  *   - a bench tier naming an unregistered query only surfaces at bench
+  *     runtime as an error entry.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  private lazy val defs = SparkEntry.registry
+  private lazy val names = defs.map(_.name)
+
+  test("registry names are unique (nothing collapses in the queries map)") {
+    val dupes = names.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
+    assert(SparkEntry.queries.size == defs.size)
+  }
+
+  test("every registered query carries a DuckDB oracle (0 rows-only entries)") {
+    val missing = defs.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+    assert(SparkEntry.oracleSql.keySet == names.toSet)
+  }
+
+  test("bench tiers reference only registered queries, with no overlap or dupes") {
+    val all = names.toSet
+    val unknownHead = Bench.headline.filterNot(all)
+    assert(unknownHead.isEmpty, s"headline names not in registry: $unknownHead")
+    val headDupes = Bench.headline.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    assert(headDupes.isEmpty, s"duplicate headline names: $headDupes")
+    assert(Bench.verificationOnly.subsetOf(all))
+    assert(Bench.skippedAtBench.subsetOf(all))
+  }
+
+  test("oracle SQL is non-empty and free of unescapable control characters") {
+    SparkEntry.oracleSql.foreach { case (n, sql) =>
+      assert(sql.trim.nonEmpty, s"$n: empty oracle")
+      // Verify.q escapes \n/\r/\t and <0x20; anything outside ASCII-printable
+      // plus those is a sign of accidental paste garbage in builder SQL
+      val weird = sql.filter(c => c < ' ' && c != '\n' && c != '\r' && c != '\t')
+      assert(weird.isEmpty, s"$n: control chars in oracle SQL")
+    }
+  }
+}
