@@ -92,6 +92,7 @@ object Bench {
     "o1_typed_scan",
     "o2_typed_sink",
     "o1b_format_roundtrip",
+    "o1c_schema_evolution",
     "o2b_partitioned_sink",
     "llm_text_stats",
     "llm_simhash",

@@ -31,6 +31,9 @@ object ContractQueries {
   // Declaration order ≠ select order: the Exact (unordered-CI) pin must accept.
   final case class PartReordered(p_retailprice: Double, p_partkey: Long, p_brand: String)
   final case class NationRenamed(id: Int, name: String, region: Int)
+  // o1c: the post-evolution contract — the added column is Option so rows
+  // from pre-evolution files (NULL after mergeSchema) conform.
+  final case class NationEvolved(n_nationkey: Int, n_name: String, n_regionkey: Option[Int])
   final case class NationPos(key: Int, label: String, reg: Int)
   final case class LineitemKeys(l_orderkey: Long, l_linenumber: Int, l_quantity: Double)
   final case class EventSlim(event_id: Long, user_id: Long, event_type: String)
@@ -152,6 +155,40 @@ object ContractQueries {
         )(spark, implicitly)
         TypedIO.writeDF[NationRow, SchemaPolicy.ExactT](fromCsv, TypedSink[NationRow](s"$out/o", format = "orc"))
         TypedIO.readDF(TypedSource[NationRow]("orc", s"$out/o"))(spark, implicitly)
+      }
+    ),
+    // O1c — schema evolution under contract: a dataset written BEFORE a
+    // column existed (even keys, 2 columns) and AFTER (odd keys, 3
+    // columns) is read back as one table with mergeSchema, and the merged
+    // schema is pinned against the post-evolution contract whose added
+    // field is Option — the contract-layer answer to "files evolve,
+    // readers must not silently widen". Pre-evolution rows surface the
+    // added column as NULL; the oracle replays the split.
+    QueryDef(
+      "o1c_schema_evolution",
+      Some(
+        """SELECT n_nationkey, n_name,
+          |  CASE WHEN n_nationkey % 2 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey
+          |FROM nation""".stripMargin
+      ),
+      (spark, sf) => {
+        val out = tmpDir("o1c")
+        val nation = spark.read.parquet(s"$sf/nation.parquet")
+        nation
+          .filter(col("n_nationkey") % 2 === 0)
+          .select("n_nationkey", "n_name") // pre-evolution files: no n_regionkey
+          .write.parquet(s"$out/files/v1")
+        nation
+          .filter(col("n_nationkey") % 2 =!= 0)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .write.parquet(s"$out/files/v2")
+        val merged = spark.read
+          .option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$out/files")
+        // runtime pin: merged schema must conform to the evolved contract
+        SchemaCheck.assertMatchesContract[NationEvolved](merged)
+        merged.select("n_nationkey", "n_name", "n_regionkey")
       }
     ),
     // O4 — pinned transform: projection declared as a narrower contract.
