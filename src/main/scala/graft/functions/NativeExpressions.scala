@@ -39,6 +39,9 @@ object native {
   def tokenShingles(tokens: Column, k: Int): Column =
     ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(tokens), k))
 
+  def tokenWindows(tokens: Column, k: Int): Column =
+    ExpressionUtils.column(TokenWindows(ExpressionUtils.expression(tokens), k))
+
   def arrayDot(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
@@ -95,6 +98,33 @@ final case class TokenShingles(child: Expression, k: Int) extends UnaryExpressio
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${GenUtil.M}.tokenShingles($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+/** ALL k-token windows joined by single spaces, in positional order with
+  * duplicates kept (identical to the
+  * `transform(sequence(0, n-k), i -> concat_ws(' ', slice(toks, i+1, k)))`
+  * HOF formulation and to DuckDB's
+  * `toks[pos+1:pos+k]` + `array_to_string` replay) — the sliding-window
+  * sibling of [[TokenShingles]], for span-level dedup where POSITION is
+  * the payload. Docs shorter than k yield an empty array. Input
+  * array<string>, output array<string>.
+  */
+final case class TokenWindows(child: Expression, k: Int) extends UnaryExpression {
+
+  override def foldable: Boolean = child.foldable
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "token_windows"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeMath.tokenWindows(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${GenUtil.M}.tokenWindows($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindows =
     copy(child = newChild)
 }
 

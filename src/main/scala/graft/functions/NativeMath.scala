@@ -153,6 +153,29 @@ object NativeMath {
     new GenericArrayData(sig)
   }
 
+  /** ALL k-token windows in positional order (duplicates kept) — the
+    * sliding-window sibling of [[tokenShingles]]'s distinct set; feeds
+    * span-level dedup where window POSITION is the payload.
+    */
+  def tokenWindows(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Any](n - k + 1)
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        window(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def tokenShingles(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])

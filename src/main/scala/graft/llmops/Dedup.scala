@@ -107,12 +107,14 @@ object Dedup {
       .select(col(idCol).as("__did"), split(col(textCol), " ", -1).as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") >= k)
+    // native codegen'd window generator (TokenWindows) — the interpreted
+    // transform/slice/concat_ws HOF formulation of the same array is the
+    // per-row hotspot class the round-5 verdict flagged; the spec asserts
+    // bit identity between the two
     val wins = base
       .select(
         col("__did"),
-        posexplode(
-          expr(s"transform(sequence(0, __n - $k), i -> concat_ws(' ', slice(__toks, i + 1, $k)))")
-        ).as(Seq("__pos", "__w"))
+        posexplode(graft.functions.native.tokenWindows(col("__toks"), k)).as(Seq("__pos", "__w"))
       )
       .select(col("__did"), col("__pos"), md5(col("__w")).as("__fp"))
     val wOcc = Window.partitionBy("__fp").orderBy(col("__did"), col("__pos"))

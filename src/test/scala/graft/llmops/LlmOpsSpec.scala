@@ -298,6 +298,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(loose == 0L)
   }
 
+  test("TokenWindows native expression is bit-identical to the HOF formulation") {
+    val k = 3
+    val rows = docs
+      .select(
+        graft.functions.native.tokenWindows(split(col("text"), " "), k).as("native"),
+        expr(
+          s"CASE WHEN size(split(text, ' ')) < $k THEN array() " +
+            s"ELSE transform(sequence(0, size(split(text, ' ')) - $k), i -> concat_ws(' ', slice(split(text, ' '), i + 1, $k))) END"
+        ).as("hof")
+      )
+      .as[(Seq[String], Seq[String])]
+      .collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("duplicateSpans: canonical occurrence survives, copies merge to maximal spans") {
     val df = Seq(
       (1L, "a b c d e f g h"), // canonical - no spans reported
