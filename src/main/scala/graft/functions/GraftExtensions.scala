@@ -53,6 +53,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => TokenShingles(children.head, intArg(children(1), "token_shingles"))
     ),
     (
+      new FunctionIdentifier("token_windows"),
+      new ExpressionInfo(classOf[TokenWindows].getName, "token_windows"),
+      (children: Seq[Expression]) => TokenWindows(children.head, intArg(children(1), "token_windows"))
+    ),
+    (
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDot(children.head, children(1))

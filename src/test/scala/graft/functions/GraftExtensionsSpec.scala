@@ -24,6 +24,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  simhash64(split('the quick brown fox', ' ')) AS sh,
           |  size(minhash_signature(token_shingles(split('a b c d e', ' '), 3), 16)) AS sig_len,
           |  token_shingles(split('a b c d', ' '), 3) AS shingles,
+          |  token_windows(split('a b a b c', ' '), 2) AS windows,
           |  array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
           |  round(array_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)), 9) AS cos_same
           |""".stripMargin
@@ -32,6 +33,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") != 0L)
     assert(row.getAs[Int]("sig_len") == 16)
     assert(row.getSeq[String](row.fieldIndex("shingles")).toList == List("a b c", "b c d"))
+    // duplicates kept, positional order — unlike the distinct shingle set
+    assert(row.getSeq[String](row.fieldIndex("windows")).toList == List("a b", "b a", "a b", "b c"))
     assert(row.getAs[Double]("dot") == 11.0)
     assert(row.getAs[Double]("cos_same") == 1.0)
   }
