@@ -145,6 +145,14 @@ object Dedup {
     * regroup. The span table is eagerly snapshotted (it feeds the flag
     * set AND the cut join; recomputing [[duplicateSpans]] twice would
     * double the fingerprint shuffle).
+    *
+    * `df` itself is read FOUR times (span build, flag anti-join, token
+    * explode, touched re-join) and is deliberately NOT snapshotted here:
+    * for the common case — a bare columnar scan — re-reading beats
+    * materializing the corpus. Callers whose `df` is an expensive
+    * computed stage (e.g. the output of [[dropRepeatedParagraphs]] in a
+    * cleaning chain) should `localCheckpoint` it first; the capstone
+    * query does exactly that.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val spans = duplicateSpans(df, idCol, textCol, k)

@@ -896,12 +896,18 @@ object LlmQueries {
             .filter(col("doc_id") % 31 === 0)
             .select((col("doc_id") + 100000L).as("doc_id"), concat(lit("intro segment "), col("text")).as("text"))
         )
+        // snapshot each stage boundary: removeDuplicateSpans reads its
+        // input four times (span build, flag set, token explode, touched
+        // join) — without the checkpoint that's four full paragraph-dedup
+        // recomputations riding one plan
         val c1 = Dedup
           .dropRepeatedParagraphs(src, "doc_id", "text", maxDocs = 5)
           .select(col("doc_id"), col("clean_text").as("text"))
+          .localCheckpoint(true)
         val c2 = Dedup
           .removeDuplicateSpans(c1, "doc_id", "text", k = 8)
           .select(col("doc_id"), col("clean_text").as("text"))
+          .localCheckpoint(true)
         val q = c2.select(
           col("doc_id"),
           round(TextStats.qualityScore(col("text")), 1).as("lvl"),
