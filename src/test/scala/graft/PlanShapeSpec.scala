@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The manual plan audit (`graft.tools.PlanAudit` + a human reading
+  * round*_plan_audit.txt) turned into a permanent gate: every
+  * scale-critical registered query must plan WITHOUT BroadcastNestedLoopJoin
+  * or CartesianProduct. The deliberate exceptions stay out of this list and
+  * stay documented instead: the three 1-row scalar-total cross joins
+  * (llm_source_mix / llm_tfidf / llm_distinct_sketch), the brute-force
+  * baselines and recall ledgers (O(n²) BY DESIGN), sink/stream queries whose
+  * construction executes side effects, and multimodal (mapPartitions codecs).
+  *
+  * Runs against sf0.001 — join SHAPE (nested-loop vs hash/SMJ) is what's
+  * asserted, and none of these queries change shape with SF (broadcast vs
+  * shuffle hash is AQE's size call; nested-loop never is).
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val audited = Seq(
+    // dedup family
+    "llm_dedup_exact",
+    "llm_dedup_incremental",
+    "llm_dedup_normalized",
+    "llm_dedup_minhash",
+    "llm_dedup_minhash_xtable",
+    "llm_dedup_ngram_capped",
+    "llm_simhash_pairs",
+    "llm_simhash_xtable",
+    "llm_dedup_clusters",
+    "llm_paragraph_dedup",
+    "llm_duplicate_spans",
+    "llm_span_removal",
+    // ANN family (bucketed paths only — brute baselines are exempt by design)
+    "llm_ann_lsh",
+    "llm_ann_lsh_auto",
+    "llm_ann_lsh_xtable",
+    "llm_ann_lsh_auto_xtable",
+    "llm_ann_ivf",
+    "llm_ann_ivf_auto",
+    "llm_ann_ivf_xtable",
+    "llm_ann_ivf_kmeans",
+    "llm_cosine_neardup",
+    "llm_cosine_neardup_auto",
+    "llm_cosine_xtable",
+    // corpus prep
+    "llm_seq_pack",
+    "llm_shuffle_order",
+    "llm_vocab",
+    "llm_budget_select",
+    "llm_clean_pipeline",
+    "llm_decontaminate",
+    // relational scale shapes
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q_asof_join",
+    "q_range_join",
+    "q_salted_join",
+    "q_salted_count",
+    "q_semi_join",
+    "q_anti_join",
+    "q_window_top_orders"
+  )
+
+  for (name <- audited)
+    test(s"plan shape: $name is nested-loop-free") {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"CartesianProduct in $name")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"BroadcastNestedLoopJoin in $name")
+    }
+}
