@@ -117,8 +117,18 @@ object Dedup {
         posexplode(graft.functions.native.tokenWindows(col("__toks"), k)).as(Seq("__pos", "__w"))
       )
       .select(col("__did"), col("__pos"), md5(col("__w")).as("__fp"))
-    val wOcc = Window.partitionBy("__fp").orderBy(col("__did"), col("__pos"))
-    val dups = wins.withColumn("__rn", row_number().over(wOcc)).filter(col("__rn") > 1)
+    // canonicalization as a MIN-AGGREGATION, not a per-fingerprint window:
+    // a boilerplate window repeated across millions of docs is a hot
+    // fingerprint, and row_number() would sort all its occurrences in one
+    // task (the classic straggler); min(struct(did,pos)) combines
+    // map-side, and the join back is AQE-skew-splittable. Identical
+    // result: an occurrence is duplicated iff it is not the
+    // (doc,pos)-smallest for its fingerprint.
+    val canon = wins.groupBy("__fp").agg(min(struct(col("__did"), col("__pos"))).as("__min"))
+    val dups = wins
+      .join(canon, "__fp")
+      .filter(struct(col("__did"), col("__pos")) =!= col("__min"))
+      .select(col("__did"), col("__pos"))
     val wDoc = Window.partitionBy("__did").orderBy("__pos")
     dups
       .withColumn("__isl", col("__pos") - row_number().over(wDoc))
