@@ -95,6 +95,7 @@ object Bench {
     "o1c_schema_evolution",
     "o2b_partitioned_sink",
     "llm_text_stats",
+    "llm_rarity_score",
     "llm_simhash",
     "llm_dedup_exact",
     "llm_dedup_incremental",

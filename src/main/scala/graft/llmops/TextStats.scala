@@ -87,6 +87,37 @@ object TextStats {
     round(lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * stopMass, 6)
   }
 
+  /** Frequency-based rarity signal (the CCNet-family idea — bucket pages
+    * by how "expected" their tokens are under the corpus distribution —
+    * without an LM): per doc, the MEAN corpus document-frequency of its
+    * token occurrences, plus the token count. Low mean-df = rare/noisy
+    * vocabulary (OCR garbage, code, non-target languages); high = common
+    * prose. Deliberately log-free: document frequencies are exact
+    * integers and the single trailing division is the only rounding step,
+    * so the score hash-gates cross-engine where an ln-based perplexity
+    * proxy would be at the mercy of libm ULPs.
+    *
+    * Scale shape: one distinct + hash agg for the df table (vocab-sized),
+    * one equi-join back on token (AQE-skew-splittable; stopword tokens
+    * are hot but carry one small long), one per-doc agg. No windows, no
+    * self-joins.
+    */
+  def rarityScore(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val dfreq = toks
+      .select(col(idCol), col("__tok"))
+      .distinct()
+      .groupBy("__tok")
+      .agg(count(lit(1)).as("__df"))
+    toks
+      .join(dfreq, "__tok")
+      .groupBy(idCol)
+      .agg(
+        (sum("__df").cast("double") / count(lit(1))).as("mean_token_df"),
+        count(lit(1)).cast("long").as("n_tokens")
+      )
+  }
+
   /** PII redaction: emails, IPv4 addresses, then long digit runs are
     * replaced with typed placeholder tags, in that fixed order (order
     * matters — a phone-ish digit run inside an already-redacted tag must

@@ -954,6 +954,21 @@ object LlmQueries {
           .select("doc_id", "lvl", "n_tokens")
       }
     ),
+    // Frequency-based rarity signal: mean corpus document-frequency of
+    // each doc's token occurrences (integer-exact — the log-free CCNet
+    // -style quality bucket signal).
+    QueryDef(
+      "llm_rarity_score",
+      Some(
+        """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |dfr AS (SELECT tok, count(DISTINCT doc_id) AS dfn FROM tk GROUP BY tok)
+          |SELECT tk.doc_id, CAST(sum(dfn) AS DOUBLE) / count(*) AS mean_token_df,
+          |       CAST(count(*) AS BIGINT) AS n_tokens
+          |FROM tk JOIN dfr USING (tok) GROUP BY tk.doc_id""".stripMargin
+      ),
+      (spark, sf) =>
+        TextStats.rarityScore(table(spark, sf, "documents"))
+    ),
     // Content fingerprint (cross-engine md5).
     QueryDef(
       "llm_fingerprint",

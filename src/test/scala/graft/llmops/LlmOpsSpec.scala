@@ -271,6 +271,15 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(lsh.contains((0L, 1L))) // near-identical vectors share buckets
   }
 
+  test("rarityScore: mean document frequency of token occurrences, exact") {
+    val df = Seq(
+      (1L, "a a b"), // a in docs {1,2} df=2; b in {1} df=1 -> (2+2+1)/3
+      (2L, "a c") // c df=1 -> (2+1)/2
+    ).toDF("doc_id", "text")
+    val out = TextStats.rarityScore(df).as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 5.0 / 3.0, 3L), (2L, 1.5, 2L)))
+  }
+
   test("dropRepeatedParagraphs: boilerplate removed everywhere, order kept, empty docs survive") {
     val df = Seq(
       (1L, "alpha\nfooter\nbeta"),
