@@ -1535,6 +1535,58 @@ object LlmQueries {
           .agg(count(lit(1)).as("n"))
       }
     ),
+    // Retrieval recall ledger for the AUTO-width cross-table path —
+    // completes ledger coverage of every registered ANN shape (self /
+    // threshold / retrieval × fixed / auto): hits histogram of the
+    // auto-sized lshTopKAgainst vs the brute query-vs-corpus top-5,
+    // both recomputed by DuckDB. Verification-only (brute baseline).
+    QueryDef(
+      "llm_ann_auto_xtable_recall",
+      Some {
+        import AnnOracles._
+        s"""WITH $eCte,
+           |${lshBandsXtableAutoCte(tables = 8, capPlanes = 10, seed = 42L, targetBucket = 32L, qPred = "vec_id % 20 = 0", cPred = "vec_id % 20 <> 0", probeBits = 5, probeDepth = 2)},
+           |${lshTopCte(5)},
+           |brx AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM e a JOIN e b
+           |  ON a.vec_id % 20 = 0 AND b.vec_id % 20 <> 0
+           |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+           |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) <= 5),
+           |h AS (SELECT l.qid, count(*) AS c FROM lshtop l JOIN brx USING (qid, nid) GROUP BY 1)
+           |SELECT CAST(coalesce(h.c, 0) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n
+           |FROM (SELECT vec_id AS qid FROM e WHERE vec_id % 20 = 0) q
+           |LEFT JOIN h USING (qid) GROUP BY 1""".stripMargin
+      },
+      (spark, sf) => {
+        val e = embeddingsDimChecked(spark, sf)
+        val qs = e.filter(col("vec_id") % 20 === 0)
+        val cs = e.filter(col("vec_id") % 20 =!= 0)
+        val n = cs.count()
+        require(
+          n <= (32L << 10),
+          s"auto-LSH oracle embeds 10 capped plane literals (valid to n = ${32L << 10}); n=$n needs a larger capPlanes"
+        )
+        val approx = Similarity
+          .lshTopKAgainst(qs, cs, "vec_id", "embedding", k = 5, tables = 8, probeBits = 5, probeDepth = 2)
+          .select("qid", "nid")
+        // brute cross side: deliberate O(|q|·|c|) baseline, verification-only
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid")
+          .orderBy(col("cos").desc, col("nid"))
+        val brute = qs
+          .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+          .crossJoin(cs.select(col("vec_id").as("nid"), col("embedding").as("__cv")))
+          .withColumn("cos", Similarity.cosine(col("__qv"), col("__cv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("qid", "nid")
+        val hits = approx.join(brute, Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("__c"))
+        qs.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(coalesce(col("__c"), lit(0L)).as("hits"))
+          .groupBy("hits")
+          .agg(count(lit(1)).as("n"))
+      }
+    ),
     // IVF top-5 with a real (deterministic Lloyd's) k-means fit, gated on
     // the clustered fixture — the regime the ivfTopK scaladoc promises the
     // centroid upgrade for. The oracle replays the ENTIRE algorithm in
