@@ -136,6 +136,7 @@ object Bench {
     "llm_c4_clean",
     "llm_repetition",
     "llm_shuffle_order",
+    "llm_interleave",
     "llm_stratified_sample",
     "llm_chunking",
     "llm_corpus_pipeline",

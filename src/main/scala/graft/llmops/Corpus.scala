@@ -207,6 +207,49 @@ object Corpus {
     df.filter(bucket < rate)
   }
 
+  /** Deterministic proportional source interleaving for training order —
+    * the mixture SCHEDULER to [[sourceMixture]]'s ledger and
+    * [[stratifiedSampleByHash]]'s sampler: within each shard, rows of
+    * each source appear at a rate proportional to its weight, decided by
+    * the classic stride key `posInSource / weight` (stride scheduling —
+    * source k's i-th row sorts at i/w_k, so a weight-5 source lands 5
+    * rows in the time a weight-1 source lands one). Per-shard orders,
+    * never a global one — same 100 TB posture as [[shuffleOrder]], whose
+    * seeded-md5 shard/order machinery this reuses (and whose
+    * duplicate-id payload caveat applies unchanged).
+    *
+    * Engine-exact: the stride is ONE IEEE division of exact integers and
+    * ties break on (source, id) — a total order both engines replay.
+    * Sources missing from `weights` get `defaultWeight`.
+    */
+  def interleaveBySource(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Int],
+      seed: Long,
+      shards: Int,
+      defaultWeight: Int = 1
+  ): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    require(defaultWeight > 0 && weights.values.forall(_ > 0), "weights must be positive")
+    val h = conv(
+      substring(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 15),
+      16,
+      10
+    ).cast("long")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+      when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    val wSrc = Window.partitionBy(col("shard"), col(sourceCol)).orderBy(col("__h"), col(idCol))
+    val wShard = Window.partitionBy("shard").orderBy(col("__stride"), col(sourceCol), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("__stride", row_number().over(wSrc).cast("double") / w.cast("double"))
+      .withColumn("pos", (row_number().over(wShard) - 1).cast("long"))
+      .drop("__h", "__stride")
+  }
+
   /** Quality-thresholded corpus selection under a token budget — "take the
     * best data that fits" (the data-selection step of mixture design),
     * in the form that scales: instead of globally sorting the corpus by

@@ -2253,6 +2253,37 @@ object LlmQueries {
       ),
       (spark, sf) => Corpus.sourceMixture(table(spark, sf, "documents"), "source", "lang", "text")
     ),
+    // Proportional source interleaving (stride scheduling): src0 at
+    // weight 5, src1 at weight 3, the rest at 1 — the full per-shard
+    // merge order is replayed by DuckDB (one IEEE stride division,
+    // (source, id) tie-breaks).
+    QueryDef(
+      "llm_interleave",
+      Some(
+        """WITH h AS (SELECT doc_id, source,
+          |    CAST(concat('0x', substr(md5(concat('11:', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS hv
+          |  FROM documents),
+          |b AS (SELECT doc_id, source, hv, CAST(hv % 8 AS BIGINT) AS shard,
+          |    CASE WHEN source = 'src0' THEN 5 WHEN source = 'src1' THEN 3 ELSE 1 END AS w FROM h),
+          |p AS (SELECT doc_id, source, shard, w, hv,
+          |    row_number() OVER (PARTITION BY shard, source ORDER BY hv, doc_id) AS ps FROM b)
+          |SELECT doc_id, source, shard,
+          |  CAST(row_number() OVER (PARTITION BY shard
+          |    ORDER BY CAST(ps AS DOUBLE)/w, source, doc_id) - 1 AS BIGINT) AS pos
+          |FROM p""".stripMargin
+      ),
+      (spark, sf) =>
+        Corpus
+          .interleaveBySource(
+            table(spark, sf, "documents"),
+            "doc_id",
+            "source",
+            weights = Map("src0" -> 5, "src1" -> 3),
+            seed = 11L,
+            shards = 8
+          )
+          .select("doc_id", "source", "shard", "pos")
+    ),
     // Incremental ingest dedup: docs with id >= 250 arrive as the new
     // batch; the already-ingested half contributes only its content-key
     // index. Survivors = batch docs whose content is new to the corpus AND

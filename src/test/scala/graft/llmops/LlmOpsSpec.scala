@@ -271,6 +271,33 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(lsh.contains((0L, 1L))) // near-identical vectors share buckets
   }
 
+  test("interleaveBySource: stride scheduling keeps sources proportional and deterministic") {
+    // one shard, weights 2:1 over 6+3 rows -> every prefix of the merged
+    // order carries ~2x source a
+    val df = ((0L until 6L).map(i => (i, "a")) ++ (10L until 13L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val out = Corpus
+      .interleaveBySource(df, "doc_id", "source", Map("a" -> 2, "b" -> 1), seed = 5L, shards = 1)
+      .select("pos", "source")
+      .as[(Long, String)]
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    // ratio property: after any prefix of length 3k, exactly 2k a's
+    assert(out.length == 9)
+    assert(out.take(3).count(_ == "a") == 2)
+    assert(out.take(6).count(_ == "a") == 4)
+    assert(out.count(_ == "a") == 6)
+    // determinism: same seed, same order
+    val again = Corpus
+      .interleaveBySource(df, "doc_id", "source", Map("a" -> 2, "b" -> 1), seed = 5L, shards = 1)
+      .select("pos", "doc_id").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    val once = Corpus
+      .interleaveBySource(df, "doc_id", "source", Map("a" -> 2, "b" -> 1), seed = 5L, shards = 1)
+      .select("pos", "doc_id").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(again.toSeq == once.toSeq)
+  }
+
   test("rarityScore: mean document frequency of token occurrences, exact") {
     val df = Seq(
       (1L, "a a b"), // a in docs {1,2} df=2; b in {1} df=1 -> (2+2+1)/3
