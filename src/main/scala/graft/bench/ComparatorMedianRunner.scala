@@ -22,27 +22,38 @@ object ComparatorMedianRunner {
     val perRun: Seq[Map[String, Double]] = (1 to rounds).map { r =>
       val csv = tmp.resolve(s"run$r.csv")
       RuntimeSchemaBenchmark.main(Array(csv.toString))
-      Files.readAllLines(csv).asScala.map { line =>
+      // tolerate non-data lines (header or truncation) instead of dying in
+      // toDouble with an opaque NumberFormatException mid-aggregation
+      Files.readAllLines(csv).asScala.flatMap { line =>
         val cols = line.split(',')
-        cols(0) -> cols(1).toDouble
+        if (cols.length >= 2) cols(1).toDoubleOption.map(cols(0) -> _) else None
       }.toMap
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
+    // every round must produce the same case set — a mismatch means a
+    // truncated/failed run, and silently dropping cases would publish a
+    // partial median as if it were complete
     val names = perRun.head.keys.toSeq.sorted
+    perRun.zipWithIndex.foreach { case (m, i) =>
+      require(
+        m.keys.toSeq.sorted == names,
+        s"comparator round ${i + 1} produced case set ${m.keys.toSeq.sorted.mkString(",")} " +
+          s"but round 1 produced ${names.mkString(",")} — a run failed or its CSV is malformed"
+      )
+    }
     val header = "benchmark,median_avg_ns_per_op,min_avg_ns_per_op,max_avg_ns_per_op,rounds"
     val rows = names.map { n =>
       val xs = perRun.map(_(n))
       f"$n,${median(xs)}%.2f,${xs.min}%.2f,${xs.max}%.2f,$rounds"
     }
-    val rendered = rows.mkString("\n")
+    val rendered = (header +: rows).mkString("\n")
     outputPath.foreach { p =>
       Option(p.getParent).foreach(Files.createDirectories(_))
       Files.writeString(p, rendered)
     }
-    println(header)
     println(rendered)
   }
 }

@@ -605,19 +605,25 @@ object Dedup {
       .select(col(idCol).as("__n"))
       .withColumn("__comp", col("__n"))
       .localCheckpoint(true)
-    // Convergence is detected from the label-sum invariant: labels are
-    // monotonically non-increasing per node, so the labeling changed in a
-    // round iff sum(__comp) strictly decreased. That turns the per-round
-    // convergence probe into ONE bare aggregation job over the
-    // already-checkpointed ids-only label table (summed as decimal(38,0)
-    // so id-scale sums can't overflow), instead of the former
-    // join-plus-isEmpty job. Per-round driver cost: the eager checkpoint
-    // job + this scan — O(iterations) tiny jobs by design.
+    // Convergence detection. For NUMERIC ids, the label-sum invariant:
+    // labels are monotonically non-increasing per node, so the labeling
+    // changed since the last probe iff sum(__comp) strictly decreased —
+    // ONE bare aggregation job over the already-checkpointed ids-only
+    // label table (summed as decimal(38,0) so id-scale sums can't
+    // overflow). For NON-numeric ids (string/md5 content keys, which
+    // least()/min() order fine) the cast would be NULL and the sum a
+    // constant zero — silently "converged" after one round — so those fall
+    // back to a join-based changed-rows check against the labels at the
+    // last probe. Monotonicity makes multi-round probes exact either way:
+    // unchanged across k rounds iff unchanged in each.
+    val numericIds = df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(l: DataFrame): java.math.BigDecimal =
       // empty input → null sum → treat as zero (loop exits on first round)
       Option(l.agg(sum(col("__comp").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericIds) labelSum(labels) else null
+    var prevProbedLabels = labels
+    var probes = 0
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -641,13 +647,40 @@ object Dedup {
         )
         .select(col("__n"), col("__cc").as("__comp"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
       iter += 1
+      // Each probe is a driver round-trip. Early rounds collapse most
+      // labels (pointer jumping converges in O(log n)), so probe every
+      // round through round 4, then every 2nd round — halving driver
+      // traffic on deep graphs. Skipping a probe is safe (monotone
+      // labels: unchanged across 2 rounds iff unchanged in each; a
+      // converged labeling iterated once more is a fixpoint). Always
+      // probe at the maxIter boundary so a graph converging exactly
+      // there isn't mis-reported as divergent.
+      if (iter <= 4 || iter % 2 == 0 || iter == maxIter) {
+        probes += 1
+        if (numericIds) {
+          val nextSum = labelSum(next)
+          converged = nextSum.compareTo(prevSum) == 0
+          prevSum = nextSum
+        } else {
+          converged = next
+            .join(prevProbedLabels.select(col("__n"), col("__comp").as("__prev")), Seq("__n"))
+            .filter(col("__comp") =!= col("__prev"))
+            .isEmpty
+        }
+        prevProbedLabels = next
+      }
+      labels = next
     }
+    lastCcStats = CcStats(iter, probes)
     require(converged, s"connectedComponents did not converge within $maxIter rounds")
     labels.select(col("__n").as(idCol), col("__comp").as("component"))
   }
+
+  /** Iteration/probe counts of the most recent `connectedComponents` run on
+    * this JVM — observability for the probe-cadence spec (probes must stay
+    * ≤ ⌈rounds/2⌉ + 2 on deep graphs). Not part of the data path.
+    */
+  final case class CcStats(iterations: Int, probes: Int)
+  @volatile private[graft] var lastCcStats: CcStats = CcStats(0, 0)
 }

@@ -148,6 +148,19 @@ object LlmQueries {
     )
   }
 
+  /** Synthetic re-ingest copy id: doc_id + 100000, guarded per-row so the
+    * fixture fails LOUDLY if the corpus ever grows ids into the synthetic
+    * range. A silent collision would change fixture semantics identically
+    * on both engines — the hash gate would stay green — so the Spark side
+    * must abort instead (mirrors the capPlanes requires). Zero extra jobs:
+    * the guard rides the scan.
+    */
+  private[queries] def copyId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(
+      c >= 100000L,
+      raise_error(concat(lit("fixture copy-id collision: doc_id "), c.cast("string"), lit(" >= 100000")))
+    ).otherwise(c + 100000L)
+
   /** Duplicated-span fixture (shared by llm_duplicate_spans /
     * llm_span_removal): corpus plus every 31st doc re-ingested under a
     * new id with a 2-token prefix — its whole body becomes one maximal
@@ -163,7 +176,7 @@ object LlmQueries {
       .unionByName(
         docs
           .filter(col("doc_id") % 31 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), concat(lit("intro segment "), col("text")).as("text"))
+          .select(copyId(col("doc_id")).as("doc_id"), concat(lit("intro segment "), col("text")).as("text"))
       )
   }
 
@@ -894,7 +907,7 @@ object LlmQueries {
         val src = fx0.unionByName(
           fx0
             .filter(col("doc_id") % 31 === 0)
-            .select((col("doc_id") + 100000L).as("doc_id"), concat(lit("intro segment "), col("text")).as("text"))
+            .select(copyId(col("doc_id")).as("doc_id"), concat(lit("intro segment "), col("text")).as("text"))
         )
         // snapshot each stage boundary: removeDuplicateSpans reads its
         // input four times (span build, flag set, token explode, touched
@@ -2183,7 +2196,7 @@ object LlmQueries {
           .unionByName(
             docs
               .filter(col("doc_id") % 97 === 1 && col("doc_id") % 10 =!= 0)
-              .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+              .select(copyId(col("doc_id")).as("doc_id"), col("text"))
           )
         val kept = TextStats.gopherRules(batch).filter(col("keep")).select("doc_id", "text")
         val fresh = Dedup.dedupIncremental(

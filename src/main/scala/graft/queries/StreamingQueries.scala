@@ -302,7 +302,7 @@ object StreamingQueries {
           .unionByName(
             docs
               .filter(col("doc_id") % 97 === 1 && col("doc_id") % 10 =!= 0)
-              .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+              .select(LlmQueries.copyId(col("doc_id")).as("doc_id"), col("text"))
           )
           .write
           .mode("overwrite")

@@ -607,6 +607,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
     val comp = Dedup.connectedComponents(ids, "doc_id", pairs).as[(Long, Long)].collect().toMap
     assert(comp.values.toSet == Set(1L))
+    // probe-cadence gate: convergence probes are driver round-trips; the
+    // every-2nd-round schedule after round 4 must keep probes ≤ ⌈rounds/2⌉+2
+    val stats = Dedup.lastCcStats
+    assert(stats.iterations > 4, s"chain of 200 should need >4 pointer-jump rounds, got ${stats.iterations}")
+    assert(
+      stats.probes <= (stats.iterations + 1) / 2 + 2,
+      s"probe cadence regressed: ${stats.probes} probes over ${stats.iterations} rounds"
+    )
+  }
+
+  test("connectedComponents with STRING ids converges correctly (join-based probe fallback)") {
+    // string ids make the numeric label-sum probe cast to NULL; before the
+    // fallback this silently 'converged' after one round with wrong labels.
+    // Chain c01-c02-c03 needs >1 round for c01 to reach c03.
+    val ids = Seq("c01", "c02", "c03", "c04", "c05").map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq(("c01", "c02"), ("c02", "c03"), ("c04", "c05")).toDF("a", "b")
+    val comp = Dedup.connectedComponents(ids, "doc_id", pairs).as[(String, String)].collect().toMap
+    assert(comp == Map("c01" -> "c01", "c02" -> "c01", "c03" -> "c01", "c04" -> "c04", "c05" -> "c04"))
   }
 
   test("simhash56Md5: native expression is bit-identical to the built-in-function reference") {

@@ -8,6 +8,7 @@
 #   real cross-engine divergence in round 7 (NULL-vs-empty array_to_string)
 #   that no sf0.01 run could see.
 set -e
+set -o pipefail
 ADDOPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
