@@ -117,6 +117,13 @@ object Similarity {
     */
   val AutoPlanes: Int = 0
 
+  /** Knob sentinel: `dim = AutoDim` (0) asks the LSH entry points to infer
+    * the embedding dimensionality with a one-row probe job. Callers that
+    * know their dim (any production pipeline does — it's a model constant)
+    * pass it explicitly and the ANN plan launches zero driver probe jobs.
+    */
+  val AutoDim: Int = 0
+
   /** Smallest key width (planes per table) that keeps the EXPECTED sign
     * bucket occupancy n/2^planes at or below `targetBucket`: the integer
     * form of ceil(log2(n / targetBucket)), clamped to >= 1.
@@ -218,13 +225,23 @@ object Similarity {
     */
   /** Embedding dimensionality probe (one driver job on one row), with a
     * named failure instead of a bare NoSuchElementException on an empty
-    * table.
+    * table. Only runs at `dim = AutoDim`; explicit-dim callers skip it.
     */
   private def probeDim(base: DataFrame): Int = {
+    probeDimCalls.incrementAndGet()
     val row = base.select(size(col("__v"))).limit(1).collect()
     require(row.nonEmpty, "cannot infer embedding dimensionality from an empty vector table")
     row(0).getInt(0)
   }
+
+  /** Count of dim-probe driver jobs launched on this JVM — observability
+    * for the no-probe gate (every registered ANN query passes `dim`
+    * explicitly, so the ANN family must leave this untouched).
+    */
+  private[graft] val probeDimCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def resolveDim(base: DataFrame, dim: Int): Int =
+    if (dim > 0) dim else probeDim(base)
 
   /** Sign-bucket keys for every (vector, table) pair, snapshotted (both
     * the probe side and the index side read it).
@@ -262,13 +279,14 @@ object Similarity {
       planesPerTable: Int,
       seed: Long,
       probeBits: Int = 0,
-      probeDepth: Int = 1
+      probeDepth: Int = 1,
+      dim: Int = AutoDim
   ): DataFrame = {
     // hyperplane dimensionality must match the data: a wrong dim nulls the
-    // signature dots (ArrayDot rejects length mismatches). One tiny driver
-    // job on one row; pass-through cost is irrelevant next to the join.
-    val dim = probeDim(base)
-    val banded = bandedKeys(base, tables, planesPerTable, seed, dim)
+    // signature dots (ArrayDot rejects length mismatches). Explicit `dim`
+    // skips the probe job entirely.
+    val d = resolveDim(base, dim)
+    val banded = bandedKeys(base, tables, planesPerTable, seed, d)
     val a = probeExpand(banded, probeBits, probeDepth)
       .select(col("__table"), col("__key"), col("__id").as("qid"))
     val b = banded.select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
@@ -300,11 +318,12 @@ object Similarity {
       seed: Long = 42L,
       probeBits: Int = 0,
       probeDepth: Int = 1,
-      targetBucket: Long = 32L
+      targetBucket: Long = 32L,
+      dim: Int = AutoDim
   ): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val planes = resolvePlanes(base, planesPerTable, targetBucket)
-    val candidates = lshCandidates(base, tables, planes, seed, math.min(probeBits, planes), probeDepth)
+    val candidates = lshCandidates(base, tables, planes, seed, math.min(probeBits, planes), probeDepth, dim)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     candidates
       .join(base.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
@@ -343,7 +362,8 @@ object Similarity {
       seed: Long = 42L,
       probeBits: Int = 0,
       probeDepth: Int = 1,
-      targetBucket: Long = 32L
+      targetBucket: Long = 32L,
+      dim: Int = AutoDim
   ): DataFrame = {
     val qbase = queries.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val cbase = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
@@ -351,10 +371,10 @@ object Similarity {
     // so auto width sizes from its count (the query side only probes)
     val planes = resolvePlanes(cbase, planesPerTable, targetBucket)
     val effBits = math.min(probeBits, planes)
-    val dim = probeDim(cbase)
-    val a = probeExpand(bandedKeys(qbase, tables, planes, seed, dim), effBits, probeDepth)
+    val d = resolveDim(cbase, dim)
+    val a = probeExpand(bandedKeys(qbase, tables, planes, seed, d), effBits, probeDepth)
       .select(col("__table"), col("__key"), col("__id").as("qid"))
-    val b = bandedKeys(cbase, tables, planes, seed, dim)
+    val b = bandedKeys(cbase, tables, planes, seed, d)
       .select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
     val candidates = a
       .join(b, col("__table") === col("__t2") && col("__key") === col("__k2"))
@@ -657,7 +677,8 @@ object Similarity {
       seed: Long = 42L,
       probeBits: Int = 0,
       probeDepth: Int = 1,
-      targetBucket: Long = 32L
+      targetBucket: Long = 32L,
+      dim: Int = AutoDim
   ): DataFrame = {
     val pairs =
       if (tables <= 0) {
@@ -670,7 +691,7 @@ object Similarity {
         val planes = resolvePlanes(base, planesPerTable, targetBucket)
         // 1-bit flips are symmetric (a probes b's bucket ⟺ b probes a's),
         // so the candidate set stays symmetric and the a<b filter is safe
-        lshCandidates(base, tables, planes, seed, math.min(probeBits, planes), probeDepth)
+        lshCandidates(base, tables, planes, seed, math.min(probeBits, planes), probeDepth, dim)
           .filter(col("qid") < col("nid"))
           .join(base.select(col("__id").as("qid"), col("__v").as("__va")), "qid")
           .join(base.select(col("__id").as("nid"), col("__v").as("__vb")), "nid")
@@ -702,7 +723,8 @@ object Similarity {
       seed: Long = 42L,
       probeBits: Int = 0,
       probeDepth: Int = 1,
-      targetBucket: Long = 32L
+      targetBucket: Long = 32L,
+      dim: Int = AutoDim
   ): DataFrame = {
     val qbase = batch.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val cbase = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
@@ -715,10 +737,10 @@ object Similarity {
       } else {
         val planes = resolvePlanes(cbase, planesPerTable, targetBucket)
         val effBits = math.min(probeBits, planes)
-        val dim = probeDim(cbase)
-        val a = probeExpand(bandedKeys(qbase, tables, planes, seed, dim), effBits, probeDepth)
+        val d = resolveDim(cbase, dim)
+        val a = probeExpand(bandedKeys(qbase, tables, planes, seed, d), effBits, probeDepth)
           .select(col("__table"), col("__key"), col("__id").as("a"))
-        val b = bandedKeys(cbase, tables, planes, seed, dim)
+        val b = bandedKeys(cbase, tables, planes, seed, d)
           .select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("b"))
         a.join(b, col("__table") === col("__t2") && col("__key") === col("__k2"))
           .select(col("a"), col("b"))

@@ -104,25 +104,37 @@ object LlmQueries {
        |held AS (SELECT DISTINCT sh FROM s WHERE split = 'valid')""".stripMargin
   }
 
-  /** Embeddings table with the oracle-dim invariant enforced up front: the
+  /** Embeddings table with the oracle-dim invariant enforced in-plan: the
     * ANN oracles embed [[AnnOracles.Dim]]-sized hyperplane/centroid
-    * literals, so a testdata dim change must fail HERE with a readable
-    * message — not as a cryptic downstream hash mismatch. One single-row
-    * probe job; noise next to the candidate joins.
+    * literals, so a testdata dim change must fail LOUDLY with a readable
+    * message — not as a cryptic downstream hash mismatch. The guard is a
+    * per-row conditional riding the scan (cost: one size() comparison; the
+    * error branch is lazy), replacing the former one-row `head()` probe —
+    * the ANN family now launches ZERO driver probe jobs per query, and
+    * the Similarity calls take `dim = AnnOracles.Dim` explicitly.
     */
   private def embeddingsDimChecked(
       spark: org.apache.spark.sql.SparkSession,
       sf: String
   ): org.apache.spark.sql.DataFrame = {
     val e = table(spark, sf, "embeddings")
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
-    require(
-      dim == AnnOracles.Dim,
-      s"testdata embedding dim is $dim but the ANN oracle literals were generated for dim " +
-        s"${AnnOracles.Dim} — update AnnOracles.Dim so the SQL replay uses matching hyperplanes"
+    e.withColumn(
+      "embedding",
+      when(
+        size(col("embedding")) =!= AnnOracles.Dim,
+        raise_error(concat(
+          lit("testdata embedding dim "), size(col("embedding")).cast("string"),
+          lit(s" != oracle literal dim ${AnnOracles.Dim} — update AnnOracles.Dim so the SQL replay uses matching hyperplanes")
+        )).cast(e.schema("embedding").dataType)
+      ).otherwise(col("embedding"))
     )
-    e
   }
+
+  /** The embedding dimensionality every ANN call passes explicitly
+    * (Similarity.* then launch no probe jobs); [[embeddingsDimChecked]]
+    * guarantees the data matches.
+    */
+  private val EmbDim: Int = AnnOracles.Dim
 
   /** The clustered ANN fixture (Spark side of [[AnnOracles.clusteredCte]]):
     * v = center[md5(vec_id) % 8] + 0.25 · embedding, with the 8 gaussian
@@ -1253,7 +1265,7 @@ object LlmQueries {
       },
       (spark, sf) =>
         Similarity
-          .lshTopK(embeddingsDimChecked(spark, sf), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2)
+          .lshTopK(embeddingsDimChecked(spark, sf), "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2, dim = EmbDim)
           .select("qid", "nid", "rank")
     ),
     // Cross-table LSH top-5 — the retrieval shape (query set vs corpus:
@@ -1281,7 +1293,8 @@ object LlmQueries {
             tables = 8,
             planesPerTable = 6,
             probeBits = 5,
-            probeDepth = 2
+            probeDepth = 2,
+            dim = EmbDim
           )
           .select("qid", "nid", "rank")
       }
@@ -1312,7 +1325,7 @@ object LlmQueries {
           s"auto-LSH oracle embeds 10 capped plane literals (valid to n = ${32L << 10}); n=$n needs a larger capPlanes"
         )
         Similarity
-          .lshTopK(e, "vec_id", "embedding", k = 5, tables = 8, probeBits = 5, probeDepth = 2)
+          .lshTopK(e, "vec_id", "embedding", k = 5, tables = 8, probeBits = 5, probeDepth = 2, dim = EmbDim)
           .select("qid", "nid", "rank")
       }
     ),
@@ -1345,7 +1358,8 @@ object LlmQueries {
             k = 5,
             tables = 8,
             probeBits = 5,
-            probeDepth = 2
+            probeDepth = 2,
+            dim = EmbDim
           )
           .select("qid", "nid", "rank")
       }
@@ -1467,9 +1481,9 @@ object LlmQueries {
             .agg(count(lit(1)).as("n"))
             .select(lit(method).as("method"), col("hits"), col("n"))
         }
-        hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2))
+        hist("lsh", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2, dim = EmbDim))
           .unionByName(
-            hist("lsh_auto", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, probeBits = 5, probeDepth = 2))
+            hist("lsh_auto", Similarity.lshTopK(e, "vec_id", "embedding", 5, tables = 8, probeBits = 5, probeDepth = 2, dim = EmbDim))
           )
           .unionByName(hist("ivf", Similarity.ivfTopK(e, "vec_id", "embedding", 5, cells = 16, nprobe = 8)))
       }
@@ -1527,7 +1541,7 @@ object LlmQueries {
         val qs = e.filter(col("vec_id") % 20 === 0)
         val cs = e.filter(col("vec_id") % 20 =!= 0)
         val approx = Similarity
-          .lshTopKAgainst(qs, cs, "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2)
+          .lshTopKAgainst(qs, cs, "vec_id", "embedding", k = 5, tables = 8, planesPerTable = 6, probeBits = 5, probeDepth = 2, dim = EmbDim)
           .select("qid", "nid")
         // brute cross side: deliberate O(|q|·|c|) baseline, verification-only
         val w = org.apache.spark.sql.expressions.Window
@@ -1579,7 +1593,7 @@ object LlmQueries {
           s"auto-LSH oracle embeds 10 capped plane literals (valid to n = ${32L << 10}); n=$n needs a larger capPlanes"
         )
         val approx = Similarity
-          .lshTopKAgainst(qs, cs, "vec_id", "embedding", k = 5, tables = 8, probeBits = 5, probeDepth = 2)
+          .lshTopKAgainst(qs, cs, "vec_id", "embedding", k = 5, tables = 8, probeBits = 5, probeDepth = 2, dim = EmbDim)
           .select("qid", "nid")
         // brute cross side: deliberate O(|q|·|c|) baseline, verification-only
         val w = org.apache.spark.sql.expressions.Window
@@ -1697,7 +1711,8 @@ object LlmQueries {
             tau = 0.4,
             tables = 8,
             planesPerTable = 4,
-            probeBits = 4
+            probeBits = 4,
+            dim = EmbDim
           )
           .select("a", "b")
     ),
@@ -1723,7 +1738,7 @@ object LlmQueries {
           s"auto-LSH oracle embeds 10 capped plane literals (valid to n = ${32L << 10}); n=$n needs a larger capPlanes"
         )
         Similarity
-          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, probeBits = 5, probeDepth = 2)
+          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, probeBits = 5, probeDepth = 2, dim = EmbDim)
           .select("a", "b")
       }
     ),
@@ -1752,7 +1767,8 @@ object LlmQueries {
             tau = 0.4,
             tables = 8,
             planesPerTable = 4,
-            probeBits = 4
+            probeBits = 4,
+            dim = EmbDim
           )
           .select("a", "b")
       }
@@ -1800,10 +1816,10 @@ object LlmQueries {
             .select(lit(config).as("config"), col("n_exact"), col("n_lsh"), col("n_hit"))
         }
         val fixed = Similarity
-          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, planesPerTable = 4, probeBits = 4)
+          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, planesPerTable = 4, probeBits = 4, dim = EmbDim)
           .select("a", "b")
         val auto = Similarity
-          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, probeBits = 5, probeDepth = 2)
+          .cosineNearDupPairs(e, "vec_id", "embedding", tau = 0.4, tables = 8, probeBits = 5, probeDepth = 2, dim = EmbDim)
           .select("a", "b")
         ledger("fixed", fixed).unionByName(ledger("auto", auto))
       }

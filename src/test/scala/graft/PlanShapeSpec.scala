@@ -73,4 +73,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
       assert(!plan.contains("CartesianProduct"), s"CartesianProduct in $name")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"BroadcastNestedLoopJoin in $name")
     }
+
+  test("ANN family launches zero dimensionality-probe driver jobs (explicit dim everywhere)") {
+    val annQueries = Seq(
+      "llm_ann_lsh", "llm_ann_lsh_auto", "llm_ann_lsh_xtable", "llm_ann_lsh_auto_xtable",
+      "llm_cosine_neardup", "llm_cosine_neardup_auto", "llm_cosine_xtable"
+    )
+    val before = graft.llmops.Similarity.probeDimCalls.get()
+    annQueries.foreach(n => SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan)
+    val after = graft.llmops.Similarity.probeDimCalls.get()
+    assert(after == before, s"registered ANN queries launched ${after - before} dim-probe jobs; pass dim explicitly")
+  }
 }
