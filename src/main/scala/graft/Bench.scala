@@ -48,6 +48,20 @@ object Bench {
 
   val RUNS = 3
 
+  /** Streaming/stateful queries (t2-t9) run 5 passes instead of 3: round 8
+    * showed a single host-contention spike can drag a 3-run median (t7 ran
+    * 2.9-14.7 s inside ONE median-of-3, manufacturing a phantom 3.1×
+    * regression in BENCH_r08) — five interleaved runs let the median vote
+    * out two outliers instead of one. Batch queries stay at 3 (their spread
+    * was within noise and 5× everything would add minutes per round).
+    */
+  val STREAM_RUNS = 5
+
+  private[graft] def isStreaming(name: String): Boolean = name.matches("t\\d.*")
+
+  private[graft] def runsFor(name: String): Int =
+    if (verificationOnly(name)) 1 else if (isStreaming(name)) STREAM_RUNS else RUNS
+
   /** Heavy/representative subset of the registry — every query family is
     * timed. The O(n²) brute ANN baseline (`llm_ann_top1`) and the
     * recall/consistency verification queries are deliberately NOT here:
@@ -122,6 +136,7 @@ object Bench {
     "llm_ann_ivf_auto",
     "llm_ann_ivf_xtable",
     "llm_ann_ivf_kmeans",
+    "llm_ann_lsh_clustered",
     "llm_cosine_neardup",
     "llm_cosine_neardup_auto",
     "llm_cosine_xtable",
@@ -170,6 +185,7 @@ object Bench {
     "llm_ann_recall",
     "llm_ann_ivf_auto_recall",
     "llm_ann_kmeans_recall",
+    "llm_ann_clustered_recall",
     "llm_ann_xtable_recall",
     "llm_ann_auto_xtable_recall",
     "llm_cosine_recall"
@@ -246,9 +262,9 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val plan: Seq[(String, Int)] =
-      (1 to RUNS).flatMap { p =>
+      (1 to (RUNS max STREAM_RUNS)).flatMap { p =>
         (selHead ++ selSec).collect {
-          case n if !skippedAtBench(n) && (p == 1 || !verificationOnly(n)) => n -> p
+          case n if !skippedAtBench(n) && p <= runsFor(n) => n -> p
         }
       }
     plan.foreach { case (name, pass) =>
@@ -267,8 +283,8 @@ object Bench {
 
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
-      // reachable lengths: 3 (normal), 1 (verification-only); for an even
-      // length (unreachable today) this takes the upper median
+      // reachable lengths: 5 (streaming), 3 (normal), 1 (verification-only);
+      // for an even length (unreachable today) this takes the upper median
       s(s.length / 2)
     }
 
@@ -297,13 +313,22 @@ object Bench {
     val (qs, headStats, total, headMeds) = fmtTier(selHead)
     val (secQs, secStats, secTotal, secMeds) = fmtTier(selSec)
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    // explicit outlier annotation: a median more than 1.5× its own min means
+    // the host misbehaved on most runs of that query — name it in the
+    // artifact so a reader never mistakes box noise for a code regression
+    val outliers = (settled(selHead, samples, errors) ++ settled(selSec, samples, errors))
+      .filter(n => !verificationOnly(n))
+      .filter { n => val xs = samples(n); median(xs) > 1.5 * xs.min }
+      .sorted
     val fullJson =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"stats":$headStats,"secondary":$secQs,"secondary_stats":$secStats,"secondary_total":${"%.3f"
-          .format(secTotal)},"verification_only":${verificationOnly.toSeq.sorted
+          .format(secTotal)},"noise_outliers":${outliers
+          .map(jstr)
+          .mkString("[", ",", "]")},"verification_only":${verificationOnly.toSeq.sorted
           .map(jstr)
           .mkString("[", ",", "]")},"skipped":${skippedAtBench.toSeq.sorted
           .map(jstr)
-          .mkString("[", ",", "]")},"runs":$RUNS,"errors":$es,"sf":${jstr(sfDir)}}"""
+          .mkString("[", ",", "]")},"runs":$RUNS,"stream_runs":$STREAM_RUNS,"errors":$es,"sf":${jstr(sfDir)}}"""
 
     // The driver's BENCH artifact keeps only the last ~2000 chars of stdout
     // (and sbt appends a "[success] Total time ..." line after us), so the
@@ -320,6 +345,7 @@ object Bench {
     val slowest = (headMeds ++ secMeds).sortBy { case (n, v) => (-v, n) }
     val prefix =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","runs":$RUNS,""" +
+        s""""stream_runs":$STREAM_RUNS,"noise_outliers_n":${outliers.length},""" +
         s""""queries_timed":${slowest.length},"errors_n":${errors.size},""" +
         s""""secondary_total":${"%.3f".format(secTotal)},""" +
         s""""skipped":${skippedAtBench.toSeq.sorted.map(jstr).mkString("[", ",", "]")},""" +

@@ -273,7 +273,15 @@ object LlmQueries {
       * replay of [[Similarity.planeSignature]] over
       * [[Similarity.hyperplanes]](planes, Dim, seed + t).
       */
-    def lshBandsCte(tables: Int, planes: Int, seed: Long, probeBits: Int = 0, probeDepth: Int = 1): String = {
+    def lshBandsCte(
+        tables: Int,
+        planes: Int,
+        seed: Long,
+        probeBits: Int = 0,
+        probeDepth: Int = 1,
+        src: String = "e",
+        idC: String = "vec_id"
+    ): String = {
       val blocks = (0 until tables).map { t =>
         val ps = Similarity.hyperplanes(planes, Dim, seed + t)
         val key = ps.zipWithIndex
@@ -281,7 +289,7 @@ object LlmQueries {
             s"(CASE WHEN list_inner_product(v, ${planeArray(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
           }
           .mkString(" + ")
-        s"SELECT vec_id, $t AS tbl, $key AS key FROM e"
+        s"SELECT $idC AS vec_id, $t AS tbl, $key AS key FROM $src"
       }
       // multi-probe: query side also visits the flipped buckets — the mask
       // list comes from the SAME code the Spark plan uses
@@ -447,9 +455,9 @@ object LlmQueries {
       * candidates, ties broken by nid, identical to [[Similarity.lshTopK]].
       * `prefix` must match the bands CTE feeding it.
       */
-    def lshTopCte(k: Int, prefix: String = ""): String =
+    def lshTopCte(k: Int, prefix: String = "", src: String = "e", idC: String = "vec_id"): String =
       s"""${prefix}lr AS (SELECT c.qid, c.nid, list_cosine_similarity(ea.v, eb.v) AS cos
-         |       FROM ${prefix}cand c JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid),
+         |       FROM ${prefix}cand c JOIN $src ea ON ea.$idC = c.qid JOIN $src eb ON eb.$idC = c.nid),
          |${prefix}lshtop AS (SELECT qid, nid, rnk FROM (
          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM ${prefix}lr)
          |  WHERE rnk <= $k)""".stripMargin
@@ -522,10 +530,10 @@ object LlmQueries {
          |  WHERE rnk <= $k)""".stripMargin
 
     /** Brute top-k (qid, nid) — the exact baseline for recall math. */
-    def bruteTopCte(k: Int): String =
-      s"""br AS (SELECT a.vec_id AS qid, b.vec_id AS nid FROM e a JOIN e b ON a.vec_id <> b.vec_id
-         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
-         |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) <= $k)""".stripMargin
+    def bruteTopCte(k: Int, src: String = "e", idC: String = "vec_id"): String =
+      s"""br AS (SELECT a.$idC AS qid, b.$idC AS nid FROM $src a JOIN $src b ON a.$idC <> b.$idC
+         |  QUALIFY row_number() OVER (PARTITION BY a.$idC
+         |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.$idC) <= $k)""".stripMargin
 
     // -------------------------------------------------------------------
     // Clustered ANN fixture + k-means IVF replay. The driver's embeddings
@@ -1685,6 +1693,58 @@ object LlmQueries {
         }
         hist("ivf_kmeans", Similarity.ivfTopKKmeans(fx, "vec_id", "v", 5, cells = 8, nprobe = 2, iters = 2, seed = 42L))
           .unionByName(hist("ivf_smallid", Similarity.ivfTopK(fx, "vec_id", "v", 5, cells = 8, nprobe = 2)))
+      }
+    ),
+    // Deep-key LSH top-5 on the clustered fixture — the key width REAL
+    // corpora would run: the round-8 knob grid (round8_lsh_knobs.md)
+    // showed recall 1.0 holding out to planes 10-12 on clusterable data
+    // while candidates track true near-pair density, but no oracle-gated
+    // query certified those widths (the auto schedule picks 4-6 at gate
+    // SFs). This registers planes=10 with the same prefix-consistent
+    // plane literals — a hash match certifies the deep-key path
+    // end-to-end at both SFs.
+    QueryDef(
+      "llm_ann_lsh_clustered",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |${lshBandsCte(tables = 8, planes = 10, seed = 42L, probeBits = 5, probeDepth = 2, src = "cf", idC = "id")},
+           |${lshTopCte(5, src = "cf", idC = "id")}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM lshtop""".stripMargin
+      },
+      (spark, sf) =>
+        Similarity
+          .lshTopK(clusteredFixture(spark, sf), "vec_id", "v", k = 5, tables = 8, planesPerTable = 10, probeBits = 5, probeDepth = 2, dim = EmbDim)
+          .select("qid", "nid", "rank")
+    ),
+    // Recall ledger for the deep-key clustered LSH above: hits histogram
+    // vs the brute top-5 on the same fixture, both sides recomputed by
+    // DuckDB — the "deep keys are free on clusterable data" claim as a
+    // certified number. Verification-only (brute baseline).
+    QueryDef(
+      "llm_ann_clustered_recall",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |${lshBandsCte(tables = 8, planes = 10, seed = 42L, probeBits = 5, probeDepth = 2, src = "cf", idC = "id")},
+           |${lshTopCte(5, src = "cf", idC = "id")},
+           |${fixtureBruteCte(5)},
+           |h AS (SELECT t.qid, count(*) AS c FROM lshtop t JOIN fbr USING (qid, nid) GROUP BY 1)
+           |SELECT CAST(coalesce(h.c, 0) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n
+           |FROM cf LEFT JOIN h ON h.qid = cf.id GROUP BY 1""".stripMargin
+      },
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val brute = Similarity.bruteTopK(fx, "vec_id", "v", k = 5).select("qid", "nid")
+        val approx = Similarity
+          .lshTopK(fx, "vec_id", "v", k = 5, tables = 8, planesPerTable = 10, probeBits = 5, probeDepth = 2, dim = EmbDim)
+          .select("qid", "nid")
+        val hits = approx.join(brute, Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("__c"))
+        fx.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(coalesce(col("__c"), lit(0L)).as("hits"))
+          .groupBy("hits")
+          .agg(count(lit(1)).as("n"))
       }
     ),
     // Embedding-cosine near-dup pairs at tau=0.4 through the LSH candidate

@@ -28,4 +28,19 @@ class BenchAccountingSpec extends AnyFunSuite {
     assert(Bench.settled(Seq("q_ok", "q_ok"), samples, errors) == Seq("q_ok", "q_ok"))
     assert(Bench.settled(Seq.empty, samples, errors).isEmpty)
   }
+
+  test("streaming queries get the 5-run noise-proof tier; batch 3; verification-only 1") {
+    // round-8 verdict: t7 spanned 2.9-14.7 s inside one median-of-3 —
+    // the streaming tier must run enough passes for the median to vote
+    // out two host-contention outliers, and the spread (min/max/runs)
+    // must be recorded per query (fmtTier emits them for every entry).
+    for (t <- Seq("t2_windowed_counts_batch_eq", "t5_stream_textstats_batch_eq", "t9_stream_neardup_ingest_batch_eq"))
+      assert(Bench.runsFor(t) == Bench.STREAM_RUNS && Bench.STREAM_RUNS == 5, t)
+    assert(Bench.runsFor("q1_pricing_summary") == Bench.RUNS)
+    assert(Bench.runsFor("llm_ann_lsh") == Bench.RUNS)
+    assert(Bench.runsFor("llm_ann_recall") == 1)
+    assert(Bench.runsFor("llm_ann_clustered_recall") == 1)
+    // the prefix match must not leak beyond the t-family
+    assert(!Bench.isStreaming("llm_tfidf") && !Bench.isStreaming("q1_pricing_summary"))
+  }
 }
