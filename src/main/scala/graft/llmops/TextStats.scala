@@ -284,6 +284,39 @@ object TextStats {
         (row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1).cast("long")
       )
 
+  /** Apply a learned vocabulary ([[buildVocab]]'s (token, token_id) table)
+    * to a corpus — the encode half of the tokenizer loop: text →
+    * token-id arrays, with a deterministic OOV policy (tokens absent from
+    * the vocab map to `oovId`, and `n_oov` counts them per doc).
+    *
+    * Scale shape: the corpus explodes to (doc, pos, token) and joins the
+    * vocab BROADCAST — the corpus-sized side never shuffles on the (hot,
+    * skewed) token key; the only shuffle is the per-doc regroup on the doc
+    * id, and the ordered reassembly sorts within each doc's row group only
+    * (array_sort of (pos, id) structs — no global sort). Vocab tables are
+    * 10⁵–10⁷ rows (tens of MB) — comfortably broadcastable; swap the hint
+    * for a plain join (AQE picks the strategy) if a vocab ever outgrows
+    * executor memory.
+    */
+  def encodeWithVocab(
+      df: DataFrame,
+      vocab: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      oovId: Long = -1L
+  ): DataFrame =
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), coalesce(col("token_id"), lit(oovId)).as("tid")))),
+          s => s.getField("tid")
+        ).as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov")
+      )
+
   /** Top-`k` distinctive terms per document by a log-free tf-idf:
     * score = tf × N / df, computed in per-row IEEE double arithmetic
     * (exact integers into one division — bit-reproducible across engines,

@@ -940,6 +940,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pruned.toSeq == Seq(("a", 3L, 0L), ("b", 3L, 1L)))
   }
 
+  test("encodeWithVocab preserves token order and applies the OOV id deterministically") {
+    val corpus = Seq(
+      (1L, "a b c a"),
+      (2L, "z a")
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=1, c=1, z=1 → ids a:0, b:1, c:2, z:3; cap at 2 keeps {a, b}
+    val vocab = TextStats.buildVocab(corpus).filter(col("token_id") < 2)
+    val enc = TextStats
+      .encodeWithVocab(corpus, vocab)
+      .as[(Long, Seq[Long], Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    assert(enc.toSeq == Seq((1L, Seq(0L, 1L, -1L, 0L), 4L, 1L), (2L, Seq(-1L, 0L), 2L, 1L)))
+  }
+
   test("tfidfTopTerms ranks rare-but-frequent terms first") {
     val corpus = Seq(
       (1L, "x x common"),
