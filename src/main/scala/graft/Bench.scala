@@ -128,6 +128,7 @@ object Bench {
     "llm_simhash_pairs",
     "llm_simhash_xtable",
     "llm_ingest_pipeline",
+    "llm_ingest_pipeline_v2",
     "llm_ann_lsh",
     "llm_ann_lsh_auto",
     "llm_ann_lsh_xtable",

@@ -167,11 +167,11 @@ object LlmQueries {
     * must abort instead (mirrors the capPlanes requires). Zero extra jobs:
     * the guard rides the scan.
     */
-  private[queries] def copyId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[queries] def copyId(c: org.apache.spark.sql.Column, gen: Int = 1): org.apache.spark.sql.Column =
     when(
       c >= 100000L,
       raise_error(concat(lit("fixture copy-id collision: doc_id "), c.cast("string"), lit(" >= 100000")))
-    ).otherwise(c + 100000L)
+    ).otherwise(c + gen * 100000L)
 
   /** Duplicated-span fixture (shared by llm_duplicate_spans /
     * llm_span_removal): corpus plus every 31st doc re-ingested under a
@@ -2308,6 +2308,111 @@ object LlmQueries {
           .select(col("a").as("doc_id"))
           .distinct()
         val surv = fresh.join(flagged, Seq("doc_id"), "left_anti")
+        Corpus
+          .shuffleOrder(surv.select("doc_id"), "doc_id", seed = 7L, shards = 8)
+          .select("doc_id", "shard", "pos")
+      }
+    ),
+    // Ingest-pipeline capstone v4: the near-dup stage upgraded from pair
+    // lists to the PRODUCTION rule — keep one doc per TRANSITIVE cluster
+    // (round-8 verdict #8). The batch carries near-dup chains (original →
+    // "intro segment " variant → double-prefix variant: adjacent links
+    // clear tau=0.8 while the far pair can fall below it on short docs),
+    // so connectedComponents' transitivity is load-bearing, not cosmetic:
+    // quality gate → exact dedup vs corpus → within-batch MinHash pairs →
+    // CC → min-id cluster representative → corpus near-dup drop → shuffle
+    // order. The oracle replays the WHOLE chain, its CC as an independent
+    // recursive-CTE fixpoint and its near-dup stages as exact Jaccard.
+    QueryDef(
+      "llm_ingest_pipeline_v2",
+      Some(
+        """WITH RECURSIVE batch AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, 'intro segment ' || text AS text FROM documents WHERE doc_id % 30 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 200000 AS doc_id, 'intro segment intro segment ' || text AS text FROM documents WHERE doc_id % 30 = 0),
+          |g AS (SELECT doc_id, text, length(text) AS nc, len(string_split(text, ' ')) AS nt,
+          |      len(list_distinct(string_split(text, ' '))) AS nd,
+          |      length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS nsym FROM batch),
+          |keep AS (SELECT doc_id, text FROM g
+          |  WHERE (nt BETWEEN 16 AND 100000) AND (CAST(nc - nt + 1 AS DOUBLE)/nt BETWEEN 2.0 AND 12.0)
+          |    AND (CAST(nsym AS DOUBLE)/nc <= 0.2) AND (1.0 - CAST(nd AS DOUBLE)/nt <= 0.6)),
+          |dedup AS (SELECT k.doc_id, k.text FROM keep k
+          |  WHERE md5(k.text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)
+          |  QUALIFY row_number() OVER (PARTITION BY md5(k.text) ORDER BY k.doc_id) = 1),
+          |tb AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dedup),
+          |sb AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh FROM tb),
+          |nb AS (SELECT doc_id, count(*) AS n FROM sb GROUP BY 1),
+          |pp AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+          |       FROM sb a JOIN sb b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |pr AS (SELECT pp.a, pp.b FROM pp JOIN nb na ON na.doc_id = pp.a JOIN nb nbb ON nbb.doc_id = pp.b
+          |       WHERE CAST(pp.inter AS DOUBLE)/(na.n + nbb.n - pp.inter) >= 0.8),
+          |sym AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+          |reach(x, y) AS (
+          |  SELECT x, y FROM sym
+          |  UNION
+          |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+          |comp AS (SELECT x, least(x, min(y)) AS c FROM reach GROUP BY x),
+          |reps AS (SELECT d.doc_id, d.text FROM dedup d LEFT JOIN comp ON comp.x = d.doc_id
+          |         WHERE coalesce(comp.c, d.doc_id) = d.doc_id),
+          |tr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM reps),
+          |sr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh FROM tr),
+          |nr AS (SELECT doc_id, count(*) AS n FROM sr GROUP BY 1),
+          |tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 <> 0),
+          |sc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh FROM tc),
+          |ncn AS (SELECT doc_id, count(*) AS n FROM sc GROUP BY 1),
+          |p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter FROM sr a JOIN sc b ON a.sh = b.sh GROUP BY 1, 2),
+          |flag AS (SELECT DISTINCT p.a FROM p JOIN nr ON nr.doc_id = p.a JOIN ncn ON ncn.doc_id = p.b
+          |         WHERE CAST(p.inter AS DOUBLE)/(nr.n + ncn.n - p.inter) >= 0.8),
+          |surv AS (SELECT doc_id FROM reps WHERE doc_id NOT IN (SELECT a FROM flag)),
+          |h AS (SELECT doc_id,
+          |    CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS hv
+          |  FROM surv)
+          |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+          |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+          |FROM h""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val chainBase = docs.filter(col("doc_id") % 30 === 0)
+        val batch = docs
+          .filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+          .unionByName(
+            chainBase.select(copyId(col("doc_id")).as("doc_id"), concat(lit("intro segment "), col("text")).as("text"))
+          )
+          .unionByName(
+            chainBase.select(
+              copyId(col("doc_id"), gen = 2).as("doc_id"),
+              concat(lit("intro segment intro segment "), col("text")).as("text")
+            )
+          )
+        val kept = TextStats.gopherRules(batch).filter(col("keep")).select("doc_id", "text")
+        val fresh = Dedup
+          .dedupIncremental(
+            kept,
+            corpus.select(Fingerprints.contentKeyMd5(col("text")).as("ck")),
+            "ck",
+            Fingerprints.contentKeyMd5(col("text")),
+            col("doc_id")
+          )
+          .localCheckpoint(true) // read by the pair build, CC seed, and rep join
+        val pairs = Dedup.minhashNearDupPairs(fresh, "doc_id", "text", k = 3, numHashes = 128, bands = 32, tau = 0.8)
+        val reps = Dedup
+          .connectedComponents(fresh, "doc_id", pairs)
+          .filter(col("doc_id") === col("component"))
+          .select("doc_id")
+          .join(fresh, Seq("doc_id"))
+        val flagged = Dedup
+          .minhashNearDupAgainst(reps, corpus, "doc_id", "text", k = 3, numHashes = 128, bands = 32, tau = 0.8)
+          .select(col("a").as("doc_id"))
+          .distinct()
+        val surv = reps.join(flagged, Seq("doc_id"), "left_anti")
         Corpus
           .shuffleOrder(surv.select("doc_id"), "doc_id", seed = 7L, shards = 8)
           .select("doc_id", "shard", "pos")
