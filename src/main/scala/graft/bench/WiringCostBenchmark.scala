@@ -86,11 +86,14 @@ object WiringCostBenchmark {
       Case("pin_fast_ok_control", () => if (runtime.ok(expected, expected)) 1L else 0L)
     )
 
-    val header = "benchmark,avg_ns_per_op,min_ns_per_op,max_ns_per_op,measurement_iterations,ops_per_iteration"
+    val header =
+      "benchmark,avg_ns_per_op,min_ns_per_op,max_ns_per_op,avg_alloc_bytes_per_op,measurement_iterations,ops_per_iteration"
     val rows = cases.map { c =>
       (1 to warmups).foreach(_ => batch(c.run, ops))
-      val ns = (1 to iters).map(_ => batch(c.run, ops).toDouble / ops)
-      f"${c.name},${ns.sum / ns.length}%.2f,${ns.min}%.2f,${ns.max}%.2f,$iters,$ops"
+      val measured = (1 to iters).map(_ => batch(c.run, ops))
+      val ns = measured.map(_._1.toDouble / ops)
+      val alloc = measured.map(_._2.toDouble / ops)
+      f"${c.name},${ns.sum / ns.length}%.2f,${ns.min}%.2f,${ns.max}%.2f,${alloc.sum / alloc.length}%.1f,$iters,$ops"
     }
     val rendered = rows.mkString("\n")
     outputPath.foreach { p =>
@@ -101,16 +104,27 @@ object WiringCostBenchmark {
     println(rendered)
   }
 
-  private def batch(run: () => Long, ops: Int): Long = {
+  /** One measured batch → (elapsed ns, allocated bytes). Allocation is the
+    * memory analog of the reference's compile-RSS column (BASELINE.md
+    * reports ~+64 MiB scalac RSS for its witness generation): per-op
+    * heap allocation of a construction-time check, sampled with the JVM's
+    * exact per-thread allocation counter (HotSpot ThreadMXBean).
+    */
+  private def batch(run: () => Long, ops: Int): (Long, Long) = {
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
     var acc = 0L
     var i = 0
+    val a0 = tmx.getThreadAllocatedBytes(tid)
     val start = System.nanoTime()
     while (i < ops) {
       acc ^= run()
       i += 1
     }
     val elapsed = System.nanoTime() - start
+    val allocated = tmx.getThreadAllocatedBytes(tid) - a0
     blackhole ^= acc
-    elapsed
+    (elapsed, allocated)
   }
 }

@@ -351,6 +351,36 @@ object Similarity {
     * own corpus copy is reported (rank 1, cos 1.0) — callers that index
     * the query set itself filter `qid =!= nid` downstream.
     */
+  /** Two-sided (retrieval-shaped) LSH candidate pairs: query side banded
+    * and multi-probe-expanded, corpus side banded once at base keys,
+    * joined by bucket — the shared generator behind [[lshTopKAgainst]] and
+    * [[cosineNearDupAgainst]]. Width from the CORPUS side when auto
+    * (occupancy — hence candidate volume — is driven by the indexed side;
+    * the query side only probes).
+    */
+  private[graft] def lshCandidatesAgainst(
+      qbase: DataFrame,
+      cbase: DataFrame,
+      tables: Int,
+      planesPerTable: Int,
+      seed: Long,
+      probeBits: Int,
+      probeDepth: Int,
+      targetBucket: Long,
+      dim: Int
+  ): DataFrame = {
+    val planes = resolvePlanes(cbase, planesPerTable, targetBucket)
+    val effBits = math.min(probeBits, planes)
+    val d = resolveDim(cbase, dim)
+    val a = probeExpand(bandedKeys(qbase, tables, planes, seed, d), effBits, probeDepth)
+      .select(col("__table"), col("__key"), col("__id").as("qid"))
+    val b = bandedKeys(cbase, tables, planes, seed, d)
+      .select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
+    a.join(b, col("__table") === col("__t2") && col("__key") === col("__k2"))
+      .select(col("qid"), col("nid"))
+      .dropDuplicates("qid", "nid")
+  }
+
   def lshTopKAgainst(
       queries: DataFrame,
       corpus: DataFrame,
@@ -367,19 +397,8 @@ object Similarity {
   ): DataFrame = {
     val qbase = queries.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val cbase = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    // occupancy — hence candidate volume — is driven by the CORPUS side,
-    // so auto width sizes from its count (the query side only probes)
-    val planes = resolvePlanes(cbase, planesPerTable, targetBucket)
-    val effBits = math.min(probeBits, planes)
-    val d = resolveDim(cbase, dim)
-    val a = probeExpand(bandedKeys(qbase, tables, planes, seed, d), effBits, probeDepth)
-      .select(col("__table"), col("__key"), col("__id").as("qid"))
-    val b = bandedKeys(cbase, tables, planes, seed, d)
-      .select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("nid"))
-    val candidates = a
-      .join(b, col("__table") === col("__t2") && col("__key") === col("__k2"))
-      .select(col("qid"), col("nid"))
-      .dropDuplicates("qid", "nid")
+    val candidates =
+      lshCandidatesAgainst(qbase, cbase, tables, planesPerTable, seed, probeBits, probeDepth, targetBucket, dim)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     candidates
       .join(qbase.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
@@ -735,16 +754,8 @@ object Similarity {
           .crossJoin(cbase.select(col("__id").as("b"), col("__v").as("__vb")))
           .withColumn("cos", cosine(col("__va"), col("__vb")))
       } else {
-        val planes = resolvePlanes(cbase, planesPerTable, targetBucket)
-        val effBits = math.min(probeBits, planes)
-        val d = resolveDim(cbase, dim)
-        val a = probeExpand(bandedKeys(qbase, tables, planes, seed, d), effBits, probeDepth)
-          .select(col("__table"), col("__key"), col("__id").as("a"))
-        val b = bandedKeys(cbase, tables, planes, seed, d)
-          .select(col("__table").as("__t2"), col("__key").as("__k2"), col("__id").as("b"))
-        a.join(b, col("__table") === col("__t2") && col("__key") === col("__k2"))
-          .select(col("a"), col("b"))
-          .dropDuplicates("a", "b")
+        lshCandidatesAgainst(qbase, cbase, tables, planesPerTable, seed, probeBits, probeDepth, targetBucket, dim)
+          .select(col("qid").as("a"), col("nid").as("b"))
           .join(qbase.select(col("__id").as("a"), col("__v").as("__va")), "a")
           .join(cbase.select(col("__id").as("b"), col("__v").as("__vb")), "b")
           .withColumn("cos", cosine(col("__va"), col("__vb")))

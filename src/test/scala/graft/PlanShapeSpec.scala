@@ -42,6 +42,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_ivf_auto",
     "llm_ann_ivf_xtable",
     "llm_ann_ivf_kmeans",
+    "llm_ann_lsh_clustered",
     "llm_cosine_neardup",
     "llm_cosine_neardup_auto",
     "llm_cosine_xtable",
@@ -49,6 +50,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_seq_pack",
     "llm_shuffle_order",
     "llm_vocab",
+    "llm_encode_ids",
     "llm_budget_select",
     "llm_clean_pipeline",
     "llm_decontaminate",
