@@ -99,7 +99,9 @@ object LshLinearityProbe {
       org.apache.spark.sql.graftshim.GraftSqlShim.drainListenerBus(spark.sparkContext)
       if (explain) println(s"=== $label n=$n ===\n" + cand.queryExecution.executedPlan.toString.take(6000))
       written.set(0)
-      val c = cand.rdd.map(r => (r.getLong(0), r.getLong(1))).distinct().count()
+      // 128-way distinct keeps per-task dedup maps heap-safe at the
+      // ~1e9-pair sizes (the 16-way default OOMs a 24 GB heap at n=128k)
+      val c = cand.rdd.map(r => (r.getLong(0), r.getLong(1))).distinct(128).count()
       org.apache.spark.sql.graftshim.GraftSqlShim.drainListenerBus(spark.sparkContext)
       (label, c, written.get)
     }
@@ -124,7 +126,7 @@ object LshLinearityProbe {
       val regimes = Seq(
         ("structureless", e, "embedding"),
         ("clustered", cf, "v")
-      )
+      ).filter(r => sys.env.get("LSH_PROBE_REGIME").forall(_ == r._1))
       for ((regime, tbl, vcol) <- regimes) {
         val base = tbl.select(col("vec_id").as("__id"), col(vcol).as("__v"))
         // self-join shape (llm_ann_lsh_auto / llm_cosine_neardup_auto share
