@@ -675,6 +675,71 @@ object Similarity {
     ivfProbeRank(probed, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup inside
+    * k-means cells. Near-dup pairs are only sought WITHIN a cell — the
+    * pair join is a bucketed equi-join on cell id, never all-pairs — and
+    * of each duplicate group the doc with the LOWEST centroid similarity
+    * survives (the paper's keep-the-least-prototypical rule: it preserves
+    * diversity, dropping the redundant cluster-core copies).
+    *
+    * Greedy pairwise form (the same survivor rule family as
+    * [[Dedup.dropNearDuplicates]]): a doc is dropped iff some same-cell
+    * neighbor at cosine >= tau is more keepable — (csim, id)
+    * lexicographically smaller. On a duplicate clique this keeps exactly
+    * the (csim, id)-minimal element; on chains it keeps every local
+    * minimum (deterministic in both engines, SQL-replayable).
+    *
+    * Scale shape: centroid assignment is a broadcast join (cells rows);
+    * the pair search shuffles on cell id only; at 100 TB the cell
+    * population bounds the per-task pair work the same way it bounds
+    * [[ivfTopKKmeans]] candidates. Assignment runs on the quantized
+    * vectors (the space the centroids were fit in); the pair cosine is
+    * exact on the ORIGINAL vectors — both consistent with the IVF family.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      cells: Int = 8,
+      iters: Int = 2,
+      seed: Long = 42L,
+      fitSamplePercent: Int = 100
+  ): DataFrame = {
+    val base = df.select(
+      col(idCol).as("__id"),
+      col(vecCol).as("__v"),
+      transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double")).as("__qv")
+    )
+    val centroids =
+      broadcast(kmeansCentroids(df, idCol, vecCol, cells, iters, seed, fitSamplePercent))
+    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
+    val asg = base
+      .crossJoin(centroids)
+      .withColumn("__csim", cosine(col("__qv"), col("__cv")))
+      .withColumn("__crank", row_number().over(wCell))
+      .filter(col("__crank") === 1)
+      .select(col("__id"), col("__v"), col("__cid"), col("__csim"))
+      .localCheckpoint(true) // both sides of the pair join + the survivor anti-join read it
+    val dropped = asg
+      .select(col("__id").as("__xid"), col("__v").as("__xv"), col("__cid"), col("__csim").as("__xsim"))
+      .join(
+        asg.select(col("__id").as("__yid"), col("__v").as("__yv"), col("__cid"), col("__csim").as("__ysim")),
+        Seq("__cid")
+      )
+      .filter(col("__xid") =!= col("__yid"))
+      .filter(cosine(col("__xv"), col("__yv")) >= tau)
+      .filter(
+        col("__ysim") < col("__xsim") ||
+          (col("__ysim") === col("__xsim") && col("__yid") < col("__xid"))
+      )
+      .select(col("__xid").as("__id"))
+      .distinct()
+    asg
+      .join(dropped, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("__cid").cast("long").as("cell"), col("__csim").as("centroid_sim"))
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine >= tau, via the
     * LSH candidate generator when `tables > 0` (the scale path: bucketed
     * equi-joins, no window — a threshold filter needs no rank sort), or

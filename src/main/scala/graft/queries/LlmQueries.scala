@@ -585,7 +585,10 @@ object LlmQueries {
       * nprobe cell probing on the quantized vectors and exact re-rank on
       * the original ones.
       */
-    def kmeansIvfCte(k: Int, cells: Int, nprobe: Int, iters: Int, seed: Long): String = {
+    /** The k-means FIT alone (k0 … k`iters` CTEs over `qb`) — shared by
+      * the IVF probe chain and the SemDeDup assignment.
+      */
+    def kmeansFitCtes(cells: Int, iters: Int, seed: Long): String = {
       val init =
         s"""k0 AS (SELECT rn - 1 AS cid, qv AS cv FROM (
            |  SELECT qv, row_number() OVER (ORDER BY
@@ -600,6 +603,25 @@ object LlmQueries {
            |        FROM a$i a, unnest(range(len(a.qv))) AS u(i) GROUP BY 1, 2),
            |k$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cid)""".stripMargin
       }
+      (init +: iterCtes).mkString(",\n")
+    }
+
+    /** SemDeDup replay over the fitted centroids: rank-1 assignment with
+      * centroid similarity, same-cell near-dup pairs at cosine >= tau on
+      * the ORIGINAL vectors, drop any doc with a (csim, id)-smaller
+      * neighbor — [[Similarity.semDedup]]'s exact rule.
+      */
+    def semDedupCtes(tau: Double, iters: Int): String =
+      s"""sasg AS (SELECT qb.id, qb.v, c.cid, list_cosine_similarity(qb.qv, c.cv) AS csim
+         |  FROM qb CROSS JOIN k$iters c
+         |  QUALIFY row_number() OVER (PARTITION BY qb.id
+         |    ORDER BY list_cosine_similarity(qb.qv, c.cv) DESC, c.cid) = 1),
+         |sdrop AS (SELECT DISTINCT x.id FROM sasg x JOIN sasg y
+         |  ON x.cid = y.cid AND x.id <> y.id
+         |  WHERE list_cosine_similarity(x.v, y.v) >= $tau
+         |    AND (y.csim < x.csim OR (y.csim = x.csim AND y.id < x.id)))""".stripMargin
+
+    def kmeansIvfCte(k: Int, cells: Int, nprobe: Int, iters: Int, seed: Long): String = {
       val probe =
         s"""kp AS (SELECT qb.id, qb.v, c.cid,
            |         row_number() OVER (PARTITION BY qb.id
@@ -613,7 +635,7 @@ object LlmQueries {
            |      ORDER BY list_cosine_similarity(kq.qv2, kidx.nv) DESC, kidx.nid) AS rnk
            |  FROM kq JOIN kidx ON kq.cid = kidx.cid AND kq.qid <> kidx.nid)
            |  WHERE rnk <= $k)""".stripMargin
-      (init +: iterCtes :+ probe).mkString(",\n")
+      kmeansFitCtes(cells, iters, seed) + ",\n" + probe
     }
 
     /** `fivtop` CTE: [[Similarity.ivfTopK]] (identity smallest-id
@@ -1694,6 +1716,27 @@ object LlmQueries {
         hist("ivf_kmeans", Similarity.ivfTopKKmeans(fx, "vec_id", "v", 5, cells = 8, nprobe = 2, iters = 2, seed = 42L))
           .unionByName(hist("ivf_smallid", Similarity.ivfTopK(fx, "vec_id", "v", 5, cells = 8, nprobe = 2)))
       }
+    ),
+    // SemDeDup (Abbas et al. 2023): semantic dedup inside k-means cells on
+    // the clustered fixture — pair search bucketed by fitted cell, keep
+    // the least-prototypical member of each duplicate group (lowest
+    // centroid similarity; diversity-preserving). The oracle replays the
+    // ENTIRE method: int8 quantization, seeded k-means fit, rank-1
+    // assignment, same-cell pair threshold on the original vectors, and
+    // the (csim, id)-lexicographic survivor rule.
+    QueryDef(
+      "llm_semdedup",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
+           |${semDedupCtes(tau = 0.95, iters = 2)}
+           |SELECT s.id AS vec_id, CAST(s.cid AS BIGINT) AS cell, s.csim AS centroid_sim
+           |FROM sasg s WHERE s.id NOT IN (SELECT id FROM sdrop)""".stripMargin
+      },
+      (spark, sf) =>
+        Similarity.semDedup(clusteredFixture(spark, sf), "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L)
     ),
     // Deep-key LSH top-5 on the clustered fixture — the key width REAL
     // corpora would run: the round-8 knob grid (round8_lsh_knobs.md)

@@ -43,6 +43,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_ivf_xtable",
     "llm_ann_ivf_kmeans",
     "llm_ann_lsh_clustered",
+    "llm_semdedup",
     "llm_cosine_neardup",
     "llm_cosine_neardup_auto",
     "llm_cosine_xtable",

@@ -955,6 +955,56 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(enc.toSeq == Seq((1L, Seq(0L, 1L, -1L, 0L), 4L, 1L), (2L, Seq(-1L, 0L), 2L, 1L)))
   }
 
+  test("semDedup equals an independent brute-force replay of the keep-least-central rule") {
+    // two orthogonal tight clusters, each {a, a, b} with b slightly
+    // off-center (cos(a,b) ~ 0.95 >= tau), plus one outlier. Expected
+    // survivors are NOT hand-guessed (the 2-cell fit may group the data
+    // any deterministic way): the spec replays assignment + the
+    // (csim, id)-lexicographic survivor rule brute-force from the fitted
+    // centroids and asserts the operator matches it exactly. Sanity floor:
+    // some doc must drop (the identical pairs can never both survive).
+    val data = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Seq(0.95f, 0.312f, 0.0f, 0.0f),
+      4L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),
+      5L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),
+      6L -> Seq(0.0f, 0.312f, 0.95f, 0.0f),
+      7L -> Seq(0.5f, -0.5f, 0.5f, -0.5f)
+    )
+    val rows = data.toDF("vec_id", "v")
+    val surv = Similarity
+      .semDedup(rows, "vec_id", "v", tau = 0.9, cells = 2, iters = 2, seed = 42L)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+      .sorted
+    // independent reference
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def quant(v: Seq[Float]): Seq[Double] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      if (s == 0) v.map(_ => 0.0) else v.map(x => math.floor(x.toDouble * 127.0 / s + 0.5))
+    }
+    val cents = Similarity
+      .kmeansCentroids(rows, "vec_id", "v", cells = 2, iters = 2, seed = 42L)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val asg = data.map { case (id, v) =>
+      val (cid, csim) = cents.map { case (c, cv) => (c, cos(quant(v), cv)) }.maxBy { case (c, s) => (s, -c) }
+      (id, v.map(_.toDouble), cid, csim)
+    }
+    val expected = asg.collect {
+      case (id, v, cid, csim) if !asg.exists { case (oid, ov, ocid, ocsim) =>
+            oid != id && ocid == cid && cos(ov, v) >= 0.9 &&
+            (ocsim < csim || (ocsim == csim && oid < id))
+          } =>
+        id
+    }.sorted
+    assert(surv.toSeq == expected, s"operator ${surv.mkString(",")} vs reference ${expected.mkString(",")}")
+    assert(surv.length < data.length, "identical pairs can never both survive")
+  }
+
   test("tfidfTopTerms ranks rare-but-frequent terms first") {
     val corpus = Seq(
       (1L, "x x common"),
