@@ -143,6 +143,8 @@ object Bench {
     "llm_cosine_neardup_auto",
     "llm_cosine_xtable",
     "llm_train_split",
+    "llm_split_safe",
+    "llm_soft_dedup",
     "llm_seq_pack",
     "llm_vocab",
     "llm_tfidf",

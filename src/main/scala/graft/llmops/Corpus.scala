@@ -42,6 +42,32 @@ object Corpus {
     when(bucket < trainPercent, lit("train")).otherwise(lit("valid"))
   }
 
+  /** Leakage-safe train/valid split: every member of the same near-dup
+    * CLUSTER lands in the same split. A doc-level content-hash split leaks
+    * — two near-identical docs can straddle the boundary, putting
+    * paraphrases of training content into the eval set — so the split
+    * bucket is computed on the TRANSITIVE component label
+    * ([[Dedup.connectedComponents]] over the supplied near-dup pair list)
+    * and inherited by every member. Scale shape: CC runs on ids only; the
+    * final join is id→(component, split), broadcast-or-shuffle by AQE.
+    * `salt` decorrelates this hash from any upstream content-hash gates
+    * (the same trap `llm_corpus_pipeline`'s salted split documents).
+    */
+  def splitByComponent(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      trainPercent: Int = 90,
+      salt: String = "split"
+  ): DataFrame = {
+    val comp = Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
+    df.join(comp, Seq(idCol))
+      .withColumn(
+        "split",
+        splitByContentHash(concat(col("component").cast("string"), lit("|"), lit(salt)), trainPercent)
+      )
+  }
+
   /** Deterministic sequence packing (concat-and-chunk): assign every doc a
     * position in a stream of fixed-`budgetTokens` training sequences, the
     * way GPT-style pipelines concatenate tokenized docs and slice the

@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Soft dedup (duplicate downweighting): keep EVERY copy, but weight each
+    * row 1/count(key) so repeated content contributes one document's worth
+    * of training mass in expectation — the alternative pipelines reach for
+    * when hard dedup is too aggressive (templated-but-meaningful pages,
+    * boilerplate-heavy domains). Adds `n_copies` and `weight` columns.
+    * One hash-key aggregation (32-char keys, map-side partial) + a join
+    * back on the key; the weight is one exact IEEE division of integers
+    * per row, so it hash-gates cross-engine.
+    */
+  def softDedup(df: DataFrame, key: Column): DataFrame = {
+    val keyed = df.withColumn("__k", key)
+    val counts = keyed.groupBy("__k").agg(count(lit(1)).as("n_copies"))
+    keyed
+      .join(counts, Seq("__k"))
+      .withColumn("weight", lit(1.0) / col("n_copies"))
+      .drop("__k")
+  }
+
   /** Exact dedup: keep the row with the smallest `tieBreak` per identical
     * `key`. One shuffle on the content hash; window within hash partitions.
     */

@@ -1210,6 +1210,62 @@ object LlmQueries {
           .select("doc_id")
       }
     ),
+    // Leakage-safe train/valid split: the split bucket is computed on the
+    // TRANSITIVE near-dup component label, so paraphrase clusters can
+    // never straddle the train/valid boundary (the contamination channel
+    // a doc-level content-hash split leaves open). Oracle = recursive-CTE
+    // components + the same salted md5 bucket on the component label.
+    QueryDef(
+      "llm_split_safe",
+      Some {
+        val recursiveShingles = shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+        s"""$recursiveShingles,
+           |pr AS (SELECT p.a, p.b FROM p JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
+           |       WHERE CAST(p.inter AS DOUBLE)/(na.n + nb.n - p.inter) >= 0.8),
+           |sym AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+           |reach(x, y) AS (
+           |  SELECT x, y FROM sym
+           |  UNION
+           |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+           |comp AS (SELECT x, least(x, min(y)) AS c FROM reach GROUP BY x),
+           |lab AS (SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS component
+           |        FROM documents d LEFT JOIN comp ON comp.x = d.doc_id)
+           |SELECT doc_id, component,
+           |  CASE WHEN CAST(concat('0x', substr(md5(CAST(component AS VARCHAR) || '|split'), 1, 8)) AS UBIGINT) % 100 < 90
+           |       THEN 'train' ELSE 'valid' END AS split
+           |FROM lab""".stripMargin
+      },
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 128, 32, 0.8)
+        Corpus.splitByComponent(docs.select("doc_id"), "doc_id", pairs, trainPercent = 90)
+      }
+    ),
+    // Soft dedup (duplicate downweighting): every copy kept, weighted
+    // 1/count so a duplicate group contributes one doc of training mass.
+    // The fixture re-ingests every 31st doc verbatim so n_copies=2 /
+    // weight=0.5 rows exist; weight is one exact integer-into-IEEE
+    // division — hash-gated like the other portable doubles.
+    QueryDef(
+      "llm_soft_dedup",
+      Some(
+        """WITH src AS (SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 31 = 0),
+          |c AS (SELECT md5(text) AS k, CAST(count(*) AS BIGINT) AS n_copies FROM src GROUP BY 1)
+          |SELECT s.doc_id, c.n_copies, CAST(1 AS DOUBLE) / c.n_copies AS weight
+          |FROM src s JOIN c ON md5(s.text) = c.k""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents").select("doc_id", "text")
+        val src = docs.unionByName(
+          docs.filter(col("doc_id") % 31 === 0).select(copyId(col("doc_id")).as("doc_id"), col("text"))
+        )
+        Dedup
+          .softDedup(src, Fingerprints.contentKeyMd5(col("text")))
+          .select("doc_id", "n_copies", "weight")
+      }
+    ),
     // SimHash near-dup pairs over the portable 56-bit simhash: Spark runs
     // the banded pigeonhole plan (4 bands, any pair at Hamming <= 3 shares
     // a band — exact by construction); the oracle recomputes the simhash

@@ -30,6 +30,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_simhash_pairs",
     "llm_simhash_xtable",
     "llm_dedup_clusters",
+    "llm_split_safe",
+    "llm_soft_dedup",
     "llm_paragraph_dedup",
     "llm_duplicate_spans",
     "llm_span_removal",

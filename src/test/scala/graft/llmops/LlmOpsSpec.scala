@@ -617,6 +617,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     )
   }
 
+  test("splitByComponent: near-dup pair members NEVER straddle the train/valid boundary") {
+    val ids = (1L to 40L).map(Tuple1(_)).toDF("doc_id")
+    // chains + pairs: transitive members must all inherit one split
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L)).toDF("a", "b")
+    val split = Corpus.splitByComponent(ids, "doc_id", pairs, trainPercent = 50)
+    val bySplit = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    Seq(Seq(1L, 2L, 3L), Seq(10L, 11L), Seq(20L, 21L, 22L, 23L)).foreach { cluster =>
+      assert(cluster.map(bySplit).distinct.size == 1, s"cluster $cluster straddles the split")
+    }
+    // at 50% both splits must be populated on 40 docs (sanity: not constant)
+    assert(bySplit.values.toSet == Set("train", "valid"))
+  }
+
+  test("softDedup weights each duplicate group to one document of mass") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
+    val out = Dedup
+      .softDedup(df, md5(col("text")))
+      .select("doc_id", "n_copies", "weight")
+      .as[(Long, Long, Double)]
+      .collect()
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 1.0 / 3), (2L, 3L, 1.0 / 3), (3L, 3L, 1.0 / 3), (4L, 1L, 1.0)))
+  }
+
   test("connectedComponents with STRING ids converges correctly (join-based probe fallback)") {
     // string ids make the numeric label-sum probe cast to NULL; before the
     // fallback this silently 'converged' after one round with wrong labels.
