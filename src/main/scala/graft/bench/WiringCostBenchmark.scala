@@ -86,6 +86,8 @@ object WiringCostBenchmark {
       Case("pin_fast_ok_control", () => if (runtime.ok(expected, expected)) 1L else 0L)
     )
 
+    // avg_alloc_bytes_per_op is -1.0 when the JVM's per-thread allocation
+    // counter is unavailable (non-HotSpot bean or accounting disabled)
     val header =
       "benchmark,avg_ns_per_op,min_ns_per_op,max_ns_per_op,avg_alloc_bytes_per_op,measurement_iterations,ops_per_iteration"
     val rows = cases.map { c =>
@@ -110,20 +112,35 @@ object WiringCostBenchmark {
     * heap allocation of a construction-time check, sampled with the JVM's
     * exact per-thread allocation counter (HotSpot ThreadMXBean).
     */
+  /** The HotSpot allocation counter when present AND enabled; None on a
+    * non-HotSpot JVM (the bean is a different class — an unguarded cast
+    * is a ClassCastException on OpenJ9) or when accounting is disabled
+    * (getThreadAllocatedBytes then returns -1 and the delta would emit
+    * garbage negative alloc columns into the CSV).
+    */
+  private lazy val allocBean: Option[com.sun.management.ThreadMXBean] =
+    java.lang.management.ManagementFactory.getThreadMXBean match {
+      case b: com.sun.management.ThreadMXBean
+          if b.isThreadAllocatedMemorySupported && b.isThreadAllocatedMemoryEnabled =>
+        Some(b)
+      case _ => None
+    }
+
   private def batch(run: () => Long, ops: Int): (Long, Long) = {
-    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
-      .asInstanceOf[com.sun.management.ThreadMXBean]
     val tid = Thread.currentThread().getId
     var acc = 0L
     var i = 0
-    val a0 = tmx.getThreadAllocatedBytes(tid)
+    val a0 = allocBean.map(_.getThreadAllocatedBytes(tid))
     val start = System.nanoTime()
     while (i < ops) {
       acc ^= run()
       i += 1
     }
     val elapsed = System.nanoTime() - start
-    val allocated = tmx.getThreadAllocatedBytes(tid) - a0
+    // without the counter the honest value is "no measurement": -1·ops
+    // makes the per-op average render as exactly -1.0, a visible sentinel
+    // instead of a plausible-looking garbage number
+    val allocated = allocBean.zip(a0).map { case (b, s) => b.getThreadAllocatedBytes(tid) - s }.getOrElse(-1L * ops)
     blackhole ^= acc
     (elapsed, allocated)
   }

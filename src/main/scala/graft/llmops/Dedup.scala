@@ -27,8 +27,20 @@ object Dedup {
     * One hash-key aggregation (32-char keys, map-side partial) + a join
     * back on the key; the weight is one exact IEEE division of integers
     * per row, so it hash-gates cross-engine.
+    *
+    * `n_copies` and `weight` are RESERVED output names and `__k` a
+    * reserved scratch name: an input already carrying any of them is
+    * rejected loudly (withColumn would silently replace `__k`, and the
+    * join-back would emit duplicate/ambiguous `n_copies`/`weight`
+    * columns — round-9 advisor finding), instead of producing a
+    * corrupted frame.
     */
   def softDedup(df: DataFrame, key: Column): DataFrame = {
+    val reserved = Seq("__k", "n_copies", "weight").filter(df.columns.contains)
+    require(
+      reserved.isEmpty,
+      s"softDedup reserves column name(s) ${reserved.mkString(", ")}; rename them on the input first"
+    )
     val keyed = df.withColumn("__k", key)
     val counts = keyed.groupBy("__k").agg(count(lit(1)).as("n_copies"))
     keyed

@@ -186,6 +186,23 @@ object Similarity {
     c.toInt
   }
 
+  /** Knob sentinel: `cells = AutoCells` (0) asks the cell-bucketed entry
+    * points ([[semDedup]]) to size the cell count from the data via
+    * [[suggestedCells]] — the same fixed-knob-degrades-quadratically story
+    * as [[AutoPlanes]]: within-cell pair work is O(Σ cell_size²), so a
+    * FIXED cell count makes per-cell population — and with it pair work —
+    * grow linearly in n (quadratically in aggregate), where ⌈√n⌉ cells
+    * keep expected within-cell pair work ~n·√n-bounded.
+    */
+  val AutoCells: Int = 0
+
+  /** Resolve the effective cell count: explicit when > 0, else
+    * [[suggestedCells]] from a count of `base` (one cheap job, amortized
+    * across the fit + assignment + pair join).
+    */
+  private def resolveCells(base: DataFrame, cells: Int): Int =
+    if (cells > 0) cells else suggestedCells(base.count())
+
   /** Sign-bit signature under `planes`: bit p = (v · plane_p) > 0. */
   def planeSignature(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
@@ -690,29 +707,36 @@ object Similarity {
     * minimum (deterministic in both engines, SQL-replayable).
     *
     * Scale shape: centroid assignment is a broadcast join (cells rows);
-    * the pair search shuffles on cell id only; at 100 TB the cell
-    * population bounds the per-task pair work the same way it bounds
-    * [[ivfTopKKmeans]] candidates. Assignment runs on the quantized
-    * vectors (the space the centroids were fit in); the pair cosine is
-    * exact on the ORIGINAL vectors — both consistent with the IVF family.
+    * the pair search shuffles on cell id only — but the per-task pair
+    * work is O(Σ cell_size²), so `cells` MUST scale with the corpus: at a
+    * fixed cell count, within-cell population grows linearly in n and the
+    * pair join degrades to ~n²/cells (the paper runs ~10⁵ clusters at
+    * LAION scale for exactly this reason). The default is therefore
+    * [[AutoCells]] — ⌈√n⌉ cells via [[suggestedCells]], the IVF family's
+    * rule, bounding expected within-cell pair work at ~n·√n; pass an
+    * explicit `cells` only when the true cluster count is known.
+    * Assignment runs on the quantized vectors (the space the centroids
+    * were fit in); the pair cosine is exact on the ORIGINAL vectors —
+    * both consistent with the IVF family.
     */
   def semDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       tau: Double,
-      cells: Int = 8,
+      cells: Int = AutoCells,
       iters: Int = 2,
       seed: Long = 42L,
       fitSamplePercent: Int = 100
   ): DataFrame = {
+    val resolvedCells = resolveCells(df, cells)
     val base = df.select(
       col(idCol).as("__id"),
       col(vecCol).as("__v"),
       transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double")).as("__qv")
     )
     val centroids =
-      broadcast(kmeansCentroids(df, idCol, vecCol, cells, iters, seed, fitSamplePercent))
+      broadcast(kmeansCentroids(df, idCol, vecCol, resolvedCells, iters, seed, fitSamplePercent))
     val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
     val asg = base
       .crossJoin(centroids)

@@ -585,26 +585,54 @@ object LlmQueries {
       * nprobe cell probing on the quantized vectors and exact re-rank on
       * the original ones.
       */
-    /** The k-means FIT alone (k0 … k`iters` CTEs over `qb`) — shared by
-      * the IVF probe chain and the SemDeDup assignment.
+    /** The k-means FIT alone (k0 … k`iters` CTEs over `src`, default the
+      * full quantized fixture `qb`) — shared by the IVF probe chain and
+      * the SemDeDup assignment. `cellsSql` overrides the init gate with a
+      * SQL expression (the auto-cells replay passes a scalar subquery on
+      * the data-derived ⌈√n⌉ count — [[Similarity.suggestedCells]]'s
+      * integer rule, same no-floating-point contract as the auto-LSH
+      * width); `src` points the fit at a SAMPLED projection of `qb` for
+      * the `fitSamplePercent < 100` replay (assignment CTEs downstream
+      * keep reading the full `qb` — only the fit sees the sample, exactly
+      * as [[Similarity.kmeansCentroids]] scopes it).
       */
-    def kmeansFitCtes(cells: Int, iters: Int, seed: Long): String = {
+    def kmeansFitCtes(cells: Int, iters: Int, seed: Long, src: String = "qb", cellsSql: String = ""): String = {
+      val gate = if (cellsSql.nonEmpty) cellsSql else cells.toString
       val init =
         s"""k0 AS (SELECT rn - 1 AS cid, qv AS cv FROM (
            |  SELECT qv, row_number() OVER (ORDER BY
            |    CAST(concat('0x', substr(md5(concat_ws(':', '$seed', CAST(id AS VARCHAR))), 1, 8)) AS UBIGINT),
            |    id) AS rn
-           |  FROM qb) WHERE rn <= $cells)""".stripMargin
+           |  FROM $src) WHERE rn <= $gate)""".stripMargin
       val iterCtes = (1 to iters).map { i =>
-        s"""a$i AS (SELECT qb.id, qb.qv, c.cid FROM qb CROSS JOIN k${i - 1} c
-           |  QUALIFY row_number() OVER (PARTITION BY qb.id
-           |    ORDER BY list_cosine_similarity(qb.qv, c.cv) DESC, c.cid) = 1),
+        s"""a$i AS (SELECT $src.id, $src.qv, c.cid FROM $src CROSS JOIN k${i - 1} c
+           |  QUALIFY row_number() OVER (PARTITION BY $src.id
+           |    ORDER BY list_cosine_similarity($src.qv, c.cv) DESC, c.cid) = 1),
            |u$i AS (SELECT a.cid, u.i AS dim, sum(a.qv[u.i + 1]) / count(*) AS m
            |        FROM a$i a, unnest(range(len(a.qv))) AS u(i) GROUP BY 1, 2),
            |k$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cid)""".stripMargin
       }
       (init +: iterCtes).mkString(",\n")
     }
+
+    /** `snc` CTE: the [[Similarity.suggestedCells]] ⌈√n⌉ rule over the
+      * fit source's row count — smallest c with c² >= count(*), integer
+      * comparisons only (the same boundary-exact contract as the auto-LSH
+      * `np` CTE). Valid while n <= capCells²; callers guard loudly.
+      */
+    def autoCellsCte(capCells: Int, src: String = "qb"): String =
+      s"""snc AS (SELECT CAST(min(c) AS INTEGER) AS cells FROM range(1, ${capCells + 1}) r(c)
+         |  WHERE (SELECT count(*) FROM $src) <= CAST(c AS BIGINT) * c)""".stripMargin
+
+    /** `qbs` CTE: the deterministic md5-bucket fit sample of `qb` — the
+      * SQL replay of [[Similarity.kmeansCentroids]]'s
+      * `fitSamplePercent < 100` filter (bucket = first 8 md5 hex digits of
+      * "fit:seed:id" mod 100).
+      */
+    def fitSampleCte(seed: Long, fitSamplePercent: Int): String =
+      s"""qbs AS (SELECT * FROM qb
+         |  WHERE CAST(concat('0x', substr(md5(concat_ws(':', 'fit', '$seed', CAST(id AS VARCHAR))), 1, 8)) AS UBIGINT)
+         |        % 100 < $fitSamplePercent)""".stripMargin
 
     /** SemDeDup replay over the fitted centroids: rank-1 assignment with
       * centroid similarity, same-cell near-dup pairs at cosine >= tau on
@@ -621,7 +649,7 @@ object LlmQueries {
          |  WHERE list_cosine_similarity(x.v, y.v) >= $tau
          |    AND (y.csim < x.csim OR (y.csim = x.csim AND y.id < x.id)))""".stripMargin
 
-    def kmeansIvfCte(k: Int, cells: Int, nprobe: Int, iters: Int, seed: Long): String = {
+    def kmeansIvfCte(k: Int, cells: Int, nprobe: Int, iters: Int, seed: Long, fitSrc: String = "qb"): String = {
       val probe =
         s"""kp AS (SELECT qb.id, qb.v, c.cid,
            |         row_number() OVER (PARTITION BY qb.id
@@ -635,7 +663,7 @@ object LlmQueries {
            |      ORDER BY list_cosine_similarity(kq.qv2, kidx.nv) DESC, kidx.nid) AS rnk
            |  FROM kq JOIN kidx ON kq.cid = kidx.cid AND kq.qid <> kidx.nid)
            |  WHERE rnk <= $k)""".stripMargin
-      kmeansFitCtes(cells, iters, seed) + ",\n" + probe
+      kmeansFitCtes(cells, iters, seed, src = fitSrc) + ",\n" + probe
     }
 
     /** `fivtop` CTE: [[Similarity.ivfTopK]] (identity smallest-id
@@ -1215,6 +1243,17 @@ object LlmQueries {
     // never straddle the train/valid boundary (the contamination channel
     // a doc-level content-hash split leaves open). Oracle = recursive-CTE
     // components + the same salted md5 bucket on the component label.
+    //
+    // RECALL ASSUMPTION (shared with llm_dedup_docs_cc and
+    // llm_ingest_pipeline_v2): pair discovery is MinHash BANDING on the
+    // Spark side vs exact shingle Jaccard in the oracle. Candidates are
+    // exact-verified (precision 1), so the only divergence channel is a
+    // true tau>=0.8 pair whose 32×4 bands never collide — miss
+    // probability ~(1-(1-0.8⁴)³²) complement ≈ 5e-8 per pair — and
+    // because the split rides the COMPONENT label, one missed pair can
+    // flip a whole cluster's bucket, not one row. If a future testdata
+    // regeneration ever trips this gate nondeterministically, this is
+    // the place to look first (round-9 advisor note).
     QueryDef(
       "llm_split_safe",
       Some {
@@ -1773,6 +1812,44 @@ object LlmQueries {
           .unionByName(hist("ivf_smallid", Similarity.ivfTopK(fx, "vec_id", "v", 5, cells = 8, nprobe = 2)))
       }
     ),
+    // Sampled-fit k-means recall ledger — the 100 TB fit discipline as
+    // driver-verified data: at scale the Lloyd fit runs on a deterministic
+    // md5-bucket sample (two full-corpus passes just to place 8 centroids
+    // is wasted I/O), so this registers fitSamplePercent = 50 next to the
+    // full fit at the same (cells=8, nprobe=2) and publishes both hit
+    // histograms against the brute baseline. The oracle replays the
+    // sample filter itself (qbs CTE: md5("fit:seed:id") mod 100 < 50),
+    // fits on the sample, assigns/probes the FULL fixture — exactly
+    // kmeansCentroids' scoping — so a hash match certifies that only the
+    // fit saw the sample. Verification-only (brute baseline).
+    QueryDef(
+      "llm_ann_kmeans_sampled_recall",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${fitSampleCte(seed = 42L, fitSamplePercent = 50)},
+           |${kmeansIvfCte(k = 5, cells = 8, nprobe = 2, iters = 2, seed = 42L, fitSrc = "qbs")},
+           |${fixtureBruteCte(5)},
+           |sh AS (SELECT t.qid, count(*) AS c FROM kmtop t JOIN fbr USING (qid, nid) GROUP BY 1)
+           |SELECT 'ivf_kmeans_fit50' AS method, CAST(coalesce(sh.c, 0) AS BIGINT) AS hits,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM cf LEFT JOIN sh ON sh.qid = cf.id GROUP BY 1, 2""".stripMargin
+      },
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val brute = Similarity.bruteTopK(fx, "vec_id", "v", k = 5).select("qid", "nid")
+        val approx = Similarity
+          .ivfTopKKmeans(fx, "vec_id", "v", 5, cells = 8, nprobe = 2, iters = 2, seed = 42L, fitSamplePercent = 50)
+          .select("qid", "nid")
+        val hits = approx.join(brute, Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("__c"))
+        fx.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(lit("ivf_kmeans_fit50").as("method"), coalesce(col("__c"), lit(0L)).as("hits"))
+          .groupBy("method", "hits")
+          .agg(count(lit(1)).as("n"))
+      }
+    ),
     // SemDeDup (Abbas et al. 2023): semantic dedup inside k-means cells on
     // the clustered fixture — pair search bucketed by fitted cell, keep
     // the least-prototypical member of each duplicate group (lowest
@@ -1793,6 +1870,33 @@ object LlmQueries {
       },
       (spark, sf) =>
         Similarity.semDedup(clusteredFixture(spark, sf), "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L)
+    ),
+    // SemDeDup with the AutoCells default — the production knob: cells =
+    // ⌈√n⌉ via suggestedCells (23 at sf0.01's 500 fixture rows, 45 at
+    // sf0.1's 2000), so within-cell pair work stays ~n·√n-bounded as the
+    // corpus grows instead of the fixed-cells ~n²/cells degradation. The
+    // oracle replays the ⌈√n⌉ rule itself with integer comparisons (snc
+    // CTE) and gates the seeded init on the SQL-computed count — a hash
+    // match certifies the sizing rule, the fit under it, and the survivor
+    // rule end to end.
+    QueryDef(
+      "llm_semdedup_auto",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${autoCellsCte(capCells = 64)},
+           |${kmeansFitCtes(cells = 0, iters = 2, seed = 42L, cellsSql = "(SELECT cells FROM snc)")},
+           |${semDedupCtes(tau = 0.95, iters = 2)}
+           |SELECT s.id AS vec_id, CAST(s.cid AS BIGINT) AS cell, s.csim AS centroid_sim
+           |FROM sasg s WHERE s.id NOT IN (SELECT id FROM sdrop)""".stripMargin
+      },
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf)
+        val n = fx.count()
+        require(n <= 64L * 64L, s"auto-SemDeDup oracle cell search capped at 64 (n <= 4096); n=$n")
+        Similarity.semDedup(fx, "vec_id", "v", tau = 0.95, iters = 2, seed = 42L)
+      }
     ),
     // Deep-key LSH top-5 on the clustered fixture — the key width REAL
     // corpora would run: the round-8 knob grid (round8_lsh_knobs.md)

@@ -43,4 +43,31 @@ class BenchAccountingSpec extends AnyFunSuite {
     // the prefix match must not leak beyond the t-family
     assert(!Bench.isStreaming("llm_tfidf") && !Bench.isStreaming("q1_pricing_summary"))
   }
+
+  test("streaming tier is the registry, not a name pattern (round-9 advisor)") {
+    // every streaming-module query gets the 5-run tier...
+    val registered = graft.queries.StreamingQueries.all.map(_.name)
+    assert(registered.nonEmpty)
+    registered.foreach(n => assert(Bench.isStreaming(n), n))
+    // ...and a hypothetical non-streaming name that merely LOOKS like the
+    // old t\d pattern does not inherit it
+    assert(!Bench.isStreaming("t2_totally_batch_lookalike"))
+  }
+
+  test("median total and min total are computed from the same settled set") {
+    // q_failed_late has a sample AND an error: it must be excluded from
+    // BOTH totals, and the min total must sum per-query mins of exactly
+    // the settled queries — never a different subset (round-9 verdict:
+    // the noise-robust headline is only comparable round-over-round if
+    // both numbers cover the same queries).
+    val s = Map(
+      "a" -> List(3.0, 1.0, 2.0), // median 2.0, min 1.0
+      "b" -> List(5.0, 5.0, 4.0), // median 5.0, min 4.0
+      "q_failed_late" -> List(0.1)
+    )
+    val e = Map("q_failed_late" -> "boom")
+    val (med, mn) = Bench.tierTotals(Seq("a", "b", "q_failed_late", "q_unknown"), s, e)
+    assert(math.abs(med - 7.0) < 1e-9)
+    assert(math.abs(mn - 5.0) < 1e-9)
+  }
 }
