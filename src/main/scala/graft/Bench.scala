@@ -391,5 +391,13 @@ object Bench {
     }
     println(prefix + entries.mkString(",") + "}}")
     spark.stop()
+    // a bench run with ANY errored query must not exit success: round 10
+    // recorded rc=0 with errors_n=8, so a CI gate keyed on the return code
+    // passed a regressed build (ADVICE r10, medium). The JSON record above
+    // is already printed/written, so the driver still gets the full stats.
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries ERRORED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -30,10 +30,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // every failed query is RECORDED, not just stderr-logged: the round-10
+    // ledger silently omitted 8 failing specs because the only trace of a
+    // failure was a stderr line the driver never reads (ADVICE r10, high).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release operator-persisted projections between queries
@@ -55,6 +60,19 @@ object Verify {
       .filter(kv => nameFilter(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure record next to the per-query dumps: a
+    // correctness ledger built from this dir can list the failing specs
+    // with their errors instead of dropping them (ADVICE r10, high). The
+    // file is ALWAYS written — an empty {} is the positive "zero failures"
+    // signal, distinguishable from "Verify predates error recording".
+    val errJson =
+      failures.map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    // exit 0 even on failures: the driver must still run the DuckDB compare
+    // over the queries that DID dump, and errors.json carries the rest. The
+    // hard rc gate lives in Bench (ADVICE r10, medium).
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
   }
 }

@@ -11,9 +11,12 @@ import java.time.LocalDateTime
   *   - `orders.o_orderdate` / `lineitem.l_shipdate` are parquet timestamps
   *     with isAdjustedToUTC=false → Spark `TimestampNTZType` → contract leaf
   *     `java.time.LocalDateTime`.
-  *   - `events.ts` is TIMESTAMP(NANOS), which Spark 4 only reads with
-  *     `spark.sql.legacy.parquet.nanosAsLong=true` → contract leaf `Long`
-  *     (nanoseconds since epoch).
+  *   - `events.ts` is epoch nanoseconds as `Long` AFTER the shared read
+  *     path ([[graft.queries.QueryDef.normalizeTs]]): the physical parquet
+  *     encoding has drifted between TIMESTAMP(NANOS) (read as Long under
+  *     `spark.sql.legacy.parquet.nanosAsLong=true`) and TIMESTAMP(MICROS)
+  *     (read as a timestamp type, normalized to Long ns at read) → contract
+  *     leaf `Long` (nanoseconds since epoch) either way.
   *   - `embeddings.embedding` is `list<element: float>` with nullable
   *     elements → `Seq[Option[Float]]` so the contract carries
   *     `containsNull=true`, which the comparators check (nested optionality

@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** One driver-verifiable query: a Spark implementation plus (when the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle over the
@@ -31,7 +33,29 @@ final case class QueryDef(
 object QueryDef {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Testdata-drift guard. `events.ts` has shipped both as parquet
+    * TIMESTAMP(NANOS) (which Spark 4 reads as Long under
+    * `legacy.parquet.nanosAsLong`) and as TIMESTAMP(MICROS) (read as a
+    * timestamp type, TIMESTAMP_NTZ when unadjusted). Every query in this
+    * codebase — and every DuckDB oracle via `epoch_ns(ts)` — assumes the
+    * SAME contract: `ts` is epoch NANOSECONDS as BIGINT. Normalizing here,
+    * at the single shared read path, restores that contract for any
+    * physical encoding. With `spark.sql.session.timeZone=UTC` (set by every
+    * entrypoint) the NTZ→TIMESTAMP cast is wall-clock-identical to DuckDB's
+    * `epoch_ns`, so both sides agree for adjusted and unadjusted encodings.
+    * A pure projection, so it is valid on streaming DataFrames too.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn(
+          "ts",
+          (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType)
+        )
+      case _ => df
+    }
 
   /** Fresh scratch dir for sink round-trip queries. */
   def tmpDir(tag: String): String =

@@ -71,8 +71,8 @@ object StreamingQueries {
       (spark, sf) => withStatePartitions(spark, 8) {
         val (in, out, ckpt) = stageEvents(sf, "t2")
         val schema = spark.read.parquet(s"$sf/events.parquet").schema
-        val stream = spark.readStream.schema(schema).parquet(in)
-        // events.ts is long nanoseconds (nanosAsLong) → event-time column
+        val stream = QueryDef.normalizeTs(spark.readStream.schema(schema).parquet(in))
+        // events.ts is long nanoseconds (normalizeTs) → event-time column
         // at microsecond precision for the watermark/window machinery
         val withTs = stream.withColumn("ts2", timestamp_micros(expr("ts div 1000")))
         val counts = TypedStreams
@@ -204,9 +204,7 @@ object StreamingQueries {
         val (in, out, ckpt) = stageEvents(sf, "t7")
         val schema = spark.read.parquet(s"$sf/events.parquet").schema
         def side(tpe: String, idAs: String, uidAs: String, tsAs: String) =
-          spark.readStream
-            .schema(schema)
-            .parquet(in)
+          QueryDef.normalizeTs(spark.readStream.schema(schema).parquet(in))
             .filter(col("event_type") === tpe)
             .select(
               col("event_id").as(idAs),
@@ -252,9 +250,7 @@ object StreamingQueries {
       (spark, sf) => withStatePartitions(spark, 8) {
         val (in, out, ckpt) = stageEvents(sf, "t4")
         val schema = spark.read.parquet(s"$sf/events.parquet").schema
-        val stream = spark.readStream
-          .schema(schema)
-          .parquet(in)
+        val stream = QueryDef.normalizeTs(spark.readStream.schema(schema).parquet(in))
           .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
           .withColumn("text", concat_ws("|", col("user_id"), col("event_type")))
         // column pruning crosses the stateful dedup: the shuffle carries
@@ -402,9 +398,7 @@ object StreamingQueries {
   ): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val events = spark.readStream
-      .schema(schema)
-      .parquet(in)
+    val events = QueryDef.normalizeTs(spark.readStream.schema(schema).parquet(in))
       .selectExpr("user_id AS key", "ts div 1000000 AS tsMillis")
       .as[TypedStreams.SessionEvent]
     // NoTimeout: deterministic single-batch behavior (see sessionize
