@@ -1,0 +1,185 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer learning and encoding (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units"):
+  * the merge-based subword vocabulary that `TextStats.bpeishTokenCount`
+  * only approximates with a regex.
+  *
+  * Semantics (kept deliberately canonical so a cross-engine oracle can
+  * replay them):
+  *   - a word is its character sequence plus a terminal end-of-word
+  *     symbol (`</w>` by default), so word-final subwords are distinct
+  *     from word-internal ones;
+  *   - each learning step counts adjacent symbol pairs across the
+  *     DISTINCT-word table weighted by word frequency, then merges the
+  *     most frequent pair everywhere; ties break deterministically
+  *     (count desc, left asc, right asc — binary collation on both
+  *     engines);
+  *   - merge application within a word is the greedy leftmost
+  *     non-overlapping left-to-right fold (Sennrich's single scan):
+  *     `[a,a,a,a,a]` under merge (a,a) becomes `[aa,aa,a]`, never
+  *     `[aa,a,aa]`.
+  *
+  * Scale shape: the corpus is touched ONCE (word-frequency aggregation —
+  * two-phase hash agg, map-side partial counts). Everything after runs on
+  * the distinct-word table, which is vocab-sized (10⁵–10⁷ rows, tens of
+  * MB) regardless of corpus bytes — the same reason single-node tokenizer
+  * trainers (HuggingFace `tokenizers`) get away with in-memory training
+  * at 100 TB corpus scale. Each merge step is two tiny Spark jobs over
+  * that cached table (a pair-count agg + an O(1)-row argmax collect); the
+  * driver holds one (left, right) pair per step, never data. Lineage is
+  * truncated with `localCheckpoint` every few steps so `numMerges` deep
+  * plans don't accumulate (on a cluster, substitute a reliable checkpoint
+  * dir). Encoding broadcasts the word→pieces table and never shuffles the
+  * corpus on the (hot, skewed) word key.
+  */
+object Bpe {
+
+  /** Learned model: `merges` is the ranked rule table
+    * (rank, l, r, merged); `wordPieces` is the final (word, freq, syms)
+    * segmentation of every in-vocab word after all merges.
+    */
+  final case class Model(merges: DataFrame, wordPieces: DataFrame)
+
+  /** Character symbols of a non-empty word plus the end-of-word marker. */
+  private def wordSymbols(word: Column, eow: String): Column =
+    concat(split(word, ""), array(lit(eow)))
+
+  /** Greedy leftmost non-overlapping application of ONE merge rule: a
+    * single left-to-right `aggregate` fold — if the accumulator's last
+    * symbol is `l` and the next is `r`, replace the last with `l+r`,
+    * else append. Runs per row inside codegen; no shuffle.
+    *
+    * The input array is referenced EXACTLY ONCE: learning nests one
+    * `applyMerge` per step and Catalyst's projection collapse inlines
+    * them, so any extra reference to `syms` here multiplies the collapsed
+    * expression tree geometrically (3 references → ~3^k nodes after k
+    * un-checkpointed steps — observed as minutes of codegen per step).
+    * The fold therefore starts from an empty accumulator instead of
+    * slicing off a head, and the empty-accumulator case is handled inside
+    * the lambda with a guarded `when` (no `element_at` on an empty
+    * array — ANSI mode would throw).
+    */
+  private[llmops] def applyMerge(syms: Column, l: String, r: String): Column = {
+    val merged = l + r
+    aggregate(
+      syms,
+      typedlit(Seq.empty[String]),
+      (acc, x) => {
+        val last = when(size(acc) > 0, element_at(acc, -1))
+        when(
+          last === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged)))
+        ).otherwise(concat(acc, array(x)))
+      }
+    )
+  }
+
+  /** Adjacent symbol pairs of a word (length ≥ 2 guarded by the caller):
+    * position i → struct(l = syms[i], r = syms[i+1]), one element per
+    * occurrence so repeated pairs inside a word count once each.
+    */
+  private def adjacentPairs(syms: Column): Column =
+    transform(
+      sequence(lit(1), size(syms) - 1),
+      i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))
+    )
+
+  /** Learn `numMerges` BPE merge rules over the corpus' whitespace words.
+    *
+    * `minWordCount` prunes the hapax tail of the word table before
+    * learning (at scale you always prune; the registered oracle query
+    * keeps 1 so encode has no OOV and DuckDB replays bit-for-bit).
+    * Learning stops early if no adjacent pair is left (tiny corpora).
+    */
+  def learn(
+      df: DataFrame,
+      textCol: String = "text",
+      numMerges: Int = 100,
+      minWordCount: Long = 1L,
+      eow: String = "</w>"
+  ): Model = {
+    val base = df
+      .select(explode(TextStats.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minWordCount)
+      .withColumn("syms", wordSymbols(col("word"), eow))
+
+    var words = base.localCheckpoint(true)
+    val found = scala.collection.mutable.ListBuffer.empty[(Int, String, String)]
+    var exhausted = false
+    var step = 0
+    while (step < numMerges && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // exactly one row (or none when the corpus is exhausted)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        found += ((step + 1, l, r))
+        words = words.withColumn("syms", applyMerge(col("syms"), l, r))
+        // truncate lineage: each step nests an aggregate() in the plan
+        if ((step + 1) % 8 == 0) words = words.localCheckpoint(true)
+      }
+      step += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val merges = found.toSeq
+      .toDF("rank", "l", "r")
+      .select(
+        col("rank").cast("long").as("rank"),
+        col("l"),
+        col("r"),
+        concat(col("l"), col("r")).as("merged")
+      )
+    Model(merges, words.localCheckpoint(true))
+  }
+
+  /** Encode a corpus under a learned model: text → ordered subword pieces.
+    *
+    * The corpus explodes to (doc, pos, word) and joins the word→pieces
+    * table BROADCAST (vocab-sized); the only shuffle is the per-doc
+    * regroup, and reassembly sorts within each doc's group only. Words
+    * absent from the model (possible when it was learned with
+    * `minWordCount` > 1 or on another corpus) fall back deterministically
+    * to their character+eow symbols — the standard robustness fallback;
+    * apply [[applyMerge]] over [[Model.merges]] first if rule-faithful
+    * OOV segmentation is needed.
+    */
+  def encode(
+      df: DataFrame,
+      model: Model,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      eow: String = "</w>"
+  ): DataFrame =
+    df.select(col(idCol), posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(model.wordPieces.select(col("word"), col("syms"))), Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"), wordSymbols(col("word"), eow)))
+      .groupBy(idCol)
+      .agg(
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("syms").as("s")))),
+            x => x.getField("s")
+          )
+        ).as("pieces")
+      )
+      .select(
+        col(idCol),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        array_join(col("pieces"), " ").as("pieces_str")
+      )
+}

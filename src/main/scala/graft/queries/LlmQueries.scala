@@ -3066,6 +3066,94 @@ object LlmQueries {
         val media = Multimodal.synthesizeMp4(table(spark, sf, "documents").select("doc_id"))
         Multimodal.decodeBatched[DecodedVideo](media)(Multimodal.mp4Codec(DecodedVideo.apply)).toDF()
       }
+    ),
+    // REAL merge-based BPE (Sennrich 2016): the full learning loop —
+    // pair counts over the distinct-word table, deterministic argmax
+    // (count desc, left asc, right asc), greedy leftmost fold — replayed
+    // in DuckDB as one generated CTE chain per merge step, so the oracle
+    // re-derives every rule from raw text rather than trusting the
+    // engine's rule list. Covers what bpeishTokenCount only approximated.
+    QueryDef(
+      "llm_bpe_vocab",
+      Some(bpeVocabOracle(BpeMerges)),
+      (spark, sf) =>
+        Bpe.learn(table(spark, sf, "documents"), numMerges = BpeMerges).merges
+    ),
+    // Encode under the learned merges: per-doc ordered subword pieces.
+    // The oracle relearns the same rules (same CTE chain) and reassembles
+    // each document word-by-word — a full independent replay of the
+    // train-then-encode tokenizer loop at the subword level.
+    QueryDef(
+      "llm_bpe_encode",
+      Some(bpeEncodeOracle(BpeMerges)),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        Bpe.encode(docs, Bpe.learn(docs, numMerges = BpeMerges))
+      }
     )
   )
+
+  /** Merge-step count for the registered BPE queries: enough steps that
+    * multi-level merges (merged symbols merging again) are exercised, small
+    * enough that the DuckDB replay (2 passes over the word table per step)
+    * stays fast. The spec suite covers longer runs against a plain-Scala
+    * reference.
+    */
+  private val BpeMerges = 10
+
+  /** DuckDB replay of [[graft.llmops.Bpe.learn]]: w0 is the word-frequency
+    * table with char+`</w>` symbols; each step i counts adjacent pairs
+    * (c_i), picks the deterministic argmax (p_i), and applies it with the
+    * same greedy leftmost non-overlapping fold (w_i) via `list_reduce` —
+    * `acc[-1]`/`x[1]` comparisons against the correlated p_i row, drop-last
+    * + append on merge. Exactly the Sennrich single-scan semantics the
+    * Spark `aggregate` fold implements.
+    */
+  private def bpeLearnCtes(numMerges: Int): String = {
+    val base =
+      """w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    list_append(list_transform(range(1, length(word)+1), i -> word[i]), '</w>') AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY word)""".stripMargin
+    val steps = (1 to numMerges).map { i =>
+      s"""c$i AS (
+         |  SELECT t.pair[1] AS l, t.pair[2] AS r, SUM(freq) AS cnt
+         |  FROM w${i - 1}, UNNEST(list_transform(range(1, len(syms)), j -> [syms[j], syms[j+1]])) AS t(pair)
+         |  GROUP BY 1, 2),
+         |p$i AS (SELECT l, r FROM c$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT word, freq,
+         |    list_reduce(list_transform(syms, s -> [s]),
+         |      (acc, x) -> CASE WHEN acc[-1] = p.l AND x[1] = p.r
+         |                  THEN list_append(acc[:-2], p.l || p.r)
+         |                  ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM w${i - 1}, p$i p)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  private def bpeVocabOracle(numMerges: Int): String = {
+    val ranks = (1 to numMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, l, r, l || r AS merged FROM p$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${bpeLearnCtes(numMerges)}\n$ranks"
+  }
+
+  private def bpeEncodeOracle(numMerges: Int): String =
+    s"""WITH ${bpeLearnCtes(numMerges)},
+       |d AS (
+       |  SELECT doc_id, s.pos AS pos, s.word AS word
+       |  FROM (SELECT doc_id,
+       |          UNNEST(list_transform(range(1, len(ws)+1), i -> struct_pack(pos := i, word := ws[i]))) AS s
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       |  WHERE length(s.word) > 0),
+       |enc AS (
+       |  SELECT d.doc_id, flatten(list(w.syms ORDER BY d.pos)) AS pieces
+       |  FROM d JOIN w$numMerges w ON d.word = w.word
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |  array_to_string(pieces, ' ') AS pieces_str
+       |FROM enc""".stripMargin
 }
