@@ -2441,6 +2441,119 @@ object LlmQueries {
           )
       }
     ),
+    // Corpus capstone v3: v2 with the split stage upgraded to the
+    // PRODUCTION leakage-safe rule — near-dup pairs over the sampled
+    // survivors → connected components → the whole transitive paraphrase
+    // cluster lands on one side of the train/valid boundary (v2's salted
+    // content-hash split can put paraphrases of training docs into the
+    // eval set; decontamination then has to catch them after the fact —
+    // v3 closes the channel structurally, and decontamination remains as
+    // the backstop for sub-threshold overlap). The oracle replays the
+    // full chain with EXACT shingle Jaccard pairs and a recursive-CTE
+    // component fixpoint. Same recall assumption as llm_split_safe
+    // (banded MinHash vs exact pairs, miss ~5e-8 per true pair).
+    QueryDef(
+      "llm_corpus_pipeline_v3",
+      Some {
+        val redacted = TextStats.piiPatterns.foldLeft("text") { case (inner, (pat, tag)) =>
+          s"regexp_replace($inner, '$pat', '$tag', 'g')"
+        }
+        val gram3 = (1 to 3).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+        val gram5 = (1 to 5).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+        s"""WITH RECURSIVE g AS (
+           |  SELECT doc_id, lang, $redacted AS t2
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) BETWEEN 16 AND 100000
+           |    AND CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+           |    AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) <= 0.2
+           |    AND 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) <= 0.6),
+           |d AS (SELECT * FROM g WHERE doc_id IN (SELECT min(doc_id) FROM g GROUP BY md5(t2))),
+           |f AS (SELECT * FROM d
+           |      WHERE CAST(concat('0x', substr(md5(t2), 1, 8)) AS UBIGINT) % 100 <
+           |        CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 50 ELSE 100 END),
+           |tf AS (SELECT doc_id, string_split(t2, ' ') AS toks FROM f),
+           |s3 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2), i -> $gram3))) AS sh FROM tf),
+           |n3 AS (SELECT doc_id, count(*) AS n FROM s3 GROUP BY 1),
+           |pp AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+           |       FROM s3 a JOIN s3 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT pp.a, pp.b FROM pp JOIN n3 na ON na.doc_id = pp.a JOIN n3 nb ON nb.doc_id = pp.b
+           |       WHERE CAST(pp.inter AS DOUBLE)/(na.n + nb.n - pp.inter) >= 0.8),
+           |sym AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+           |reach(x, y) AS (
+           |  SELECT x, y FROM sym
+           |  UNION
+           |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+           |comp AS (SELECT x, least(x, min(y)) AS c FROM reach GROUP BY x),
+           |lab AS (SELECT f.*,
+           |          CASE WHEN CAST(concat('0x', substr(md5(CAST(coalesce(comp.c, f.doc_id) AS VARCHAR) || '|split'), 1, 8)) AS UBIGINT) % 100 < 90
+           |               THEN 'train' ELSE 'valid' END AS split
+           |        FROM f LEFT JOIN comp ON comp.x = f.doc_id),
+           |ts AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-4), i -> $gram5))) AS sh
+           |       FROM (SELECT doc_id, string_split(t2, ' ') AS toks FROM lab WHERE split = 'train')),
+           |vs AS (SELECT DISTINCT sh FROM (
+           |         SELECT unnest(list_distinct(list_transform(range(len(toks)-4), i -> $gram5))) AS sh
+           |         FROM (SELECT string_split(t2, ' ') AS toks FROM lab WHERE split = 'valid'))),
+           |flag AS (SELECT ts.doc_id, count(*) AS n FROM ts JOIN vs USING (sh) GROUP BY 1),
+           |cleand AS (SELECT doc_id, t2 FROM lab
+           |          WHERE split = 'train'
+           |            AND doc_id NOT IN (SELECT doc_id FROM flag WHERE n >= 3)),
+           |vv AS (SELECT token, token_id FROM (
+           |         SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id
+           |         FROM (SELECT token, count(*) AS cnt FROM (
+           |                 SELECT unnest(string_split(t2, ' ')) AS token FROM cleand) GROUP BY 1))
+           |       WHERE token_id < 24),
+           |ov AS (SELECT x.doc_id, count(*) AS oov FROM (
+           |         SELECT doc_id, unnest(string_split(t2, ' ')) AS token FROM cleand) x
+           |       LEFT JOIN vv USING (token) WHERE vv.token_id IS NULL GROUP BY 1),
+           |clean AS (SELECT doc_id, len(string_split(t2, ' ')) AS n FROM cleand),
+           |sh AS (SELECT doc_id, n,
+           |         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard
+           |       FROM clean)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+           |       CAST((sum(n) - 1) // 512 + 1 AS BIGINT) AS n_seqs,
+           |       CAST(sum(coalesce(ov.oov, 0)) AS BIGINT) AS total_oov
+           |FROM sh LEFT JOIN ov USING (doc_id) GROUP BY 1""".stripMargin
+      },
+      (spark, sf) => {
+        val kept = TextStats
+          .gopherRules(table(spark, sf, "documents"))
+          .filter(col("keep"))
+          .select(col("doc_id"), col("lang"), TextStats.redactPii(col("text")).as("t2"))
+        val deduped = Dedup.dedupExact(kept, Fingerprints.contentKeyMd5(col("t2")), col("doc_id"))
+        val sampled = Corpus
+          .stratifiedSampleByHash(deduped, "lang", col("t2"), rates = Map("en" -> 50, "de" -> 50))
+          .localCheckpoint(true) // pair discovery + split + downstream all read it
+        // the production split rule: transitive near-dup clusters (MinHash
+        // pairs at tau>=0.8 over the sampled survivors -> CC) ride one
+        // side of the boundary as a unit
+        val pairs = Dedup.minhashNearDupPairs(sampled, "doc_id", "t2", 3, 128, 32, 0.8)
+        val split = Corpus.splitByComponent(sampled, "doc_id", pairs, trainPercent = 90)
+        val train = split.filter(col("split") === "train")
+        val valid = split.filter(col("split") === "valid")
+        val clean = Dedup.decontaminate(train, valid, "doc_id", "t2", k = 5, minShared = 3)
+        val vocab = TextStats.buildVocab(clean, textCol = "t2").filter(col("token_id") < 24)
+        val enc = TextStats
+          .encodeWithVocab(clean, vocab, idCol = "doc_id", textCol = "t2")
+          .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"), col("n_oov"))
+          .localCheckpoint(true)
+        Corpus
+          .packSequences(
+            enc.select("doc_id", "n_tokens"),
+            "doc_id",
+            "n_tokens",
+            budgetTokens = 512,
+            shards = 8
+          )
+          .join(enc.select("doc_id", "n_oov"), Seq("doc_id"))
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            max(col("seq_id") + col("n_seqs")).as("n_seqs"),
+            sum(col("n_oov")).as("total_oov")
+          )
+      }
+    ),
     // Ingest-pipeline capstone (v3): the batch-arrival path the corpus
     // capstones (v1/v2) don't cover — a 10% incoming batch plus six
     // deterministic re-ingested corpus copies (ids +100000; the corpus has

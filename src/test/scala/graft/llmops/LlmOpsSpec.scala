@@ -630,6 +630,41 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(bySplit.values.toSet == Set("train", "valid"))
   }
 
+  test("splitByComponent end-to-end: a planted paraphrase CHAIN rides the split as one unit") {
+    // ten paraphrases, each differing from the previous by one token of
+    // forty: adjacent Jaccard ≈ 0.85 (pair), ends ≈ 0.56 (no pair) — the
+    // chain is connected only TRANSITIVELY, so cluster unity here proves
+    // the CC stage, not just pair symmetry. This is the capstone-v3 split
+    // rule (llm_corpus_pipeline_v3) on a fixture where doc-level hashing
+    // demonstrably leaks.
+    val base = (1 to 40).map(i => s"w$i")
+    val chain = (0 until 10).map { i =>
+      val toks = base.zipWithIndex.map { case (t, j) => if (j < i * 4 && j % 4 == 0) s"sub$j" else t }
+      (100L + i, toks.mkString(" "))
+    }
+    val extra = (0 until 10).map(i => (500L + i, (1 to 40).map(j => s"other${i}_$j").mkString(" ")))
+    val df = (chain ++ extra).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "text", 3, 128, 32, 0.8)
+    // the chain must be transitively connected but NOT a clique
+    val ps = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(ps.contains((100L, 101L)) && !ps.contains((100L, 109L)), s"chain shape wrong: $ps")
+    val split = Corpus
+      .splitByComponent(df.select("doc_id"), "doc_id", pairs, trainPercent = 50)
+      .select("doc_id", "split")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    assert(chain.map(c => split(c._1)).distinct.size == 1, "paraphrase chain straddles the split")
+    // contrast: the doc-level content-hash split DOES scatter this chain
+    // (that is the leakage channel the component split closes)
+    val hashSplit = df
+      .filter(col("doc_id") >= 100L && col("doc_id") < 110L)
+      .select(Corpus.splitByContentHash(col("text"), 50))
+      .as[String]
+      .collect()
+    assert(hashSplit.toSet.size == 2, "fixture too lucky: content-hash split didn't scatter the chain")
+  }
+
   test("softDedup weights each duplicate group to one document of mass") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val out = Dedup
