@@ -851,4 +851,246 @@ object Similarity {
       }
     pairs.filter(col("cos") >= tau).select("a", "b", "cos")
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search")
+  // -------------------------------------------------------------------
+
+  /** Exact squared L2 between two integer-valued double arrays: every
+    * difference, square, and partial sum is an exact integer below 2^53,
+    * so comparisons are reduction-order-independent and bit-identical
+    * across engines — the reason PQ assignment runs in the QUANTIZED
+    * space (same rationale as the k-means family's quantized fit).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Per-subspace PQ codebooks: split each int8-quantized vector into `m`
+    * contiguous subvectors of `dim / m` dims and run deterministic
+    * Lloyd's independently per subspace — md5-order seeded init
+    * (TakeOrdered-style per-subspace top-`ks`, no global window), argmin
+    * squared-L2 assignment with cid tie-break, exact integer-sum means.
+    * Returns (`__m`, `__cid`, `__cv`).
+    *
+    * Scale shape: the fit is `iters + 1` passes over (id, subvector)
+    * rows — `m`·n rows of `dim/m` doubles, the same bytes as the corpus,
+    * with broadcast codebooks (m·ks rows) on the assignment side and a
+    * (m, cid, dim)-keyed exact-mean shuffle on the update side. At 100 TB
+    * fit on a sample (`fitSamplePercent`, standard PQ practice — the
+    * paper fits codebooks on ~10⁵–10⁶ vectors) and ENCODE the full
+    * corpus; encoding is one broadcast join, no shuffle.
+    */
+  def pqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 4,
+      ks: Int = 8,
+      iters: Int = 2,
+      seed: Long = 42L,
+      fitSamplePercent: Int = 100
+  ): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ks > 0 && iters >= 0, "ks must be positive, iters non-negative")
+    val sub = dim / m
+    val sampled =
+      if (fitSamplePercent == 100) df
+      else {
+        val bucket = conv(
+          substring(md5(concat_ws(":", lit("fit"), lit(seed.toString), col(idCol).cast("string"))), 1, 8),
+          16,
+          10
+        ).cast("long") % 100
+        df.filter(bucket < fitSamplePercent)
+      }
+    val qvd = transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double"))
+    val subs = sampled
+      .select(col(idCol).as("__id"), qvd.as("__qv"))
+      .select(
+        col("__id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            mm => struct(mm.as("m"), slice(col("__qv"), mm * sub + 1, lit(sub)).as("sv"))
+          )
+        ).as("__e")
+      )
+      .select(col("__id"), col("__e.m").as("__m"), col("__e.sv").as("__sv"))
+      .localCheckpoint(true) // read by init + every Lloyd round
+    val h = conv(
+      substring(
+        md5(concat_ws(":", lit(seed.toString), col("__m").cast("string"), col("__id").cast("string"))),
+        1,
+        8
+      ),
+      16,
+      10
+    ).cast("long")
+    // per-subspace seeded init as m distributed top-ks jobs (orderBy+limit
+    // = TakeOrdered — no single-task global sort at any n)
+    val init = (0 until m)
+      .map(mm =>
+        subs
+          .filter(col("__m") === mm)
+          .withColumn("__h", h)
+          .orderBy(col("__h"), col("__id"))
+          .limit(ks)
+      )
+      .reduce(_ unionByName _)
+      .withColumn(
+        "__cid",
+        (row_number().over(Window.partitionBy("__m").orderBy(col("__h"), col("__id"))) - 1).cast("int")
+      )
+      .select(col("__m"), col("__cid"), col("__sv").as("__cv"))
+      .localCheckpoint(true)
+    (1 to iters).foldLeft(init) { (cb, _) =>
+      subs
+        .join(broadcast(cb), Seq("__m"))
+        .withColumn("__d", l2sq(col("__sv"), col("__cv")))
+        .groupBy("__id", "__m")
+        .agg(
+          min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("__cid"),
+          // all rows of an (id, m) group carry the same __sv — exact
+          any_value(col("__sv")).as("__sv")
+        )
+        .select(col("__m"), col("__cid"), posexplode(col("__sv")).as(Seq("__dim", "__x")))
+        .groupBy("__m", "__cid", "__dim")
+        // integer-valued doubles summed exactly; the single division is
+        // the only rounding step, performed once on both engines
+        .agg((sum(col("__x")) / count(lit(1))).as("__mn"))
+        .groupBy("__m", "__cid")
+        .agg(collect_list(struct(col("__dim"), col("__mn"))).as("__dm"))
+        .select(
+          col("__m"),
+          col("__cid"),
+          transform(array_sort(col("__dm")), s => s.getField("__mn")).as("__cv")
+        )
+        .localCheckpoint(true)
+    }
+  }
+
+  /** PQ-encode + reconstruct: assign every vector's subvectors to their
+    * nearest codeword (argmin exact squared L2, cid tie-break) and return
+    * (`__id`, `__codes` array of m code ids, `__rv` the reconstructed
+    * vector — the m codewords concatenated in subspace order). The codes
+    * column IS the 100 TB storage answer (m bytes per vector at ks <=
+    * 256 vs 4·dim for float32); the reconstruction is what asymmetric-
+    * distance scoring compares queries against.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int
+  ): DataFrame = {
+    val sub = dim / m
+    val qvd = transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double"))
+    df.select(col(idCol).as("__id"), qvd.as("__qv"))
+      .select(
+        col("__id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            mm => struct(mm.as("m"), slice(col("__qv"), mm * sub + 1, lit(sub)).as("sv"))
+          )
+        ).as("__e")
+      )
+      .select(col("__id"), col("__e.m").as("__m"), col("__e.sv").as("__sv"))
+      .join(broadcast(codebooks), Seq("__m"))
+      .withColumn("__d", l2sq(col("__sv"), col("__cv")))
+      .groupBy("__id", "__m")
+      .agg(min_by(struct(col("__cid"), col("__cv")), struct(col("__d"), col("__cid"))).as("__best"))
+      .groupBy("__id")
+      .agg(collect_list(struct(col("__m"), col("__best"))).as("__mc"))
+      .select(
+        col("__id"),
+        transform(array_sort(col("__mc")), s => s.getField("__best").getField("__cid")).as("__codes"),
+        flatten(transform(array_sort(col("__mc")), s => s.getField("__best").getField("__cv"))).as("__rv")
+      )
+  }
+
+  /** IVF-PQ top-k: the [[ivfTopKKmeans]] probe join with the candidate
+    * side stored as PQ codes — ranking is ASYMMETRIC distance (the
+    * query's full quantized vector vs each candidate's reconstruction),
+    * never candidate-vs-candidate. Identical coarse structure (broadcast
+    * k-means centroids, nprobe cell probing, bucketed equi-join on cell
+    * id); the only change is what the index side carries: `m` code bytes
+    * per vector instead of the vector itself — the difference between a
+    * 100 TB float32 index and a ~3 TB one at m=4/ks=256 over 64 dims.
+    *
+    * `rerank > k` enables the production refinement: take the ADC top-
+    * `rerank` shortlist, fetch those candidates' ORIGINAL vectors by id
+    * (an O(shortlist)-row join back to the corpus — the index stays
+    * codes-only), and return the exact-cosine top-`k` of the shortlist.
+    * ADC-only recall cost is priced by `llm_ann_ivf_pq_recall`.
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 2,
+      iters: Int = 2,
+      seed: Long = 42L,
+      pqM: Int = 4,
+      pqKs: Int = 8,
+      pqIters: Int = 2,
+      rerank: Int = 0,
+      dim: Int = AutoDim
+  ): DataFrame = {
+    val d = resolveDim(df.select(col(idCol).as("__id"), col(vecCol).as("__v")), dim)
+    val base = df.select(
+      col(idCol).as("__id"),
+      transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double")).as("__qv")
+    )
+    val centroids = broadcast(kmeansCentroids(df, idCol, vecCol, cells, iters, seed))
+    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
+    val probed = base
+      .crossJoin(centroids)
+      .withColumn("__csim", cosine(col("__qv"), col("__cv")))
+      .withColumn("__crank", row_number().over(wCell))
+      .filter(col("__crank") <= nprobe)
+      .select(col("__id"), col("__qv"), col("__cid"), col("__crank"))
+      .localCheckpoint(true)
+    val recon = pqEncode(df, idCol, vecCol, pqCodebooks(df, idCol, vecCol, d, pqM, pqKs, pqIters, seed), d, pqM)
+      .select(col("__id"), col("__rv"))
+    val index = probed
+      .filter(col("__crank") === 1)
+      .select(col("__id").as("__nid"), col("__cid"))
+      .join(recon.withColumnRenamed("__id", "__nid"), Seq("__nid"))
+    val shortlist = math.max(k, rerank)
+    val w = Window.partitionBy("__qid").orderBy(col("__adc").desc, col("__nid"))
+    val adcTop = probed
+      .select(col("__id").as("__qid"), col("__qv"), col("__cid"))
+      .join(index, Seq("__cid"))
+      .filter(col("__qid") =!= col("__nid"))
+      .withColumn("__adc", cosine(col("__qv"), col("__rv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortlist)
+    if (rerank <= k)
+      adcTop
+        .filter(col("rank") <= k)
+        .select(col("__qid").as("qid"), col("__nid").as("nid"), col("rank").cast("long").as("rank"))
+    else {
+      // exact re-rank of the ADC shortlist: fetch the shortlist's ORIGINAL
+      // vectors back from the corpus by id (the index side stays codes-
+      // only — this is the production fetch-and-rerank, O(shortlist) rows
+      // per query, never a second scan) and rank by exact cosine.
+      val orig = df.select(col(idCol).as("__oid"), col(vecCol).as("__ov"))
+      val wr = Window.partitionBy("__qid").orderBy(col("__exact").desc, col("__nid"))
+      adcTop
+        .select(col("__qid"), col("__nid"))
+        .join(orig.withColumnRenamed("__oid", "__qid").withColumnRenamed("__ov", "__qfull"), Seq("__qid"))
+        .join(orig.withColumnRenamed("__oid", "__nid").withColumnRenamed("__ov", "__nfull"), Seq("__nid"))
+        .withColumn("__exact", cosine(col("__qfull"), col("__nfull")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("__qid").as("qid"), col("__nid").as("nid"), col("rank").cast("long").as("rank"))
+    }
+  }
 }

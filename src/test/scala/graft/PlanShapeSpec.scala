@@ -44,6 +44,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_ivf_auto",
     "llm_ann_ivf_xtable",
     "llm_ann_ivf_kmeans",
+    "llm_ann_ivf_pq",
     "llm_ann_lsh_clustered",
     "llm_semdedup",
     "llm_cosine_neardup",
@@ -54,6 +55,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_shuffle_order",
     "llm_vocab",
     "llm_encode_ids",
+    "llm_bpe_encode",
+    "llm_corpus_pipeline_v3",
     "llm_budget_select",
     "llm_clean_pipeline",
     "llm_decontaminate",

@@ -665,6 +665,50 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(hashSplit.toSet.size == 2, "fixture too lucky: content-hash split didn't scatter the chain")
   }
 
+  test("pqEncode: codes in range, reconstruction is the codeword concat, exact dups share codes") {
+    val vecs = (0 until 24).map { i =>
+      val v = Array.tabulate(8)(j => ((i % 4) * 10 + j).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "v", dim = 8, m = 2, ks = 4, iters = 2)
+    val enc = Similarity
+      .pqEncode(df, "vec_id", "v", cb, dim = 8, m = 2)
+      .select("__id", "__codes", "__rv")
+      .as[(Long, Seq[Int], Seq[Double])]
+      .collect()
+      .sortBy(_._1)
+    assert(enc.length == 24)
+    enc.foreach { case (_, codes, rv) =>
+      assert(codes.length == 2 && codes.forall(c => c >= 0 && c < 4))
+      assert(rv.length == 8)
+    }
+    // ids congruent mod 4 have IDENTICAL vectors -> identical codes + rv
+    val byId = enc.map(e => e._1 -> (e._2, e._3)).toMap
+    (0 until 4).foreach { r =>
+      val group = (r until 24 by 4).map(i => byId(i.toLong)).distinct
+      assert(group.size == 1, s"identical vectors in class $r got different codes")
+    }
+  }
+
+  test("ivfPqTopK with rerank returns k exact-ranked rows per query from the ADC shortlist") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 60).map { i =>
+      val center = i % 3
+      val v = Array.tabulate(8)(j => (center * 5).toFloat + rnd.nextFloat() * 0.1f)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val out = Similarity
+      .ivfPqTopK(df, "vec_id", "v", k = 3, cells = 3, nprobe = 1, iters = 2, pqM = 2, pqKs = 4, rerank = 10, dim = 8)
+      .select("qid", "nid", "rank")
+      .as[(Long, Long, Long)]
+      .collect()
+    val perQ = out.groupBy(_._1)
+    assert(perQ.values.forall(_.length == 3), "every query must return exactly k rows")
+    perQ.values.foreach(rows => assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L)))
+  }
+
   test("softDedup weights each duplicate group to one document of mass") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val out = Dedup
