@@ -87,17 +87,6 @@ object ContractQueries {
       report.extra.map(e => DiffRow("extra", e.path, e.name)) ++
       report.mismatch.map(x => DiffRow("mismatch", x.path, s"expected ${x.expected}, found ${x.found}"))
 
-  private def valuesSql(rows: Seq[Product], cols: Seq[String]): String = {
-    val body = rows
-      .map(r => r.productIterator.map {
-        case s: String => "'" + s.replace("'", "''") + "'"
-        case i: Int    => i.toString
-        case other     => other.toString
-      }.mkString("(", ", ", ")"))
-      .mkString(", ")
-    s"SELECT * FROM (VALUES $body) AS t(${cols.mkString(", ")})"
-  }
-
   def all: Seq[QueryDef] = Seq(
     // O1 — typed scan: contract schema forced on the reader, default pin.
     QueryDef(
@@ -367,11 +356,34 @@ object ContractQueries {
       }
     ),
     // O17 — shape extraction: full leaf table + container shapes (§1.2).
+    // Independent oracle (round 11, closing the round-2 standing caveat):
+    // the expected (field, Spark type) pairs are HAND-DERIVED from the
+    // public Scala->Catalyst encoder mapping (Spark's ScalaReflection
+    // rules: Int->int, Long->bigint, BigDecimal->decimal(38,18),
+    // LocalDateTime->timestamp_ntz, Option[T]->T nullable, Seq->array,
+    // Map->map, case class->struct) and written as literals — the oracle
+    // states the spec; nothing echoes ShapeOf's output.
     QueryDef(
-      "o17_shape_extraction", {
-        val rows = ShapeOf[AllTypes].struct.fields.toSeq.map(f => ShapeRow(f.name, f.dataType.simpleString))
-        Some(valuesSql(rows, Seq("field_name", "spark_type")))
-      },
+      "o17_shape_extraction",
+      Some(
+        """SELECT * FROM (VALUES
+          |  ('s', 'string'),
+          |  ('i', 'int'),
+          |  ('l', 'bigint'),
+          |  ('sh', 'smallint'),
+          |  ('by', 'tinyint'),
+          |  ('d', 'double'),
+          |  ('f', 'float'),
+          |  ('b', 'boolean'),
+          |  ('dec', 'decimal(38,18)'),
+          |  ('dt', 'date'),
+          |  ('ts', 'timestamp'),
+          |  ('ldt', 'timestamp_ntz'),
+          |  ('opt', 'int'),
+          |  ('tags', 'array<string>'),
+          |  ('attrs', 'map<string,bigint>'),
+          |  ('nested', 'struct<x:int,y:string>')) t(field_name, spark_type)""".stripMargin
+      ),
       (spark, _) => {
         val rows = ShapeOf[AllTypes].struct.fields.toSeq.map(f => ShapeRow(f.name, f.dataType.simpleString))
         spark.createDataFrame(rows)
@@ -485,14 +497,44 @@ object ContractQueries {
         spark.createDataFrame(exact ++ backward :+ verdict)
       }
     ),
-    // O22 — drift report renderer: exact rendered lines are the payload.
+    // O22 — drift report renderer. Independent oracle (round 11, closing
+    // the round-2 standing caveat): the two schemas ride as literal
+    // (depth, field-index, path, leaf-type, flags) tables and DuckDB
+    // recomputes the diff AND renders the report lines itself —
+    // missing/extra/mismatch membership from outer joins (as o18), list
+    // order from (depth, index) which is exactly SchemaCompare's walk
+    // (compareByName collects current-level diffs before recursing), and
+    // the line format (':'/','/';' separators, (optional)/(default)
+    // suffixes, header lines) reassembled in SQL. Nothing in the oracle
+    // echoes the Scala renderer's output.
     QueryDef(
-      "o22_drift_report", {
-        val lines = SchemaConforms.diff[DocOut, DocIn, SchemaPolicy.ExactT]
-          .render("producer", "contract").linesIterator.toSeq
-        val rows = lines.zipWithIndex.map { case (l, i) => LineRow(i, l) }
-        Some(valuesSql(rows, Seq("line_no", "line")))
-      },
+      "o22_drift_report",
+      Some(
+        """WITH exp(lvl, idx, path, dtype, suffix) AS (VALUES
+          |  (0, 0, 'doc', 'string', ''),
+          |  (1, 0, 'items[].id', 'bigint', ''),
+          |  (2, 0, 'items[].payload<key>', 'string', ''),
+          |  (3, 0, 'items[].payload<value>.code', 'string', ''),
+          |  (3, 1, 'items[].payload<value>.level', 'int', ' (optional) (default)'),
+          |  (0, 2, 'owner', 'string', '')),
+          |fnd(lvl, idx, path, dtype) AS (VALUES
+          |  (0, 0, 'doc', 'string'),
+          |  (1, 0, 'items[].id', 'bigint'),
+          |  (2, 0, 'items[].payload<key>', 'string'),
+          |  (3, 0, 'items[].payload<value>.code', 'int'),
+          |  (3, 1, 'items[].payload<value>.note', 'string')),
+          |miss AS (SELECT e.lvl, e.idx, concat(e.path, ' : ', e.dtype, e.suffix) AS s
+          |         FROM exp e LEFT JOIN fnd f ON f.path = e.path WHERE f.path IS NULL),
+          |ext AS (SELECT f.lvl, f.idx, f.path AS s FROM fnd f LEFT JOIN exp e ON e.path = f.path WHERE e.path IS NULL),
+          |mis AS (SELECT e.lvl, e.idx, concat(e.path, ' expected ', e.dtype, ', found ', f.dtype) AS s
+          |        FROM exp e JOIN fnd f ON f.path = e.path WHERE e.dtype <> f.dtype)
+          |SELECT CAST(line_no AS INTEGER) AS line_no, line FROM (VALUES
+          |  (0, 'Contract drift (policy: Exact).'),
+          |  (1, 'Out: producer vs Contract: contract'),
+          |  (2, concat('Missing attributes: ', coalesce((SELECT string_agg(s, ', ' ORDER BY lvl, idx) FROM miss), ''))),
+          |  (3, concat('Extra attributes: ', coalesce((SELECT string_agg(s, ', ' ORDER BY lvl, idx) FROM ext), ''))),
+          |  (4, concat('Mismatch attributes: ', coalesce((SELECT string_agg(s, '; ' ORDER BY lvl, idx) FROM mis), '')))) t(line_no, line)""".stripMargin
+      ),
       (spark, _) => {
         val lines = SchemaConforms.diff[DocOut, DocIn, SchemaPolicy.ExactT]
           .render("producer", "contract").linesIterator.toSeq
