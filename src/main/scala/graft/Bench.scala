@@ -168,6 +168,7 @@ object Bench {
     "llm_ann_ivf_auto",
     "llm_ann_ivf_xtable",
     "llm_ann_ivf_kmeans",
+    "llm_ann_ivf_pq",
     "llm_ann_lsh_clustered",
     "llm_semdedup",
     "llm_semdedup_auto",
@@ -192,6 +193,9 @@ object Bench {
     "llm_chunking",
     "llm_corpus_pipeline",
     "llm_corpus_pipeline_v2",
+    "llm_corpus_pipeline_v3",
+    "llm_bpe_vocab",
+    "llm_bpe_encode",
     "llm_distinct_sketch",
     "llm_heavy_hitters",
     "llm_quantile_sketch",
