@@ -190,6 +190,7 @@ object Bench {
     "llm_shuffle_order",
     "llm_interleave",
     "llm_stratified_sample",
+    "llm_domain_cap",
     "llm_chunking",
     "llm_corpus_pipeline",
     "llm_corpus_pipeline_v2",

@@ -233,6 +233,35 @@ object Corpus {
     df.filter(bucket < rate)
   }
 
+  /** Per-key document cap (the RefinedWeb/C4-style per-domain limit): keep
+    * at most `cap` docs per key, chosen by a seeded md5 order over ids so
+    * the kept subset is deterministic across runs and engines and unbiased
+    * by ingestion order (a plain "first N" would keep whatever the scan
+    * happened to read first). One shuffle on the key; the window ranks
+    * each key's group only — never a global sort — and the keys a cap
+    * targets are exactly the heavy hitters, so downstream skew SHRINKS to
+    * at most `cap` rows per key by construction.
+    */
+  def capPerKey(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      cap: Int,
+      seed: Long = 7L
+  ): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val h = conv(
+      substring(md5(concat_ws(":", lit("cap"), lit(seed.toString), col(idCol).cast("string"))), 1, 8),
+      16,
+      10
+    ).cast("long")
+    val w = Window.partitionBy(keyCol).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__h", "__rk")
+  }
+
   /** Deterministic proportional source interleaving for training order —
     * the mixture SCHEDULER to [[sourceMixture]]'s ledger and
     * [[stratifiedSampleByHash]]'s sampler: within each shard, rows of

@@ -2288,6 +2288,24 @@ object LlmQueries {
           )
           .select("doc_id", "lang")
     ),
+    // Per-source document cap (RefinedWeb/C4-style per-domain limits,
+    // round 11): keep at most 10 docs per source, selected by a seeded
+    // md5 order over ids — deterministic, ingestion-order-unbiased, and
+    // the skew-REDUCING shape (every key exits with <= cap rows). The
+    // oracle replays the identical hash rank.
+    QueryDef(
+      "llm_domain_cap",
+      Some(
+        """SELECT doc_id, source FROM documents
+          |QUALIFY row_number() OVER (PARTITION BY source
+          |  ORDER BY CAST(concat('0x', substr(md5(concat_ws(':', 'cap', '7', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT),
+          |           doc_id) <= 10""".stripMargin
+      ),
+      (spark, sf) =>
+        Corpus
+          .capPerKey(table(spark, sf, "documents"), "doc_id", "source", cap = 10, seed = 7L)
+          .select("doc_id", "source")
+    ),
     // Int8 embedding quantization (4x storage at 100 TB): floor(x+0.5)
     // rounding is engine-portable (round() is not — half-even vs half-up),
     // so every quantized byte must match DuckDB's recompute. The int array

@@ -58,6 +58,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_bpe_encode",
     "llm_corpus_pipeline_v3",
     "llm_budget_select",
+    "llm_domain_cap",
     "llm_clean_pipeline",
     "llm_decontaminate",
     // relational scale shapes

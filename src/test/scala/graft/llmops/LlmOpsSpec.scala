@@ -665,6 +665,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(hashSplit.toSet.size == 2, "fixture too lucky: content-hash split didn't scatter the chain")
   }
 
+  test("capPerKey: per-key counts capped, deterministic, seed-sensitive") {
+    val df = (1L to 100L).map(i => (i, s"k${i % 3}")).toDF("doc_id", "key")
+    val capped = Corpus.capPerKey(df, "doc_id", "key", cap = 5)
+    val counts = capped.groupBy("key").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5L), s"cap violated: $counts")
+    // small keys keep everything
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "key")
+    assert(Corpus.capPerKey(small, "doc_id", "key", cap = 5).count() == 3L)
+    // deterministic: same seed → same set; different seed → different set
+    val a = capped.select("doc_id").as[Long].collect().toSet
+    val b = Corpus.capPerKey(df, "doc_id", "key", 5).select("doc_id").as[Long].collect().toSet
+    val c = Corpus.capPerKey(df, "doc_id", "key", 5, seed = 99L).select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same seed must reproduce the same kept set")
+    assert(a != c, "fixture too lucky: different seed picked the identical set")
+  }
+
   test("pqEncode: codes in range, reconstruction is the codeword concat, exact dups share codes") {
     val vecs = (0 until 24).map { i =>
       val v = Array.tabulate(8)(j => ((i % 4) * 10 + j).toFloat)
