@@ -618,7 +618,14 @@ object Similarity {
       .limit(cells)
       .withColumn("__cid", (row_number().over(winit) - 1).cast("int"))
       .select(col("__cid"), col("__qv").as("__cv"))
-      .localCheckpoint(true)
+    // NO eager checkpoint between rounds (round 11): each round's
+    // centroid table is `cells` rows and rides into the next round as a
+    // broadcast exchange, so the whole fit collapses into the consumer's
+    // single job DAG — the former round-by-round localCheckpoints cost a
+    // scheduled job each (~0.5 s fixed overhead per round at bench scale)
+    // and bought nothing at practical `iters`. qbase (read every round)
+    // stays checkpointed above; callers broadcast the returned centroids,
+    // which materializes the fit exactly once.
     (1 to iters).foldLeft(init) { (centroids, _) =>
       val assigned = qbase
         .crossJoin(broadcast(centroids))
@@ -642,7 +649,6 @@ object Similarity {
           col("__cid"),
           transform(array_sort(col("__dm")), s => s.getField("__m")).as("__cv")
         )
-        .localCheckpoint(true)
     }
   }
 
@@ -944,7 +950,14 @@ object Similarity {
         (row_number().over(Window.partitionBy("__m").orderBy(col("__h"), col("__id"))) - 1).cast("int")
       )
       .select(col("__m"), col("__cid"), col("__sv").as("__cv"))
-      .localCheckpoint(true)
+    // NO eager checkpoint between rounds: each round's codebook is tiny
+    // (m·ks rows) and rides into the next round as a broadcast exchange,
+    // so the whole fit collapses into the consumer's single job DAG —
+    // round-by-round localCheckpoints here cost one scheduled job each
+    // (~0.5 s of fixed overhead per round at bench scale) and buy nothing
+    // at `iters` this small. The one materialization that matters (subs,
+    // read iters+1 times) is checkpointed above; the CALLER checkpoints
+    // the returned codebooks if it reads them more than once.
     (1 to iters).foldLeft(init) { (cb, _) =>
       subs
         .join(broadcast(cb), Seq("__m"))
@@ -967,7 +980,6 @@ object Similarity {
           col("__cid"),
           transform(array_sort(col("__dm")), s => s.getField("__mn")).as("__cv")
         )
-        .localCheckpoint(true)
     }
   }
 
