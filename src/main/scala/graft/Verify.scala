@@ -35,7 +35,15 @@ object Verify {
     // failure was a stderr line the driver never reads (ADVICE r10, high).
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce propagates the single
+      // partition up through narrow transformations, so a shuffle-free
+      // query (e.g. the per-row rolling-fingerprint projection) executes
+      // its ENTIRE computation in one task — measured 18 minutes for
+      // llm_fingerprint at sf0.1 vs seconds parallel. repartition inserts
+      // a shuffle boundary: upstream runs at full parallelism and only
+      // the file write is single-task. Row order changes; the driver's
+      // compare (and tools/compare.py) sorts rows before hashing.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
