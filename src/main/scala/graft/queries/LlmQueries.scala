@@ -1166,6 +1166,13 @@ object LlmQueries {
       ),
       (spark, sf) =>
         table(spark, sf, "documents")
+          // explicit fan-out: the testdata parquet is ONE row group, so the
+          // scan is one partition and this projection's deliberately-slow
+          // interpreted HOF reference formulations (~150x the native
+          // expressions) would run single-task — measured 21 MINUTES at
+          // sf0.1. One small shuffle spreads the rows across the cluster;
+          // the native fast path never needs this (seconds either way).
+          .repartition(spark.sparkContext.defaultParallelism)
           .select(
             col("doc_id"),
             (Fingerprints.simhash64(col("text")) === Fingerprints.simhash64Hof(col("text")))
