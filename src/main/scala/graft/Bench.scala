@@ -197,6 +197,7 @@ object Bench {
     "llm_corpus_pipeline_v3",
     "llm_bpe_vocab",
     "llm_bpe_encode",
+    "llm_bpe_ids",
     "llm_distinct_sketch",
     "llm_heavy_hitters",
     "llm_quantile_sketch",

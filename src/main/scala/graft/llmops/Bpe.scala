@@ -146,6 +146,64 @@ object Bpe {
     Model(merges, words.localCheckpoint(true))
   }
 
+  /** Frequency-ranked subword vocabulary of a learned model: one id per
+    * distinct final symbol, ranked by corpus occurrence count (each
+    * word's symbols weighted by the word's frequency), ties broken by
+    * symbol — the same id-assignment discipline as
+    * [[TextStats.buildVocab]], at the subword level. The single-partition
+    * rank window is vocab-sized (distinct symbols), never corpus-sized.
+    */
+  def vocab(model: Model): DataFrame =
+    model.wordPieces
+      .select(col("freq"), explode(col("syms")).as("piece"))
+      .groupBy("piece")
+      .agg(sum("freq").as("cnt"))
+      .withColumn(
+        "piece_id",
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("piece"))
+        ) - 1).cast("long")
+      )
+
+  /** Encode a corpus to subword-ID arrays — the storage form a training
+    * pipeline keeps. Same join shape as [[encode]] (broadcast word→pieces,
+    * per-doc regroup only) plus a broadcast piece→id lookup; pieces
+    * outside the vocab (possible only for out-of-model words under the
+    * char+eow fallback) map to `oovId` with a per-doc `n_oov` count.
+    */
+  def encodeIds(
+      df: DataFrame,
+      model: Model,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      eow: String = "</w>",
+      oovId: Long = -1L
+  ): DataFrame = {
+    val v = vocab(model).select(col("piece"), col("piece_id"))
+    df.select(col(idCol), posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(model.wordPieces.select(col("word"), col("syms"))), Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"), wordSymbols(col("word"), eow)))
+      .select(col(idCol), col("pos"), posexplode(col("syms")).as(Seq("pp", "piece")))
+      .join(broadcast(v), Seq("piece"), "left")
+      .groupBy(idCol)
+      .agg(
+        transform(
+          array_sort(
+            collect_list(struct(col("pos"), col("pp"), coalesce(col("piece_id"), lit(oovId)).as("pid")))
+          ),
+          s => s.getField("pid")
+        ).as("ids"),
+        sum(when(col("piece_id").isNull, 1L).otherwise(0L)).as("n_oov")
+      )
+      .select(
+        col(idCol),
+        size(col("ids")).cast("long").as("n_pieces"),
+        array_join(transform(col("ids"), i => i.cast("string")), " ").as("ids_str"),
+        col("n_oov")
+      )
+  }
+
   /** Encode a corpus under a learned model: text → ordered subword pieces.
     *
     * The corpus explodes to (doc, pos, word) and joins the word→pieces

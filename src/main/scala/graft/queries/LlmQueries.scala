@@ -3372,6 +3372,19 @@ object LlmQueries {
         val docs = table(spark, sf, "documents")
         Bpe.encode(docs, Bpe.learn(docs, numMerges = BpeMerges))
       }
+    ),
+    // Subword-ID encoding — the storage form: pieces mapped through the
+    // frequency-ranked subword vocabulary (occurrences weighted by word
+    // frequency, symbol tie-break). The oracle relearns the merges,
+    // re-derives the vocabulary ranking, and reassembles every document's
+    // id sequence in (word, piece) order.
+    QueryDef(
+      "llm_bpe_ids",
+      Some(bpeIdsOracle(BpeMerges)),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        Bpe.encodeIds(docs, Bpe.learn(docs, numMerges = BpeMerges))
+      }
     )
   )
 
@@ -3422,6 +3435,35 @@ object LlmQueries {
       .mkString("\nUNION ALL\n")
     s"WITH ${bpeLearnCtes(numMerges)}\n$ranks"
   }
+
+  /** [[graft.llmops.Bpe.encodeIds]] replay: the learn chain, the
+    * frequency-ranked subword vocabulary over the final word table
+    * (occurrences weighted by word freq, symbol tie-break — binary
+    * collation on both engines), and per-doc id reassembly ordered by
+    * (word position, piece position).
+    */
+  private def bpeIdsOracle(numMerges: Int): String =
+    s"""WITH ${bpeLearnCtes(numMerges)},
+       |bv AS (SELECT u.s AS piece, SUM(freq) AS cnt FROM w$numMerges, UNNEST(syms) u(s) GROUP BY 1),
+       |vr AS (SELECT piece, CAST(row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS BIGINT) AS piece_id FROM bv),
+       |d AS (
+       |  SELECT doc_id, s.pos AS pos, s.word AS word
+       |  FROM (SELECT doc_id,
+       |          UNNEST(list_transform(range(1, len(ws)+1), i -> struct_pack(pos := i, word := ws[i]))) AS s
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       |  WHERE length(s.word) > 0),
+       |dp AS (
+       |  SELECT doc_id, pos, t.pp AS pp, t.piece AS piece
+       |  FROM (SELECT d.doc_id, d.pos,
+       |          UNNEST(list_transform(range(1, len(w.syms)+1), i -> struct_pack(pp := i, piece := w.syms[i]))) AS t
+       |        FROM d JOIN w$numMerges w ON w.word = d.word)),
+       |ids AS (
+       |  SELECT dp.doc_id, list(vr.piece_id ORDER BY dp.pos, dp.pp) AS ids
+       |  FROM dp JOIN vr ON vr.piece = dp.piece
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_pieces,
+       |  array_to_string(ids, ' ') AS ids_str, CAST(0 AS BIGINT) AS n_oov
+       |FROM ids""".stripMargin
 
   private def bpeEncodeOracle(numMerges: Int): String =
     s"""WITH ${bpeLearnCtes(numMerges)},

@@ -56,6 +56,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_vocab",
     "llm_encode_ids",
     "llm_bpe_encode",
+    "llm_bpe_ids",
     "llm_corpus_pipeline_v3",
     "llm_budget_select",
     "llm_domain_cap",

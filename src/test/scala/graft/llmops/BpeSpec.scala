@@ -142,6 +142,27 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(row._2.startsWith("z q </w> "))
   }
 
+  test("encodeIds maps pieces through the frequency-ranked vocab in order") {
+    val model = Bpe.learn(docsDF, numMerges = 20)
+    val idOf = Bpe.vocab(model).select("piece", "piece_id").as[(String, Long)].collect().toMap
+    val (_, refPieces) = refLearn(corpus, numMerges = 20)
+    val got = Bpe
+      .encodeIds(docsDF, model)
+      .select("doc_id", "ids_str", "n_oov")
+      .as[(Long, String, Long)]
+      .collect()
+      .map(t => t._1 -> (t._2, t._3))
+      .toMap
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val pieces = text.split(" ").filter(_.nonEmpty).toSeq.flatMap(refPieces)
+      val expected = pieces.map(idOf).mkString(" ")
+      assert(got(i.toLong) == (expected, 0L), s"doc $i")
+    }
+    // vocab ids are dense 0..n-1 with rank-0 = most frequent symbol
+    val ids = idOf.values.toSeq.sorted
+    assert(ids == (0L until ids.length).toSeq)
+  }
+
   test("learn stops early when no pairs remain") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val model = Bpe.learn(tiny, numMerges = 50)
