@@ -201,6 +201,10 @@ object Bench {
     "llm_distinct_sketch",
     "llm_heavy_hitters",
     "llm_quantile_sketch",
+    "llm_hll_sketch",
+    "llm_cms_counts",
+    "llm_bloom_decontaminate",
+    "llm_pack_bins",
     "llm_embed_quantize",
     "llm_embed_centroids",
     "llm_multimodal",

@@ -141,6 +141,82 @@ object Corpus {
       .drop("__cum", "__start")
   }
 
+  /** No-split sequence packing: next-fit-decreasing bin packing of whole
+    * documents into fixed-capacity training bins — the alternative to
+    * [[packSequences]] when documents must NOT be cut at sequence
+    * boundaries (truncation hurts: Ding et al. 2024, "Fewer Truncations
+    * Improve Language Modeling", uses best-fit-decreasing; next-fit-
+    * decreasing is the member of the family whose packing state is O(1) —
+    * current bin + remaining capacity — so the per-shard fold is engine-
+    * replayable, at a bounded cost: NFD uses ≤ 2·OPT bins, FFD/BFD
+    * ≤ 11/9·OPT).
+    *
+    * Rule: within each md5 shard, docs in (n_tokens DESC, id ASC) order; a
+    * doc opens a new bin iff it exceeds the current bin's remaining
+    * capacity; docs longer than `capacity` get a bin alone (remaining
+    * clamps to 0). Scale shape: the only shuffle is the per-shard regroup;
+    * the fold runs over one shard's (n_tokens, id) pairs — size the shard
+    * count so a shard's doc COUNT fits an in-memory array (ids + lengths
+    * only, never text; 10⁶ docs/shard ≈ 16 MB). Deterministic: md5
+    * sharding, total (−n_tokens, id) order, sequential fold.
+    */
+  def packBinsNextFit(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      capacity: Int,
+      shards: Int
+  ): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(shards > 0, "shards must be positive")
+    val cap = lit(capacity.toLong)
+    val shard = pmod(
+      conv(substring(md5(col("__id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(shards.toLong)
+    )
+    val ordered = df
+      .select(col(idCol).as("__id"), col(nTokensCol).cast("long").as("__t"))
+      .withColumn("shard", shard)
+      .groupBy("shard")
+      .agg(
+        array_sort(collect_list(struct((-col("__t")).as("nt"), col("__id").as("id"), col("__t").as("t"))))
+          .as("__docs")
+      )
+    // Fold state: (assigns: array<struct<id, bin>>, bin: current bin index,
+    // rem: remaining capacity). The docs array is referenced exactly once
+    // (the Bpe.applyMerge discipline — projection collapse stays linear).
+    val packed = aggregate(
+      col("__docs"),
+      struct(
+        typedlit(Seq.empty[(Long, Long)]).cast("array<struct<id:bigint,bin:bigint>>").as("assigns"),
+        lit(-1L).as("bin"),
+        lit(0L).as("rem")
+      ),
+      (acc, d) => {
+        val fits = d.getField("t") <= acc.getField("rem")
+        val bin = when(fits, acc.getField("bin")).otherwise(acc.getField("bin") + 1L)
+        val rem = when(fits, acc.getField("rem") - d.getField("t"))
+          .otherwise(greatest(cap - d.getField("t"), lit(0L)))
+        struct(
+          concat(
+            acc.getField("assigns"),
+            array(struct(d.getField("id").as("id"), bin.as("bin")))
+          ).as("assigns"),
+          bin.as("bin"),
+          rem.as("rem")
+        )
+      },
+      acc => acc.getField("assigns")
+    )
+    ordered
+      .select(col("shard"), explode(packed).as("__a"))
+      .select(
+        col("__a.id").as(idCol),
+        col("shard"),
+        col("__a.bin").as("bin")
+      )
+  }
+
   /** Deterministic training-order assignment ("corpus shuffle"): LLM
     * training consumes the corpus in a pseudorandom order that must be
     * reproducible (checkpoint resume mid-epoch; ablation reruns) — but a

@@ -305,6 +305,69 @@ object Dedup {
     dedupExact(fresh, col("__ck"), tieBreak).drop("__ck")
   }
 
+  /** Bloom-filter bit table of a value column: `kHashes` md5-derived bit
+    * positions per distinct value over an `mBits`-bit filter, returned as
+    * the distinct set-position table (pos). ≤ mBits rows regardless of
+    * input size — the broadcastable form of a membership filter. Like every
+    * sketch here, a pure function of the data (seeded md5, no RNG), so a
+    * cross-engine oracle derives the identical bit set.
+    */
+  def bloomBits(values: DataFrame, valueCol: String, mBits: Int, kHashes: Int): DataFrame = {
+    require(mBits >= 2, "Bloom filter needs mBits >= 2")
+    require(kHashes >= 1, "Bloom filter needs kHashes >= 1")
+    values
+      .select(explode(array((0 until kHashes).map(lit): _*)).as("__j"), col(valueCol).as("__v"))
+      .select(
+        pmod(
+          Sketches.hash56(concat(col("__j").cast("string"), lit(":"), col("__v"))),
+          lit(mBits.toLong)
+        ).as("pos")
+      )
+      .distinct()
+  }
+
+  /** [[contaminationLedger]] with a Bloom prefilter in front of the exact
+    * overlap join — the 100 TB shape when even the held-out DISTINCT
+    * SHINGLE set is too large to broadcast raw (a large eval suite: shingle
+    * strings are tens of bytes each) but its bit set is not (mBits bits
+    * total). Corpus shingles pass through `kHashes` successive broadcast
+    * LEFT SEMI joins on their bit positions — all map-side, ZERO shuffle of
+    * the corpus shingle table — and only the survivors (true overlaps +
+    * Bloom false positives, a vanishing fraction of a clean corpus) reach
+    * the exact shingle equi-join, which removes the false positives. Result
+    * is therefore IDENTICAL to [[contaminationLedger]] (spec-asserted);
+    * false-positive rate ≈ (1 − e^(−kn/m))^k, tunable via mBits.
+    */
+  def bloomContaminationLedger(
+      corpus: DataFrame,
+      heldout: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      mBits: Int,
+      kHashes: Int
+  ): DataFrame = {
+    val corpusSh =
+      corpus.select(col(idCol).as("__id"), explode(Fingerprints.shingles(col(textCol), k)).as("__s"))
+    val heldSh = heldout.select(explode(Fingerprints.shingles(col(textCol), k)).as("__s")).distinct()
+    val bits = bloomBits(heldSh, "__s", mBits, kHashes)
+    val candidates = (0 until kHashes).foldLeft(corpusSh) { (d, j) =>
+      d.join(
+        broadcast(bits),
+        pmod(
+          Sketches.hash56(concat(lit(s"$j:"), col("__s"))),
+          lit(mBits.toLong)
+        ) === col("pos"),
+        "left_semi"
+      )
+    }
+    candidates
+      .join(heldSh, "__s")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("__id").as(idCol), col("n_shared"))
+  }
+
   /** Benchmark-contamination ledger: for each `corpus` doc, the number of
     * distinct k-token shingles it shares with the held-out `heldout`
     * corpus (an eval/test set that must not leak into training data).

@@ -57,6 +57,132 @@ object Sketches {
       .orderBy(col("cnt").desc, col("value"))
       .limit(k)
 
+  /** Deterministic count-min sketch (Cormode & Muthukrishnan 2005): `depth`
+    * hash rows × `width` counters; value v increments counter
+    * (j, md5-hash_j(v) mod width) for each row j. Returned as the sparse
+    * (row_j, col_j, cnt) table — at most depth·width rows REGARDLESS of
+    * corpus size, which is the 100 TB story: the two-phase hash agg's
+    * map-side combine collapses each partition to sketch size before the
+    * shuffle, and two sketches merge by adding counters (the same groupBy),
+    * so per-shard sketches union exactly. Like KMV, the sketch is a pure
+    * function of the data (seeded md5 row hashes, no RNG), so a cross-engine
+    * oracle recomputes identical counters and the driver hash gate applies
+    * to an approximate structure.
+    */
+  def cmsSketch(values: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, "CMS needs depth >= 1")
+    require(width >= 2, "CMS needs width >= 2")
+    values
+      .select(explode(array((0 until depth).map(lit): _*)).as("row_j"), col(valueCol).cast("string").as("__v"))
+      .select(
+        col("row_j").cast("long").as("row_j"),
+        pmod(
+          hash56(concat(col("row_j").cast("string"), lit(":"), col("__v"))),
+          lit(width.toLong)
+        ).as("col_j")
+      )
+      .groupBy("row_j", "col_j")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query estimates from a count-min sketch: for each distinct value
+    * in `queries`, cnt_est = min over the depth rows of that value's counter
+    * (missing counter = 0). CMS guarantees cnt_est >= true count, with
+    * overestimate bounded by ~(corpus size / width) per row; callers ship
+    * the exact count alongside as the error ledger where affordable. The
+    * sketch is broadcast (≤ depth·width rows), so the query side never
+    * shuffles for the lookup; the only shuffle is the per-value min — query-
+    * set-sized, not corpus-sized.
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      queries: DataFrame,
+      valueCol: String,
+      depth: Int,
+      width: Int
+  ): DataFrame =
+    queries
+      .select(col(valueCol), explode(array((0 until depth).map(lit): _*)).as("__j"))
+      .select(
+        col(valueCol),
+        col("__j").cast("long").as("row_j"),
+        pmod(
+          hash56(concat(col("__j").cast("string"), lit(":"), col(valueCol).cast("string"))),
+          lit(width.toLong)
+        ).as("col_j")
+      )
+      .join(broadcast(sketch), Seq("row_j", "col_j"), "left")
+      .groupBy(valueCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cnt_est"))
+
+  /** HyperLogLog registers (Flajolet et al. 2007) over a value column:
+    * bucket = top `p` bits of the 56-bit md5 hash point, rho = 1 + number of
+    * leading zeros in the low 32 bits (the rank window), register M_j =
+    * max rho per bucket. The register table is the MERGEABLE form — two
+    * sketches union by per-bucket max (idempotent, order-free), which is
+    * exactly what the groupBy's map-side partial max already does per
+    * partition, so the shuffle carries ≤ 2^p rows per partition at any
+    * corpus size. Deterministic (md5, no RNG): both engines derive
+    * identical registers, so the driver hash gate covers the sketch.
+    * rho is computed from the BINARY-DIGIT COUNT of the rank window
+    * (33 - bitlength via base-2 string length) — integer-exact, no
+    * floating log2 near power-of-two boundaries.
+    */
+  def hllRegisters(values: DataFrame, valueCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision p must be in [4, 16]")
+    val h = hash56(col(valueCol))
+    values
+      .select(shiftright(h, 56 - p).as("bucket"), h.bitwiseAND(lit(0xFFFFFFFFL)).as("__w"))
+      .select(
+        col("bucket"),
+        when(col("__w") === 0L, lit(33L))
+          .otherwise(lit(33L) - length(conv(col("__w"), 10, 2)).cast("long"))
+          .as("rho")
+      )
+      .groupBy("bucket")
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Raw HyperLogLog distinct estimate: alpha_m · m² / Σ_j 2^(−M_j) over all
+    * m = 2^p buckets (absent buckets count M_j = 0). The harmonic sum is
+    * kept EXACT-INTEGER — Σ 2^(33−M_j) as a long (≤ 2^(33+p), safe for
+    * p ≤ 16) — with a single trailing double division, so the estimate is
+    * deterministic under any aggregation order (a naive Σ 2^−M_j double sum
+    * spans 2^56 in magnitude and is order-dependent). Implements the RAW
+    * branch only: callers choose p so the expected cardinality is well above
+    * 2.5·m (no linear-counting small-range correction — `ln` is not
+    * bit-portable across engines; KMV [[kmvDistinctEstimate]] covers the
+    * small regime exactly). Ship the exact count alongside as the error
+    * ledger where affordable; standard error ≈ 1.04/√m.
+    */
+  def hllDistinctEstimate(values: DataFrame, valueCol: String, p: Int): DataFrame = {
+    val m = 1 << p
+    val regs = hllRegisters(values, valueCol, p)
+    val all = values.sparkSession
+      .range(m)
+      .select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("m_j"), lit(0L)).as("m_j"))
+    all
+      .agg(sum(expr("shiftleft(1L, CAST(33 - m_j AS INT))")).as("__s"))
+      .select((lit(hllAlphaScaled(p)) / col("__s").cast("double")).as("n_distinct_est"))
+  }
+
+  /** alpha_m · m² · 2^33 — the numerator of the raw HLL estimate with the
+    * integer harmonic sum as denominator. Public constants from Flajolet
+    * et al. 2007 §4; exposed so oracle SQL can embed the identical double
+    * literal (toString round-trips, so both engines parse the same bits).
+    */
+  private[graft] def hllAlphaScaled(p: Int): Double = {
+    val m = (1 << p).toDouble
+    val alpha =
+      if (p == 4) 0.673
+      else if (p == 5) 0.697
+      else if (p == 6) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m * 8589934592.0
+  }
+
   /** Deterministic per-group quantile estimates over a content-hash
     * Bernoulli sample, with the exact full-data quantiles alongside as the
     * error ledger. The sample is taken by md5 bucket of a stable row id —

@@ -2438,6 +2438,177 @@ object LlmQueries {
           k = 20
         )
     ),
+    // Raw HyperLogLog distinct estimate (p = 6, 64 registers) over the
+    // 3-shingle universe, with the exact distinct count as the error
+    // ledger. Driver-gated like KMV: registers are a pure md5 function of
+    // the data and the harmonic sum is exact-integer, so DuckDB replays
+    // the identical estimate — bucket from the hash's top bits, rho from
+    // the base-2 digit count of the low 32 bits, absent registers at 0.
+    QueryDef(
+      "llm_hll_sketch",
+      Some(
+        s"""WITH t0 AS (SELECT string_split(text, ' ') AS toks FROM documents),
+           |tok AS (SELECT unnest(list_distinct(list_transform(range(len(toks)-2),
+           |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS t FROM t0),
+           |h AS (SELECT CAST((CAST(concat('0x', substr(md5(t), 1, 7)) AS UBIGINT) << 28)
+           |        + CAST(concat('0x', substr(md5(t), 8, 7)) AS UBIGINT) AS BIGINT) AS hv FROM tok),
+           |r AS (SELECT hv >> 50 AS bucket, hv & 4294967295 AS w FROM h),
+           |rh AS (SELECT bucket, CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rho FROM r),
+           |regs AS (SELECT bucket, max(rho) AS m_j FROM rh GROUP BY 1),
+           |allb AS (SELECT b.b AS bucket, coalesce(m_j, 0) AS m_j
+           |         FROM (SELECT unnest(range(64)) AS b) b LEFT JOIN regs ON regs.bucket = b.b),
+           |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(33 - m_j AS INT)) AS BIGINT) AS s FROM allb)
+           |SELECT ${Sketches.hllAlphaScaled(6)} / CAST(s AS DOUBLE) AS n_distinct_est,
+           |       (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tok) AS n_distinct_exact
+           |FROM s""".stripMargin
+      ),
+      (spark, sf) => {
+        val shingles = table(spark, sf, "documents")
+          .select(explode(Fingerprints.shingles(col("text"), 3)).as("t"))
+        // 1x1 scalar cross join (estimate x exact ledger) — constant cost
+        Sketches
+          .hllDistinctEstimate(shingles, "t", p = 6)
+          .crossJoin(shingles.agg(count_distinct(col("t")).as("n_distinct_exact")))
+      }
+    ),
+    // Count-min sketch point estimates for the top-15 shingles, exact
+    // counts alongside. depth=3 x width=512 over a ~17k-shingle universe:
+    // the sketch is saturated by construction, so cnt_est > cnt_exact rows
+    // prove the collision path live while the min-over-rows rule and the
+    // one-sided error guarantee stay visible in the ledger.
+    QueryDef(
+      "llm_cms_counts",
+      Some(
+        """WITH t0 AS (SELECT string_split(text, ' ') AS toks FROM documents),
+          |tok AS (SELECT unnest(list_distinct(list_transform(range(len(toks)-2),
+          |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS t FROM t0),
+          |sk AS (SELECT CAST(j.j AS BIGINT) AS row_j,
+          |              CAST((CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || t), 1, 7)) AS UBIGINT) << 28)
+          |                + CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || t), 8, 7)) AS UBIGINT) AS BIGINT) % 512 AS col_j,
+          |              CAST(count(*) AS BIGINT) AS cnt
+          |       FROM tok, (SELECT unnest(range(3)) AS j) j GROUP BY 1, 2),
+          |hh AS (SELECT t AS value, CAST(count(*) AS BIGINT) AS cnt_exact FROM tok GROUP BY 1
+          |       ORDER BY cnt_exact DESC, value LIMIT 15),
+          |probe AS (SELECT hh.value, hh.cnt_exact, CAST(j.j AS BIGINT) AS row_j,
+          |                 CAST((CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || value), 1, 7)) AS UBIGINT) << 28)
+          |                   + CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || value), 8, 7)) AS UBIGINT) AS BIGINT) % 512 AS col_j
+          |          FROM hh, (SELECT unnest(range(3)) AS j) j)
+          |SELECT probe.value, probe.cnt_exact, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cnt_est
+          |FROM probe LEFT JOIN sk ON probe.row_j = sk.row_j AND probe.col_j = sk.col_j
+          |GROUP BY 1, 2""".stripMargin
+      ),
+      (spark, sf) => {
+        val shingles = table(spark, sf, "documents")
+          .select(explode(Fingerprints.shingles(col("text"), 3)).as("t"))
+        val sketch = Sketches.cmsSketch(shingles, "t", depth = 3, width = 512)
+        val hh = Sketches
+          .heavyHitters(shingles, "t", k = 15)
+          .select(col("value"), col("cnt").as("cnt_exact"))
+        Sketches
+          .cmsEstimate(sketch, hh.select(col("value").as("t")), "t", depth = 3, width = 512)
+          .join(hh, col("t") === col("value"))
+          .select(col("value"), col("cnt_exact"), col("cnt_est"))
+      }
+    ),
+    // Bloom-prefiltered decontamination: per-doc shared-shingle counts
+    // computed THROUGH the m-bit Bloom gate (two md5 hash positions per
+    // shingle, broadcast semi-joins) with exact verification behind it —
+    // the oracle replays the bloom path and must land on the exact
+    // ledger's numbers (false positives die in the verify join).
+    QueryDef(
+      "llm_bloom_decontaminate",
+      Some(
+        s"""$decontamCte,
+           |bits AS (SELECT DISTINCT CAST((CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || sh), 1, 7)) AS UBIGINT) << 28)
+           |           + CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || sh), 8, 7)) AS UBIGINT) AS BIGINT) % 65536 AS pos
+           |         FROM held, (SELECT unnest(range(2)) AS j) j),
+           |cand AS (SELECT s.doc_id, s.sh FROM s WHERE s.split = 'train'
+           |         AND CAST((CAST(concat('0x', substr(md5('0:' || sh), 1, 7)) AS UBIGINT) << 28)
+           |               + CAST(concat('0x', substr(md5('0:' || sh), 8, 7)) AS UBIGINT) AS BIGINT) % 65536 IN (SELECT pos FROM bits)
+           |         AND CAST((CAST(concat('0x', substr(md5('1:' || sh), 1, 7)) AS UBIGINT) << 28)
+           |               + CAST(concat('0x', substr(md5('1:' || sh), 8, 7)) AS UBIGINT) AS BIGINT) % 65536 IN (SELECT pos FROM bits))
+           |SELECT cand.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM cand JOIN held USING (sh) GROUP BY 1""".stripMargin
+      ),
+      (spark, sf) => {
+        val (train, valid) = trainValidSplit(spark, sf)
+        Dedup.bloomContaminationLedger(train, valid, "doc_id", "text", k = 5, mBits = 65536, kHashes = 2)
+      }
+    ),
+    // The Bloom prefilter's own ledger: bit-table size, corpus shingle
+    // instances in vs out of the gate, true overlaps, flagged docs — the
+    // candidate/true gap IS the false-positive count, so the row proves
+    // the filter is live (FPs > 0 at 65536 bits on this corpus) AND sound
+    // (docs flagged through the gate = the exact ledger's docs).
+    QueryDef(
+      "llm_bloom_ledger",
+      Some(
+        s"""$decontamCte,
+           |bits AS (SELECT DISTINCT CAST((CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || sh), 1, 7)) AS UBIGINT) << 28)
+           |           + CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || sh), 8, 7)) AS UBIGINT) AS BIGINT) % 65536 AS pos
+           |         FROM held, (SELECT unnest(range(2)) AS j) j),
+           |tr AS (SELECT doc_id, sh FROM s WHERE split = 'train'),
+           |cand AS (SELECT tr.doc_id, tr.sh FROM tr
+           |         WHERE CAST((CAST(concat('0x', substr(md5('0:' || sh), 1, 7)) AS UBIGINT) << 28)
+           |               + CAST(concat('0x', substr(md5('0:' || sh), 8, 7)) AS UBIGINT) AS BIGINT) % 65536 IN (SELECT pos FROM bits)
+           |         AND CAST((CAST(concat('0x', substr(md5('1:' || sh), 1, 7)) AS UBIGINT) << 28)
+           |               + CAST(concat('0x', substr(md5('1:' || sh), 8, 7)) AS UBIGINT) AS BIGINT) % 65536 IN (SELECT pos FROM bits))
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_corpus_instances,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_instances,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM cand JOIN held USING (sh)) AS n_true_instances,
+           |       (SELECT CAST(count(DISTINCT cand.doc_id) AS BIGINT) FROM cand JOIN held USING (sh)) AS n_docs_flagged""".stripMargin
+      ),
+      (spark, sf) => {
+        val (train, valid) = trainValidSplit(spark, sf)
+        val corpusSh = train.select(col("doc_id").as("__id"), explode(Fingerprints.shingles(col("text"), 5)).as("__s"))
+        val heldSh = valid.select(explode(Fingerprints.shingles(col("text"), 5)).as("__s")).distinct()
+        val bits = Dedup.bloomBits(heldSh, "__s", mBits = 65536, kHashes = 2)
+        val cand = (0 until 2).foldLeft(corpusSh) { (d, j) =>
+          d.join(
+            broadcast(bits),
+            pmod(Sketches.hash56(concat(lit(s"$j:"), col("__s"))), lit(65536L)) === col("pos"),
+            "left_semi"
+          )
+        }
+        val truePairs = cand.join(heldSh, "__s")
+        // 1-row scalar cross joins only (the llm_distinct_sketch pattern)
+        bits
+          .agg(count(lit(1)).as("n_bits_set"))
+          .crossJoin(corpusSh.agg(count(lit(1)).as("n_corpus_instances")))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidate_instances")))
+          .crossJoin(truePairs.agg(count(lit(1)).as("n_true_instances")))
+          .crossJoin(truePairs.agg(countDistinct(col("__id")).as("n_docs_flagged")))
+      }
+    ),
+    // No-split sequence packing: next-fit-decreasing whole-document bin
+    // packing per md5 shard (capacity 256 tokens, 32 shards). The oracle
+    // replays the per-shard fold with a FLAT BIGINT[] accumulator
+    // ([bin, rem, id1, bin1, ...]) — DuckDB 1.0's list_reduce corrupts
+    // struct-wrapped list accumulators across rows; the flat form is the
+    // same encoding the BPE merge replay relies on.
+    QueryDef(
+      "llm_pack_bins",
+      Some(
+        """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+          |                  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 32 AS BIGINT) AS shard
+          |           FROM documents),
+          |g AS (SELECT shard, list(CAST([doc_id, t] AS BIGINT[]) ORDER BY -t, doc_id) AS docs FROM d GROUP BY 1),
+          |f AS (SELECT shard, list_reduce(
+          |    list_prepend(CAST([-1, 0] AS BIGINT[]), docs),
+          |    (acc, x) -> CASE WHEN x[2] <= acc[2]
+          |      THEN list_concat(list_concat([acc[1], acc[2] - x[2]], acc[3:]), [x[1], acc[1]])
+          |      ELSE list_concat(list_concat([acc[1] + 1, greatest(CAST(256 AS BIGINT) - x[2], 0)], acc[3:]), [x[1], acc[1] + 1]) END
+          |  ) AS st FROM g),
+          |e AS (SELECT shard, unnest(list_transform(range(len(st) // 2 - 1), k -> [st[2*k+3], st[2*k+4]])) AS p FROM f)
+          |SELECT p[1] AS doc_id, shard, p[2] AS bin FROM e""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+          .select(col("doc_id"), size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+        Corpus.packBinsNextFit(docs, "doc_id", "n_tokens", capacity = 256, shards = 32)
+      }
+    ),
     // SparkSessionExtensions surface, driver-gated: the native expressions
     // must be reachable from PLAIN SQL (function-registry injection), and
     // the SQL-invoked simhash must match DuckDB's independent recompute.

@@ -50,6 +50,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_cosine_neardup",
     "llm_cosine_neardup_auto",
     "llm_cosine_xtable",
+    // sketches / prefilters (single-row ledgers like llm_hll_sketch and
+    // llm_bloom_ledger are exempt: 1-row scalar cross joins by design)
+    "llm_cms_counts",
+    "llm_bloom_decontaminate",
+    "llm_pack_bins",
     // corpus prep
     "llm_seq_pack",
     "llm_shuffle_order",

@@ -1340,4 +1340,91 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       .count()
     assert(capped == 0L)
   }
+
+  test("cmsSketch/cmsEstimate: never underestimates, exact when width avoids collisions") {
+    val values = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val df = values.toDF("v")
+    val sketch = Sketches.cmsSketch(df, "v", depth = 3, width = 1024)
+    // sketch has at most depth * distinct rows, counters sum to depth * n per row
+    val perRow = sketch.groupBy("row_j").agg(sum("cnt").as("s")).select("s").as[Long].collect()
+    assert(perRow.toSeq == Seq(9L, 9L, 9L))
+    val est = Sketches
+      .cmsEstimate(sketch, df.distinct(), "v", depth = 3, width = 1024)
+      .as[(String, Long)].collect().toMap
+    // width 1024 >> 3 distinct values: no collisions, estimates exact
+    assert(est == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    // width 2 forces collisions: estimates only ever >= truth
+    val tight = Sketches.cmsSketch(df, "v", depth = 2, width = 2)
+    val estT = Sketches
+      .cmsEstimate(tight, df.distinct(), "v", depth = 2, width = 2)
+      .as[(String, Long)].collect().toMap
+    assert(estT("a") >= 5L && estT("b") >= 3L && estT("c") >= 1L)
+    assert(estT.values.sum > 9L) // at least one collision actually fired
+  }
+
+  test("hllRegisters/hllDistinctEstimate: deterministic, within 3 sigma, merge = union") {
+    val big = (1 to 20000).map(i => s"tok_$i").toDF("v")
+    val est = Sketches.hllDistinctEstimate(big, "v", p = 6).as[Double].head()
+    // raw-branch estimate: std error 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.39, s"estimate $est too far from 20000")
+    // determinism: identical on re-run
+    val again = Sketches.hllDistinctEstimate(big, "v", p = 6).as[Double].head()
+    assert(est == again)
+    // mergeability: per-half registers max-merged == whole-data registers
+    val h1 = (1 to 10000).map(i => s"tok_$i").toDF("v")
+    val h2 = (10001 to 20000).map(i => s"tok_$i").toDF("v")
+    val merged = Sketches
+      .hllRegisters(h1, "v", p = 6)
+      .union(Sketches.hllRegisters(h2, "v", p = 6))
+      .groupBy("bucket").agg(max("m_j").as("m_j"))
+      .as[(Long, Long)].collect().toMap
+    val whole = Sketches.hllRegisters(big, "v", p = 6).as[(Long, Long)].collect().toMap
+    assert(merged == whole)
+  }
+
+  test("bloomContaminationLedger equals the exact ledger, prefilter is sound") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon eta"),
+      (4L, "nothing shared with heldout at all here")
+    ).toDF("doc_id", "text")
+    val heldout = Seq((100L, "alpha beta gamma delta epsilon zeta theta")).toDF("doc_id", "text")
+    for (mBits <- Seq(64, 4096)) {
+      val bloom = Dedup
+        .bloomContaminationLedger(corpus, heldout, "doc_id", "text", k = 5, mBits = mBits, kHashes = 2)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val exact = Dedup
+        .contaminationLedger(corpus, heldout, "doc_id", "text", k = 5)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(bloom == exact, s"mBits=$mBits")
+    }
+    // bit table is bounded by mBits
+    val bits = Dedup.bloomBits(heldout.select(explode(Fingerprints.shingles(col("text"), 5)).as("s")), "s", mBits = 8, kHashes = 4)
+    assert(bits.count() <= 8L)
+  }
+
+  test("packBinsNextFit: NFD semantics per shard, oversized doc gets its own bin") {
+    // single shard so the fold order is the full (n_tokens desc, id asc) order
+    val docs = Seq((1L, 60L), (2L, 50L), (3L, 40L), (4L, 30L), (5L, 120L), (6L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val out = Corpus
+      .packBinsNextFit(docs, "doc_id", "n_tokens", capacity = 100, shards = 1)
+      .select("doc_id", "bin")
+      .as[(Long, Long)].collect().toMap
+    // order: 5(120) 1(60) 2(50) 3(40) 4(30) 6(10)
+    // bin0: 5 (oversized, rem clamps 0); bin1: 1(60)+3(40)? NFD: 1 fits new bin rem 40,
+    // 2(50) doesn't fit rem 40 -> bin2 rem 50, 3(40) fits -> rem 10, 4(30) -> bin3 rem 70, 6(10) fits
+    assert(out == Map(5L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 6L -> 3L))
+    // no bin exceeds capacity except single-doc oversized bins
+    val fill = Corpus
+      .packBinsNextFit(docs, "doc_id", "n_tokens", capacity = 100, shards = 1)
+      .join(docs, "doc_id")
+      .groupBy("bin").agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    fill.foreach { case (bin, t, n) => assert(t <= 100 || n == 1, s"bin $bin overfull with $n docs") }
+    // determinism across shard counts: every doc keeps one assignment
+    val sharded = Corpus.packBinsNextFit(docs, "doc_id", "n_tokens", capacity = 100, shards = 4)
+    assert(sharded.count() == 6L)
+  }
 }
