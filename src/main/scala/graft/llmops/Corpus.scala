@@ -417,4 +417,161 @@ object Corpus {
       .select(col(levelCol))
     df.join(keep, Seq(levelCol), "left_semi")
   }
+
+  /** Temperature-scaled source sampling weights at α = 1/2 — the standard
+    * multilingual/multi-source rebalancing rule (sample source k at rate
+    * ∝ c_k^α, α < 1, so low-resource sources are up-weighted relative to
+    * their natural share; Arivazhagan et al. 2019 §5, XLM-R). α is
+    * HARDWIRED to 1/2 because c^0.5 is `sqrt` — the one power IEEE-754
+    * requires correctly rounded, so every weight is bit-identical across
+    * engines, where a general `pow(c, α)` is not portable. Output per
+    * source: (n_docs, n_tokens, nat_share = c_k/Σc, w_rel_max =
+    * √c_k/√c_max, temp_weight = √c_k / Σ_j √c_j).
+    *
+    * The normalizing Σ_j √c_j is a sum of DOUBLES — order-dependent in
+    * IEEE — so it is folded in a FIXED order (sources ascending) over the
+    * collected per-source list, never left to aggregation order. Safe
+    * because the fold is over the SOURCE table (one row per source), not
+    * the corpus: the corpus-sized work is one map-side-combined groupBy.
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val withN = df.select(
+      col(sourceCol),
+      size(TextStats.tokens(col(textCol))).cast("long").as("__n")
+    )
+    val grouped = withN
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    val totals = grouped.agg(
+      sum(col("n_tokens")).as("__total"),
+      max(col("n_tokens")).as("__maxtok"),
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col(sourceCol).as("s"), col("n_tokens").as("t")))),
+          x => sqrt(x.getField("t").cast("double"))
+        ),
+        lit(0.0),
+        (acc, x) => acc + x
+      ).as("__denom")
+    )
+    grouped
+      .crossJoin(totals) // 1-row scalar
+      .select(
+        col(sourceCol),
+        col("n_docs"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("__total").cast("double")).as("nat_share"),
+        (sqrt(col("n_tokens").cast("double")) / sqrt(col("__maxtok").cast("double")))
+          .as("w_rel_max"),
+        (sqrt(col("n_tokens").cast("double")) / col("__denom")).as("temp_weight")
+      )
+  }
+
+  /** UniMax token-budget allocation (Chung et al. 2023): split a total
+    * training budget across sources as EVENLY as possible subject to a
+    * per-source epoch cap — no source repeats more than `maxEpochs` times.
+    * Classic waterfilling: sources sorted by capacity (cap_k = c_k ·
+    * maxEpochs) ascending; a source is SATURATED (gets its full cap) iff
+    * giving every not-yet-saturated source an equal share would exceed its
+    * cap; the rest all get the common water level θ = (B − Σ saturated
+    * caps) / #unsaturated. The saturation test is PURE INTEGER
+    * (cap·remaining ≤ B − prefix — no float water level to compare
+    * against), θ is one trailing IEEE division, and epochs = alloc/c_k one
+    * more — so the whole allocation is engine-exact.
+    *
+    * Scale shape: the corpus is touched once (map-side-combined token
+    * count per source); everything after runs on the SOURCE table, whose
+    * single-partition window sort is source-cardinality (tens to
+    * thousands), never corpus-cardinality — same posture as
+    * [[selectUnderTokenBudget]]'s level table. Overflow bound:
+    * cap · n_sources must stay under 2^63 (at 100 TB ≈ 2.5·10^13 tokens ×
+    * epochs × sources ~ 10^17, three orders inside).
+    *
+    * Output per source: (n_tokens, cap_tokens, saturated, alloc_tokens,
+    * epochs). Σ alloc = min(B, Σ cap); epochs ≤ maxEpochs everywhere.
+    */
+  def uniMaxAllocation(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      budgetTokens: Long,
+      maxEpochs: Int
+  ): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    uniMaxCore(df, sourceCol, textCol, lit(budgetTokens), maxEpochs)
+  }
+
+  /** [[uniMaxAllocation]] with the budget given as a fraction (permille) of
+    * TOTAL capacity instead of an absolute count — the form a registered
+    * query can pin across scale factors, since the budget tracks the data.
+    * B = (permille · Σ cap) / 1000 in integer arithmetic.
+    */
+  def uniMaxAllocationPermille(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      budgetPermille: Int,
+      maxEpochs: Int
+  ): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000, "need 0 <= budgetPermille <= 1000")
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division; the budget
+    // must stay an exact integer for the saturation test
+    uniMaxCore(df, sourceCol, textCol, expr(s"(__total_cap * $budgetPermille) div 1000"), maxEpochs)
+  }
+
+  private def uniMaxCore(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      budget: Column,
+      maxEpochs: Int
+  ): DataFrame = {
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val grouped = df
+      .select(col(sourceCol), size(TextStats.tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(sourceCol)
+      .agg(sum(col("__n")).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+    val totals = grouped.agg(
+      count(lit(1)).as("__n_src"),
+      sum(col("cap_tokens")).as("__total_cap")
+    )
+    // single-partition windows over the source table (see scaladoc)
+    val byCap = Window.orderBy(col("cap_tokens"), col(sourceCol))
+    val ranked = grouped
+      .crossJoin(totals) // 1-row scalar
+      .withColumn("__b", budget)
+      .withColumn("__i", row_number().over(byCap).cast("long"))
+      .withColumn(
+        "__prefix",
+        coalesce(sum(col("cap_tokens")).over(byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      )
+      .withColumn(
+        "__cond",
+        (col("cap_tokens") * (col("__n_src") - col("__i") + 1L) <= col("__b") - col("__prefix"))
+          .cast("int")
+      )
+      // waterfilling saturation is a PREFIX of the cap-ascending order;
+      // the running min enforces it exactly even at ties
+      .withColumn(
+        "saturated",
+        min(col("__cond")).over(byCap.rowsBetween(Window.unboundedPreceding, 0)) === 1
+      )
+    val satTotals = ranked.agg(
+      sum(when(col("saturated"), col("cap_tokens")).otherwise(lit(0L))).as("__sat_cap"),
+      sum(col("saturated").cast("long")).as("__k")
+    )
+    ranked
+      .crossJoin(satTotals) // 1-row scalar
+      .withColumn(
+        "alloc_tokens",
+        when(col("saturated"), col("cap_tokens").cast("double"))
+          .otherwise(
+            (col("__b") - col("__sat_cap")).cast("double") /
+              (col("__n_src") - col("__k")).cast("double")
+          )
+      )
+      .withColumn("epochs", col("alloc_tokens") / col("n_tokens").cast("double"))
+      .select(col(sourceCol), col("n_tokens"), col("cap_tokens"), col("saturated"), col("alloc_tokens"), col("epochs"))
+  }
 }

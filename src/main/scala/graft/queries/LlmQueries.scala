@@ -3110,6 +3110,67 @@ object LlmQueries {
           )
           .select("doc_id")
     ),
+    // Temperature-scaled mixture weights at α = 1/2 (sqrt is the ONE
+    // correctly-rounded IEEE power, so the weights hash-gate cross-engine);
+    // the Σ√c normalizer is an ORDER-FIXED fold over the source table
+    // (sources ascending) on both sides — a plain SUM of doubles would be
+    // aggregation-order-dependent and ungateable.
+    QueryDef(
+      "llm_temp_mixture",
+      Some(
+        """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+          |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+          |      FROM t GROUP BY 1),
+          |d AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, max(n_tokens) AS maxtok,
+          |        list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source), (a, b) -> a + b) AS denom
+          |      FROM g)
+          |SELECT source, n_docs, n_tokens,
+          |  CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS nat_share,
+          |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(maxtok AS DOUBLE)) AS w_rel_max,
+          |  sqrt(CAST(n_tokens AS DOUBLE)) / denom AS temp_weight
+          |FROM g, d""".stripMargin
+      ),
+      (spark, sf) => Corpus.temperatureMixture(table(spark, sf, "documents"), "source", "text")
+    ),
+    // UniMax waterfilling (Chung et al. 2023): budget = 98% of total
+    // capacity at 2 epochs max — pinned as a CAPACITY FRACTION so the same
+    // query mixes saturated and unsaturated sources at BOTH scale factors
+    // (an absolute budget flips regime with the data). The saturation test
+    // is pure integer; only θ and epochs are (single-division) doubles.
+    QueryDef(
+      "llm_unimax",
+      Some(
+        """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+          |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+          |c AS (SELECT source, n_tokens, n_tokens * 2 AS cap_tokens FROM g),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_src, CAST(sum(cap_tokens) AS BIGINT) AS total_cap FROM c),
+          |r AS (SELECT c.*, tot.n_src, (tot.total_cap * 980) // 1000 AS b,
+          |        CAST(row_number() OVER w AS BIGINT) AS i,
+          |        COALESCE(CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+          |      FROM c, tot WINDOW w AS (ORDER BY cap_tokens, source)),
+          |s AS (SELECT *, CASE WHEN cap_tokens * (n_src - i + 1) <= b - prefix THEN 1 ELSE 0 END AS cond FROM r),
+          |s2 AS (SELECT *, min(cond) OVER (ORDER BY cap_tokens, source
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS saturated FROM s),
+          |st AS (SELECT CAST(sum(CASE WHEN saturated THEN cap_tokens ELSE 0 END) AS BIGINT) AS sat_cap,
+          |         CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT) AS k FROM s2),
+          |a AS (SELECT s2.*, st.sat_cap, st.k,
+          |        CASE WHEN saturated THEN CAST(cap_tokens AS DOUBLE)
+          |             ELSE CAST(b - sat_cap AS DOUBLE) / CAST(n_src - k AS DOUBLE) END AS alloc_tokens
+          |      FROM s2, st)
+          |SELECT source, n_tokens, cap_tokens, saturated, alloc_tokens,
+          |  alloc_tokens / CAST(n_tokens AS DOUBLE) AS epochs
+          |FROM a""".stripMargin
+      ),
+      (spark, sf) =>
+        Corpus.uniMaxAllocationPermille(
+          table(spark, sf, "documents"),
+          "source",
+          "text",
+          budgetPermille = 980,
+          maxEpochs = 2
+        )
+    ),
     // Training-mixture ledger: per-(source, lang) doc/token counts and the
     // token-proportional corpus share that drives mixture rates.
     QueryDef(

@@ -1427,4 +1427,65 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     val sharded = Corpus.packBinsNextFit(docs, "doc_id", "n_tokens", capacity = 100, shards = 4)
     assert(sharded.count() == 6L)
   }
+
+  test("temperatureMixture: sqrt-rebalanced weights, low-resource source upweighted") {
+    val df = Seq(
+      (1L, "big", "a b c d e f g h i"), // 9 tokens
+      (2L, "small", "a"),               // 1 token
+      (3L, "mid", "a b c d")            // 4 tokens
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus
+      .temperatureMixture(df, "source", "text")
+      .select("source", "n_docs", "n_tokens", "nat_share", "w_rel_max", "temp_weight")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    // sqrt counts: 3, 1, 2; denom fold order = source ascending: big, mid, small
+    val denom = 0.0 + 3.0 + 2.0 + 1.0
+    assert(out("big") == (("big", 1L, 9L, 9.0 / 14.0, 1.0, 3.0 / denom)))
+    assert(out("small") == (("small", 1L, 1L, 1.0 / 14.0, 1.0 / 3.0, 1.0 / denom)))
+    assert(out("mid") == (("mid", 1L, 4L, 4.0 / 14.0, 2.0 / 3.0, 2.0 / denom)))
+    // temperature flattening: small's weight share (1/6) beats its natural share (1/14)
+    assert(out("small")._6 > out("small")._4)
+  }
+
+  test("uniMaxAllocation: waterfilling saturates small sources, splits the rest evenly") {
+    // token counts 2 / 10 / 10, maxEpochs 2 -> caps 4 / 20 / 20; budget 24:
+    // tiny saturates at 4 (4*3 <= 24), the rest split (24-4)/2 = 10 each
+    val df = Seq(
+      (1L, "tiny", "a b"),
+      (2L, "ma", "a b c d e f g h i j"),
+      (3L, "mb", "a b c d e f g h i j")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus
+      .uniMaxAllocation(df, "source", "text", budgetTokens = 24L, maxEpochs = 2)
+      .select("source", "n_tokens", "cap_tokens", "saturated", "alloc_tokens", "epochs")
+      .as[(String, Long, Long, Boolean, Double, Double)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    assert(out("tiny") == (("tiny", 2L, 4L, true, 4.0, 2.0)))
+    assert(out("ma") == (("ma", 10L, 20L, false, 10.0, 1.0)))
+    assert(out("mb") == (("mb", 10L, 20L, false, 10.0, 1.0)))
+    // invariant: sum alloc == min(budget, total cap); epochs <= maxEpochs
+    assert(out.values.map(_._5).sum == 24.0)
+    assert(out.values.forall(_._6 <= 2.0))
+    // budget above total capacity: everyone saturated at cap
+    val all = Corpus
+      .uniMaxAllocation(df, "source", "text", budgetTokens = 1000L, maxEpochs = 2)
+      .select("saturated", "alloc_tokens", "cap_tokens")
+      .as[(Boolean, Double, Long)]
+      .collect()
+    assert(all.forall(r => r._1 && r._2 == r._3.toDouble))
+    // permille form: 980 permille of cap 44 -> budget 43: tiny saturated (4*3 <= 43),
+    // rest split 19.5 each
+    val pm = Corpus
+      .uniMaxAllocationPermille(df, "source", "text", budgetPermille = 980, maxEpochs = 2)
+      .select("source", "alloc_tokens")
+      .as[(String, Double)]
+      .collect()
+      .toMap
+    assert(pm("tiny") == 4.0 && pm("ma") == 19.5 && pm("mb") == 19.5)
+  }
 }
