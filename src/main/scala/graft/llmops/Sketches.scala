@@ -115,6 +115,98 @@ object Sketches {
       .groupBy(valueCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cnt_est"))
 
+  /** Per-shard count-min sketches in ONE corpus pass: identical to
+    * [[cmsSketch]] with `shardCol` added to the group key, so every shard
+    * owns an independent (row_j, col_j, cnt) table — the form a 1000-node
+    * ingest emits per partition/day/source before [[cmsMerge]] folds them.
+    */
+  def cmsSketchBy(
+      values: DataFrame,
+      valueCol: String,
+      shardCol: String,
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    require(depth >= 1, "CMS needs depth >= 1")
+    require(width >= 2, "CMS needs width >= 2")
+    values
+      .select(
+        col(shardCol),
+        explode(array((0 until depth).map(lit): _*)).as("row_j"),
+        col(valueCol).cast("string").as("__v")
+      )
+      .select(
+        col(shardCol),
+        col("row_j").cast("long").as("row_j"),
+        pmod(
+          hash56(concat(col("row_j").cast("string"), lit(":"), col("__v"))),
+          lit(width.toLong)
+        ).as("col_j")
+      )
+      .groupBy(shardCol, "row_j", "col_j")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge count-min sketches by counter ADDITION — CMS's defining
+    * algebra: the sketch of a union is the counter-wise sum of the
+    * sketches. Input: any union of (row_j, col_j, cnt) tables (extra
+    * shard columns dropped by the caller). Sketch-sized work only.
+    */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("row_j", "col_j").agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-shard HLL register tables in one pass ([[hllRegisters]] with
+    * `shardCol` in the group key); fold with [[hllMerge]].
+    */
+  def hllRegistersBy(
+      values: DataFrame,
+      valueCol: String,
+      shardCol: String,
+      p: Int
+  ): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision p must be in [4, 16]")
+    val h = hash56(col(valueCol))
+    values
+      .select(
+        col(shardCol),
+        shiftright(h, 56 - p).as("bucket"),
+        h.bitwiseAND(lit(0xFFFFFFFFL)).as("__w")
+      )
+      .select(
+        col(shardCol),
+        col("bucket"),
+        when(col("__w") === 0L, lit(33L))
+          .otherwise(lit(33L) - length(conv(col("__w"), 10, 2)).cast("long"))
+          .as("rho")
+      )
+      .groupBy(shardCol, "bucket")
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Merge HLL register tables by per-bucket MAX — idempotent and
+    * order-free, so shard unions, retries, and re-merges all land on the
+    * same registers. ≤ 2^p rows shuffle regardless of input count.
+    */
+  def hllMerge(registers: DataFrame): DataFrame =
+    registers.groupBy("bucket").agg(max(col("m_j")).as("m_j"))
+
+  /** Raw HLL estimate from a REGISTER table (the mergeable form) — the
+    * lookup half of [[hllDistinctEstimate]], for callers that maintain
+    * registers incrementally via [[hllMerge]]. Same exact-integer harmonic
+    * sum; absent buckets count M_j = 0 via the dense 2^p scaffold.
+    */
+  def hllEstimateFromRegisters(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val all = registers.sparkSession
+      .range(m)
+      .select(col("id").as("bucket"))
+      .join(registers, Seq("bucket"), "left")
+      .select(coalesce(col("m_j"), lit(0L)).as("m_j"))
+    all
+      .agg(sum(expr("shiftleft(1L, CAST(33 - m_j AS INT))")).as("__s"))
+      .select((lit(hllAlphaScaled(p)) / col("__s").cast("double")).as("n_distinct_est"))
+  }
+
   /** HyperLogLog registers (Flajolet et al. 2007) over a value column:
     * bucket = top `p` bits of the 56-bit md5 hash point, rho = 1 + number of
     * leading zeros in the low 32 bits (the rank window), register M_j =
@@ -155,18 +247,8 @@ object Sketches {
     * small regime exactly). Ship the exact count alongside as the error
     * ledger where affordable; standard error ≈ 1.04/√m.
     */
-  def hllDistinctEstimate(values: DataFrame, valueCol: String, p: Int): DataFrame = {
-    val m = 1 << p
-    val regs = hllRegisters(values, valueCol, p)
-    val all = values.sparkSession
-      .range(m)
-      .select(col("id").as("bucket"))
-      .join(regs, Seq("bucket"), "left")
-      .select(coalesce(col("m_j"), lit(0L)).as("m_j"))
-    all
-      .agg(sum(expr("shiftleft(1L, CAST(33 - m_j AS INT))")).as("__s"))
-      .select((lit(hllAlphaScaled(p)) / col("__s").cast("double")).as("n_distinct_est"))
-  }
+  def hllDistinctEstimate(values: DataFrame, valueCol: String, p: Int): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(values, valueCol, p), p)
 
   /** alpha_m · m² · 2^33 — the numerator of the raw HLL estimate with the
     * integer harmonic sum as denominator. Public constants from Flajolet

@@ -2510,6 +2510,96 @@ object LlmQueries {
           .select(col("value"), col("cnt_exact"), col("cnt_est"))
       }
     ),
+    // Sketch mergeability, demonstrated as data: per-shard CMS/HLL
+    // sketches (one corpus pass, shard in the group key) folded by the
+    // merge algebra (counter SUM / register MAX) must EQUAL the one-shot
+    // whole-corpus sketch — the property that makes both sketches valid
+    // at 1000 executors (partial agg = shard sketch, exchange = merge).
+    // Output: per sketch kind, entry counts on both paths, mismatches
+    // (must be 0), an integer checksum, and the merged-register HLL
+    // estimate (must equal llm_hll_sketch's one-shot estimate).
+    QueryDef(
+      "llm_sketch_merge",
+      Some(
+        s"""WITH t0 AS (SELECT string_split(text, ' ') AS toks FROM documents),
+           |tok AS (SELECT unnest(list_distinct(list_transform(range(len(toks)-2),
+           |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS t FROM t0),
+           |sh AS (SELECT t, CAST((CAST(concat('0x', substr(md5('sh:' || t), 1, 7)) AS UBIGINT) << 28)
+           |         + CAST(concat('0x', substr(md5('sh:' || t), 8, 7)) AS UBIGINT) AS BIGINT) % 2 AS shard FROM tok),
+           |cms_sh AS (SELECT shard, CAST(j.j AS BIGINT) AS row_j,
+           |             CAST((CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || t), 1, 7)) AS UBIGINT) << 28)
+           |               + CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || t), 8, 7)) AS UBIGINT) AS BIGINT) % 512 AS col_j,
+           |             CAST(count(*) AS BIGINT) AS cnt
+           |           FROM sh, (SELECT unnest(range(3)) AS j) j GROUP BY 1, 2, 3),
+           |cms_m AS (SELECT row_j, col_j, CAST(sum(cnt) AS BIGINT) AS cnt FROM cms_sh GROUP BY 1, 2),
+           |cms_w AS (SELECT CAST(j.j AS BIGINT) AS row_j,
+           |            CAST((CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || t), 1, 7)) AS UBIGINT) << 28)
+           |              + CAST(concat('0x', substr(md5(CAST(j.j AS VARCHAR) || ':' || t), 8, 7)) AS UBIGINT) AS BIGINT) % 512 AS col_j,
+           |            CAST(count(*) AS BIGINT) AS cnt
+           |          FROM tok, (SELECT unnest(range(3)) AS j) j GROUP BY 1, 2),
+           |cms_cmp AS (SELECT CAST(count(*) AS BIGINT) AS n_entries,
+           |              CAST(sum(CASE WHEN m.cnt IS DISTINCT FROM w.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           |              CAST(sum(coalesce(m.cnt, 0)) AS BIGINT) AS checksum
+           |            FROM cms_m m FULL OUTER JOIN cms_w w USING (row_j, col_j)),
+           |h AS (SELECT shard, CAST((CAST(concat('0x', substr(md5(t), 1, 7)) AS UBIGINT) << 28)
+           |        + CAST(concat('0x', substr(md5(t), 8, 7)) AS UBIGINT) AS BIGINT) AS hv FROM sh),
+           |rh AS (SELECT shard, hv >> 50 AS bucket,
+           |         CASE WHEN (hv & 4294967295) = 0 THEN 33 ELSE 33 - length(bin(hv & 4294967295)) END AS rho FROM h),
+           |regs_sh AS (SELECT shard, bucket, max(rho) AS m_j FROM rh GROUP BY 1, 2),
+           |regs_m AS (SELECT bucket, max(m_j) AS m_j FROM regs_sh GROUP BY 1),
+           |regs_w AS (SELECT bucket, max(rho) AS m_j FROM rh GROUP BY 1),
+           |hll_cmp AS (SELECT CAST(count(*) AS BIGINT) AS n_entries,
+           |              CAST(sum(CASE WHEN m.m_j IS DISTINCT FROM w.m_j THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           |              CAST(sum(coalesce(m.m_j, 0)) AS BIGINT) AS checksum
+           |            FROM regs_m m FULL OUTER JOIN regs_w w USING (bucket)),
+           |allb AS (SELECT b.b AS bucket, coalesce(m_j, 0) AS m_j
+           |         FROM (SELECT unnest(range(64)) AS b) b LEFT JOIN regs_m ON regs_m.bucket = b.b),
+           |hll_est AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(33 - m_j AS INT)) AS BIGINT) AS s FROM allb)
+           |SELECT 'cms' AS kind, n_entries, n_mismatch, checksum, CAST(NULL AS DOUBLE) AS est FROM cms_cmp
+           |UNION ALL
+           |SELECT 'hll' AS kind, n_entries, n_mismatch, checksum,
+           |       ${Sketches.hllAlphaScaled(6)} / CAST(s AS DOUBLE) AS est FROM hll_cmp, hll_est""".stripMargin
+      ),
+      (spark, sf) => {
+        val shingles = table(spark, sf, "documents")
+          .select(explode(Fingerprints.shingles(col("text"), 3)).as("t"))
+        // shard hash decorrelated from the sketch hashes by the 'sh:' salt
+        val sharded = shingles.withColumn(
+          "shard",
+          pmod(Sketches.hash56(concat(lit("sh:"), col("t"))), lit(2L))
+        )
+        def cmp(
+            merged: org.apache.spark.sql.DataFrame,
+            whole: org.apache.spark.sql.DataFrame,
+            keys: Seq[String],
+            v: String
+        ): org.apache.spark.sql.DataFrame =
+          merged
+            .withColumnRenamed(v, "__m")
+            .join(whole.withColumnRenamed(v, "__w"), keys, "full_outer")
+            .agg(
+              count(lit(1)).as("n_entries"),
+              sum(when(col("__m") <=> col("__w"), 0L).otherwise(1L)).as("n_mismatch"),
+              sum(coalesce(col("__m"), lit(0L))).as("checksum")
+            )
+        val cmsRow = cmp(
+          Sketches.cmsMerge(Sketches.cmsSketchBy(sharded, "t", "shard", depth = 3, width = 512).drop("shard")),
+          Sketches.cmsSketch(shingles, "t", depth = 3, width = 512),
+          Seq("row_j", "col_j"),
+          "cnt"
+        ).select(lit("cms").as("kind"), col("n_entries"), col("n_mismatch"), col("checksum"), lit(null).cast("double").as("est"))
+        val mergedRegs =
+          Sketches.hllMerge(Sketches.hllRegistersBy(sharded, "t", "shard", p = 6).drop("shard"))
+        val hllRow = cmp(
+          mergedRegs,
+          Sketches.hllRegisters(shingles, "t", p = 6),
+          Seq("bucket"),
+          "m_j"
+        ).crossJoin(Sketches.hllEstimateFromRegisters(mergedRegs, p = 6)) // 1x1 scalar
+          .select(lit("hll").as("kind"), col("n_entries"), col("n_mismatch"), col("checksum"), col("n_distinct_est").as("est"))
+        cmsRow.unionAll(hllRow)
+      }
+    ),
     // Bloom-prefiltered decontamination: per-doc shared-shingle counts
     // computed THROUGH the m-bit Bloom gate (two md5 hash positions per
     // shingle, broadcast semi-joins) with exact verification behind it —

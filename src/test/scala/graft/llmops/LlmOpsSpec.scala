@@ -1382,6 +1382,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(merged == whole)
   }
 
+  test("cmsSketchBy/cmsMerge and hllRegistersBy/hllMerge: shard-then-merge == one-shot") {
+    val values = ((1 to 500).map(i => s"tok_${i % 97}")).toDF("v")
+    val sharded = values.withColumn(
+      "shard",
+      pmod(Sketches.hash56(concat(lit("sh:"), col("v"))), lit(3L))
+    )
+    val cmsMerged = Sketches
+      .cmsMerge(Sketches.cmsSketchBy(sharded, "v", "shard", depth = 2, width = 8).drop("shard"))
+      .as[(Long, Long, Long)].collect().toSet
+    val cmsWhole = Sketches.cmsSketch(values, "v", depth = 2, width = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cmsMerged == cmsWhole)
+    val hllMerged = Sketches
+      .hllMerge(Sketches.hllRegistersBy(sharded, "v", "shard", p = 4).drop("shard"))
+    val hllWhole = Sketches.hllRegisters(values, "v", p = 4)
+    assert(
+      hllMerged.as[(Long, Long)].collect().toMap == hllWhole.as[(Long, Long)].collect().toMap
+    )
+    // estimate-from-registers is the lookup half of the one-shot estimate
+    val estM = Sketches.hllEstimateFromRegisters(hllMerged, p = 4).as[Double].head()
+    val estW = Sketches.hllDistinctEstimate(values, "v", p = 4).as[Double].head()
+    assert(estM == estW)
+  }
+
   test("bloomContaminationLedger equals the exact ledger, prefilter is sound") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
