@@ -236,6 +236,7 @@ object Bench {
     "llm_ann_clustered_recall",
     "llm_ann_xtable_recall",
     "llm_ann_auto_xtable_recall",
+    "llm_ann_project_recall",
     "llm_cosine_recall"
   )
 

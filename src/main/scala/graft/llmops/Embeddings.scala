@@ -41,6 +41,47 @@ object Embeddings {
     * dims rows). Used for cluster representatives / class prototypes in
     * curation pipelines.
     */
+  /** Deterministic ±1 sign matrix for sparse random projection
+    * (Achlioptas 2003's database-friendly JL variant at density 1: entries
+    * ±1 uniform — the projection w·x/√d preserves pairwise distances with
+    * the JL guarantee while needing only integer adds). Entry (j, i) is
+    * the md5 PARITY of "rp:seed:j:i" — derived, not sampled, so the DuckDB
+    * oracle reconstructs the identical matrix from the formula instead of
+    * trusting an embedded literal (same discipline as the seeded-md5
+    * k-means init). Matches Spark's `md5` on the same string by
+    * construction (both are standard MD5 over UTF-8).
+    */
+  def signMatrix(outDim: Int, dim: Int, seed: Long = 7L): Array[Array[Int]] =
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d
+        .digest(s"rp:$seed:$j:$i".getBytes("UTF-8"))
+        .take(4)
+        .map(b => f"${b & 0xff}%02x")
+        .mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+
+  /** Johnson–Lindenstrauss random projection of an int8-QUANTIZED vector:
+    * out_j = Σ_i sign(j,i)·q_i — pure integer sums (|out_j| ≤ 127·dim), so
+    * every projected coordinate is engine-exact, unlike a float-Gaussian
+    * projection whose dot products are reduction-order-dependent. The
+    * matrix rides into the plan as a literal (no fit, no driver jobs, no
+    * per-row hashing — outDim·dim md5s happen ONCE at plan build).
+    * Dimensionality is the 100 TB ANN lever: a 64→16 projection cuts
+    * brute-force candidate scoring 4× and shrinks any downstream index;
+    * the recall ledger prices what the distortion costs.
+    */
+  def randomProject(qvec: Column, matrix: Array[Array[Int]]): Column =
+    array(matrix.map { row =>
+      val rowLit = array(row.map(lit): _*)
+      aggregate(
+        zip_with(qvec, rowLit, (x, s) => (x * s).cast("long")),
+        lit(0L),
+        (acc, x) => acc + x
+      )
+    }: _*)
+
   def quantizedCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol), posexplode(quantizeInt8(col(vecCol))).as(Seq("dim", "__q")))
       .groupBy(col(groupCol), col("dim").cast("long").as("dim"))

@@ -2360,6 +2360,145 @@ object LlmQueries {
       ),
       (spark, sf) => Embeddings.quantizedCentroids(table(spark, sf, "embeddings"), "label", "embedding")
     ),
+    // Johnson–Lindenstrauss sign projection 64→16 over the int8-quantized
+    // vectors: every projected coordinate is an exact integer sum, and the
+    // ±1 matrix is DERIVED (md5 parity of "rp:seed:j:i"), so the oracle
+    // reconstructs it from the formula instead of trusting a literal. The
+    // recall this projection costs is priced by llm_ann_project_recall.
+    QueryDef(
+      "llm_embed_project",
+      Some(
+        s"""WITH eq AS (SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+           |  embedding FROM embeddings),
+           |q AS (SELECT vec_id, list_transform(embedding,
+           |        x -> CASE WHEN scale = 0 THEN 0
+           |                  ELSE CAST(floor((CAST(x AS DOUBLE) * 127.0) / scale + 0.5) AS INTEGER) END) AS qv
+           |      FROM eq),
+           |qd AS (SELECT vec_id, CAST(i.i AS BIGINT) AS i, qv[CAST(i.i AS INTEGER) + 1] AS qi
+           |       FROM q, (SELECT unnest(range(${AnnOracles.Dim})) AS i) i),
+           |m AS (SELECT CAST(j.j AS BIGINT) AS j, CAST(i.i AS BIGINT) AS i,
+           |        CASE WHEN CAST(concat('0x', substr(md5('rp:7:' || CAST(j.j AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0
+           |             THEN 1 ELSE -1 END AS s
+           |      FROM (SELECT unnest(range(16)) AS j) j, (SELECT unnest(range(${AnnOracles.Dim})) AS i) i),
+           |p AS (SELECT vec_id, m.j, CAST(sum(qd.qi * m.s) AS BIGINT) AS pj
+           |      FROM qd JOIN m ON qd.i = m.i GROUP BY 1, 2)
+           |SELECT vec_id, array_to_string(list(pj ORDER BY j), ',') AS proj FROM p GROUP BY 1""".stripMargin
+      ),
+      (spark, sf) => {
+        val m = Embeddings.signMatrix(16, AnnOracles.Dim, seed = 7L)
+        table(spark, sf, "embeddings").select(
+          col("vec_id"),
+          array_join(
+            transform(
+              Embeddings.randomProject(Embeddings.quantizeInt8(col("embedding")), m),
+              x => x.cast("string")
+            ),
+            ","
+          ).as("proj")
+        )
+      }
+    ),
+    // What the 4x projection costs, priced per REGIME (the honest JL
+    // physics): on STRUCTURELESS random vectors all pairs are near-
+    // equidistant, so a 64→16 projection scrambles top-5 (overlap ~0.05 —
+    // not a bug, the regime's true answer); on the CLUSTERED fixture the
+    // projection preserves the structure that matters and overlap stays
+    // high. Verification-tier (brute passes on both sides); the integer-
+    // valued projected cosines are engine-exact, so the ledger hash-gates.
+    QueryDef(
+      "llm_ann_project_recall",
+      Some {
+        import AnnOracles._
+        def projCtes(srcSql: String, id: String, vecExpr: String, pfx: String): String =
+          s"""${pfx}eq AS (SELECT $id AS vid, list_max(list_transform($vecExpr, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             |  $vecExpr AS vv FROM $srcSql),
+             |${pfx}q AS (SELECT vid, list_transform(vv,
+             |        x -> CASE WHEN scale = 0 THEN 0
+             |                  ELSE CAST(floor((CAST(x AS DOUBLE) * 127.0) / scale + 0.5) AS INTEGER) END) AS qv
+             |      FROM ${pfx}eq),
+             |${pfx}qd AS (SELECT vid, CAST(i.i AS BIGINT) AS i, qv[CAST(i.i AS INTEGER) + 1] AS qi
+             |       FROM ${pfx}q, (SELECT unnest(range($Dim)) AS i) i),
+             |${pfx}p AS (SELECT vid, m.j, CAST(sum(${pfx}qd.qi * m.s) AS BIGINT) AS pj
+             |      FROM ${pfx}qd JOIN m ON ${pfx}qd.i = m.i GROUP BY 1, 2),
+             |${pfx}pv AS (SELECT vid, list(CAST(pj AS DOUBLE) ORDER BY j) AS v FROM ${pfx}p GROUP BY 1),
+             |${pfx}bp AS (SELECT a.vid AS qid, b.vid AS nid FROM ${pfx}pv a JOIN ${pfx}pv b ON a.vid <> b.vid
+             |  QUALIFY row_number() OVER (PARTITION BY a.vid
+             |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vid) <= 5)""".stripMargin
+        s"""WITH m AS (SELECT CAST(j.j AS BIGINT) AS j, CAST(i.i AS BIGINT) AS i,
+           |        CASE WHEN CAST(concat('0x', substr(md5('rp:7:' || CAST(j.j AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0
+           |             THEN 1 ELSE -1 END AS s
+           |      FROM (SELECT unnest(range(16)) AS j) j, (SELECT unnest(range($Dim)) AS i) i),
+           |$eCte,
+           |$clusteredCte,
+           |${projCtes("embeddings", "vec_id", "embedding", "s")},
+           |${projCtes("cf", "id", "v", "c")},
+           |${bruteTopCte(5)},
+           |${fixtureBruteCte(5)},
+           |sh AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM br JOIN sbp USING (qid, nid)),
+           |ch AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM fbr JOIN cbp USING (qid, nid)),
+           |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_same FROM cbp
+           |       WHERE CAST(CAST(concat('0x', substr(md5(CAST(qid AS VARCHAR)), 1, 8)) AS UBIGINT) % $FixtureClusters AS BIGINT)
+           |           = CAST(CAST(concat('0x', substr(md5(CAST(nid AS VARCHAR)), 1, 8)) AS UBIGINT) % $FixtureClusters AS BIGINT)),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings)
+           |SELECT 'structureless' AS regime, n_queries, sh.n_hits,
+           |  CAST(sh.n_hits AS DOUBLE) / (CAST(n_queries AS DOUBLE) * 5.0) AS mean_overlap,
+           |  CAST(NULL AS DOUBLE) AS structure_score FROM n, sh
+           |UNION ALL
+           |SELECT 'clustered' AS regime, n_queries, ch.n_hits,
+           |  CAST(ch.n_hits AS DOUBLE) / (CAST(n_queries AS DOUBLE) * 5.0) AS mean_overlap,
+           |  CAST(cs.n_same AS DOUBLE) / (CAST(n_queries AS DOUBLE) * 5.0) AS structure_score FROM n, ch, cs""".stripMargin
+      },
+      (spark, sf) => {
+        val e = embeddingsDimChecked(spark, sf)
+        val m = Embeddings.signMatrix(16, EmbDim, seed = 7L)
+        def clusterOf(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") %
+            AnnOracles.FixtureClusters
+        def overlapRow(
+            regime: String,
+            src: org.apache.spark.sql.DataFrame,
+            vecCol: String,
+            labeled: Boolean
+        ) = {
+          val proj = src.select(
+            col("vec_id"),
+            transform(
+              Embeddings.randomProject(Embeddings.quantizeInt8(col(vecCol)), m),
+              x => x.cast("double")
+            ).as("pv")
+          )
+          val full = Similarity.bruteTopK(src, "vec_id", vecCol, k = 5).select("qid", "nid")
+          val onProj = Similarity.bruteTopK(proj, "vec_id", "pv", k = 5).select("qid", "nid")
+          val structScore =
+            if (!labeled) lit(null).cast("double").as("structure_score")
+            else
+              (col("n_same").cast("double") / (col("n_queries").cast("double") * 5.0))
+                .as("structure_score")
+          val base = e
+            .agg(count(lit(1)).as("n_queries")) // 1x1 scalar ledger joins
+            .crossJoin(full.join(onProj, Seq("qid", "nid")).agg(count(lit(1)).as("n_hits")))
+          val withSame =
+            if (!labeled) base
+            else
+              base.crossJoin(
+                onProj
+                  .filter(clusterOf(col("qid")) === clusterOf(col("nid")))
+                  .agg(count(lit(1)).as("n_same"))
+              )
+          withSame.select(
+            lit(regime).as("regime"),
+            col("n_queries"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / (col("n_queries").cast("double") * 5.0))
+              .as("mean_overlap"),
+            structScore
+          )
+        }
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        overlapRow("structureless", e, "embedding", labeled = false)
+          .unionAll(overlapRow("clustered", fx, "v", labeled = true))
+      }
+    ),
     // KMV distinct sketch, driver-gated like the LSH oracles: the estimate
     // is a deterministic function of the data (md5 hash points, k smallest,
     // (k-1)·2^56/max), so DuckDB recomputes the identical number — an

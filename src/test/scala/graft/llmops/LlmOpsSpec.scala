@@ -1406,6 +1406,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(estM == estW)
   }
 
+  test("signMatrix/randomProject: md5-derived signs, exact integer projection") {
+    val m = Embeddings.signMatrix(4, 3, seed = 7L)
+    assert(m.length == 4 && m.forall(_.length == 3))
+    assert(m.flatten.forall(s => s == 1 || s == -1))
+    // derivation check against Spark's own md5 of the same strings
+    val sparkSigns = spark
+      .range(4)
+      .selectExpr(
+        "id AS j",
+        "explode(sequence(0, 2)) AS i"
+      )
+      .selectExpr(
+        "j",
+        "i",
+        "CASE WHEN conv(substring(md5(concat('rp:7:', j, ':', i)), 1, 8), 16, 10) % 2 = 0 THEN 1 ELSE -1 END AS s"
+      )
+      .as[(Long, Long, Int)]
+      .collect()
+    sparkSigns.foreach { case (j, i, s) => assert(m(j.toInt)(i.toInt) == s, s"sign ($j,$i)") }
+    // projection = exact integer matrix-vector product
+    val df = Seq((1L, Seq(2, -3, 5))).toDF("id", "q")
+    val out = df
+      .select(Embeddings.randomProject(col("q"), m).as("p"))
+      .as[Seq[Long]]
+      .head()
+    val expected = m.map(row => row(0) * 2L + row(1) * -3L + row(2) * 5L).toSeq
+    assert(out == expected)
+  }
+
   test("bloomContaminationLedger equals the exact ledger, prefilter is sound") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
