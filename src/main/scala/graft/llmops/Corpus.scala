@@ -418,6 +418,47 @@ object Corpus {
     df.join(keep, Seq(levelCol), "left_semi")
   }
 
+  /** Curriculum training order: documents bucketed into STAGES by fixed
+    * score thresholds, then seeded-shuffled WITHIN each stage, per shard —
+    * so training consumes stage after stage (curriculum learning,
+    * Bengio et al. 2009) while each stage's internal order stays an
+    * unbiased hash shuffle. Thresholds are explicit plan literals (derive
+    * them from [[Sketches.hashSampledQuantiles]] upstream when quantile
+    * boundaries are wanted) so the stage rule is engine-exact — no global
+    * score sort, no rank-based ntile; per-shard windows only, the same
+    * 100 TB posture as [[shuffleOrder]]. `descendingStages` flips the
+    * stage consumption order (quality curricula train high-score first).
+    * Output adds (stage, shard, pos).
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      thresholds: Seq[Double],
+      seed: Long,
+      shards: Int,
+      descendingStages: Boolean = false
+  ): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds == thresholds.sorted, "thresholds must be ascending")
+    val stage = thresholds.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(col(scoreCol) >= t, lit(1L)).otherwise(lit(0L))
+    }
+    val h = conv(
+      substring(md5(concat(lit(s"cur:$seed:"), col(idCol).cast("string"))), 1, 15),
+      16,
+      10
+    ).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("__sk"), col("__h"), col(idCol))
+    df.withColumn("stage", stage)
+      .withColumn("__sk", if (descendingStages) -col("stage") else col("stage"))
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__sk", "__h")
+  }
+
   /** Temperature-scaled source sampling weights at α = 1/2 — the standard
     * multilingual/multi-source rebalancing rule (sample source k at rate
     * ∝ c_k^α, α < 1, so low-resource sources are up-weighted relative to

@@ -886,6 +886,41 @@ object LlmQueries {
         table(spark, sf, "documents")
           .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
     ),
+    // Curriculum training order over the quality score: 3 stages at
+    // thresholds (0.3, 0.5), HIGH-quality stages first, seeded shuffle
+    // within each stage per shard — the full (stage, shard, pos) order is
+    // replayed by DuckDB (stage rule on the gated score, hash windows).
+    QueryDef(
+      "llm_curriculum",
+      Some(
+        s"""WITH q AS (SELECT doc_id, round(
+           |    0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) +
+           |    0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) +
+           |    0.2 * least(CAST(${hitsSql("en")} AS DOUBLE) / 4.0, 1.0), 6) AS quality
+           |  FROM documents),
+           |s AS (SELECT doc_id, quality,
+           |    CAST((CASE WHEN quality >= 0.3 THEN 1 ELSE 0 END)
+           |       + (CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS stage,
+           |    CAST(concat('0x', substr(md5('cur:13:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS hv
+           |  FROM q)
+           |SELECT doc_id, stage, CAST(hv % 8 AS BIGINT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY -stage, hv, doc_id) - 1 AS BIGINT) AS pos
+           |FROM s""".stripMargin
+      ),
+      (spark, sf) =>
+        Corpus
+          .curriculumOrder(
+            table(spark, sf, "documents")
+              .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality")),
+            "doc_id",
+            "quality",
+            thresholds = Seq(0.3, 0.5),
+            seed = 13L,
+            shards = 8,
+            descendingStages = true
+          )
+          .select("doc_id", "stage", "shard", "pos")
+    ),
     // Paragraph-level boilerplate removal (C4/RefinedWeb repeated-spans
     // step): the corpus is single-line, so the query synthesizes line
     // structure in both engines (the llm_c4_clean fixture) plus two

@@ -1406,6 +1406,33 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(estM == estW)
   }
 
+  test("curriculumOrder: stage thresholds, stage-major order, shuffle within stage") {
+    val df = Seq(
+      (1L, 0.1), (2L, 0.9), (3L, 0.4), (4L, 0.95), (5L, 0.2), (6L, 0.55)
+    ).toDF("doc_id", "score")
+    val out = Corpus
+      .curriculumOrder(df, "doc_id", "score", Seq(0.3, 0.5), seed = 3L, shards = 1, descendingStages = true)
+      .select("doc_id", "stage", "pos")
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(_._3)
+    // stages: <0.3 -> 0 (ids 1,5); [0.3,0.5) -> 1 (id 3); >=0.5 -> 2 (ids 2,4,6)
+    val stageOf = out.map(r => r._1 -> r._2).toMap
+    assert(stageOf == Map(1L -> 0L, 5L -> 0L, 3L -> 1L, 2L -> 2L, 4L -> 2L, 6L -> 2L))
+    // descending stages: all stage-2 docs train before stage-1 before stage-0
+    assert(out.map(_._2).toSeq == Seq(2L, 2L, 2L, 1L, 0L, 0L))
+    // ascending flips it
+    val asc = Corpus
+      .curriculumOrder(df, "doc_id", "score", Seq(0.3, 0.5), seed = 3L, shards = 1)
+      .select("stage", "pos").as[(Long, Long)].collect().sortBy(_._2).map(_._1)
+    assert(asc.toSeq == Seq(0L, 0L, 1L, 2L, 2L, 2L))
+    // determinism
+    val again = Corpus
+      .curriculumOrder(df, "doc_id", "score", Seq(0.3, 0.5), seed = 3L, shards = 1, descendingStages = true)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    assert(again == out.map(r => (r._1, r._3)).toSet)
+  }
+
   test("signMatrix/randomProject: md5-derived signs, exact integer projection") {
     val m = Embeddings.signMatrix(4, 3, seed = 7L)
     assert(m.length == 4 && m.forall(_.length == 3))
