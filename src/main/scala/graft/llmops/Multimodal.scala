@@ -90,6 +90,80 @@ object Multimodal {
     }
   }
 
+  /** Deterministic GRADIENT PNG payloads: pixel (x, y) of image `id` is
+    * r = (5x + id) mod 256, g = (7y + 2id) mod 256, b = (x + y + 3id)
+    * mod 256 — position-dependent on purpose, so a RESIZE's output depends
+    * on WHICH source pixels were sampled (a solid fill would make any
+    * coordinate-mapping bug invisible). PNG is lossless: the decoder gets
+    * these exact values back. Same dims-from-id scheme as
+    * [[synthesizePng]].
+    */
+  def synthesizePngGradient(ids: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.map { id =>
+        val w = (id % 21 + 1).toInt * 3
+        val h = (id % 13 + 1).toInt * 4
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((5L * x + id) % 256).toInt
+            val g = ((7L * y + 2L * id) % 256).toInt
+            val b = ((x.toLong + y + 3L * id) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        val bytes = baos.toByteArray
+        MediaRow(id, bytes, MediaMeta(bytes.length.toLong, "image/png"))
+      }
+    }
+  }
+
+  /** REAL nearest-neighbor resize for [[decodeBatched]]: decodes the
+    * payload with `javax.imageio`, samples source pixel
+    * (⌊dx·srcW/dstW⌋, ⌊dy·srcH/dstH⌋) for every destination coordinate —
+    * the standard integer NN map, floor semantics on both axes — and
+    * emits the sampled-channel sum as the verifiable digest of the resized
+    * image. The per-partition open/decode/transform loop is exactly the
+    * batch shape a JPEG/webp + SIMD resize library would plug into; the
+    * coordinate map is the part a contract can verify engine-independently
+    * (the gradient fixture makes any off-by-one in it change the sum).
+    */
+  def resizeNearestCodec[T](dstW: Int, dstH: Int)(
+      mk: (Long, Long, Long, Long, Long, Long) => T
+  ): () => MediaRow => T = {
+    require(dstW > 0 && dstH > 0, "resize dims must be positive")
+    () => {
+      System.setProperty("java.awt.headless", "true")
+      row => {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+        require(img != null, s"no image codec recognizes payload of doc ${row.doc_id}")
+        val (srcW, srcH) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var dy = 0
+        while (dy < dstH) {
+          val sy = dy * srcH / dstH
+          var dx = 0
+          while (dx < dstW) {
+            val sx = dx * srcW / dstW
+            val p = img.getRGB(sx, sy)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            dx += 1
+          }
+          dy += 1
+        }
+        mk(row.doc_id, srcW.toLong, srcH.toLong, dstW.toLong, dstH.toLong, sum)
+      }
+    }
+  }
+
   /** A real `javax.imageio` decoder for [[decodeBatched]]: sniffs the
     * format from the bytes (not the metadata — the codec is the truth),
     * decodes, and emits (id, mime, width, height, pixel checksum) through

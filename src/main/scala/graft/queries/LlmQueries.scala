@@ -52,6 +52,7 @@ object LlmQueries {
       fake_duration_s: Double
   )
   final case class DecodedImage(doc_id: Long, mime: String, width: Long, height: Long, pixel_sum: Long)
+  final case class ResizedImage(doc_id: Long, src_w: Long, src_h: Long, out_w: Long, out_h: Long, sample_sum: Long)
   final case class DecodedAudio(doc_id: Long, mime: String, sample_rate: Long, n_frames: Long, byte_sum: Long)
   final case class DecodedVideo(doc_id: Long, mime: String, timescale: Long, duration_ticks: Long, n_tracks: Long)
 
@@ -3800,6 +3801,35 @@ object LlmQueries {
         import spark.implicits._
         val media = Multimodal.synthesizePng(table(spark, sf, "documents").select("doc_id"))
         Multimodal.decodeBatched[DecodedImage](media)(Multimodal.imageIoCodec(DecodedImage.apply)).toDF()
+      }
+    ),
+    // REAL nearest-neighbor resize over gradient PNGs: decode + NN sample
+    // to 8x8 inside the per-partition codec loop. The gradient fixture
+    // makes the sampled-channel sum depend on WHICH source pixels the
+    // coordinate map picked, so the oracle's arithmetic replay of
+    // floor(d*src/dst) sampling verifies the resize map itself.
+    QueryDef(
+      "llm_multimodal_resize",
+      Some(
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 21 + 1 AS BIGINT) * 3 AS src_w,
+          |    CAST(doc_id % 13 + 1 AS BIGINT) * 4 AS src_h FROM documents),
+          |g AS (SELECT doc_id, src_w, src_h,
+          |    (CAST(dx.dx AS BIGINT) * src_w) // 8 AS sx,
+          |    (CAST(dy.dy AS BIGINT) * src_h) // 8 AS sy
+          |  FROM d, (SELECT unnest(range(8)) AS dx) dx, (SELECT unnest(range(8)) AS dy) dy)
+          |SELECT doc_id, src_w, src_h, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+          |  CAST(sum((5 * sx + doc_id) % 256 + (7 * sy + 2 * doc_id) % 256
+          |           + (sx + sy + 3 * doc_id) % 256) AS BIGINT) AS sample_sum
+          |FROM g GROUP BY 1, 2, 3""".stripMargin
+      ),
+      (spark, sf) => {
+        import spark.implicits._
+        val media = Multimodal.synthesizePngGradient(table(spark, sf, "documents").select("doc_id"))
+        Multimodal
+          .decodeBatched[ResizedImage](media)(
+            Multimodal.resizeNearestCodec(8, 8)(ResizedImage.apply)
+          )
+          .toDF()
       }
     ),
     // REAL audio decode: deterministic 16-bit mono PCM WAVs round-trip

@@ -954,6 +954,46 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("gradient png + nearest-neighbor resize: sampled sum matches the coordinate-map arithmetic") {
+    val ids = Seq(3L, 17L, 40L).toDF("doc_id")
+    val media = Multimodal.synthesizePngGradient(ids)
+    val out = Multimodal
+      .decodeBatched(media)(
+        Multimodal.resizeNearestCodec(8, 8)((i, sw, sh, ow, oh, s) => (i, sw, sh, ow, oh, s))
+      )
+      .collect()
+      .sortBy(_._1)
+    out.foreach { case (id, sw, sh, ow, oh, sum) =>
+      assert(sw == (id % 21 + 1) * 3 && sh == (id % 13 + 1) * 4)
+      assert(ow == 8L && oh == 8L)
+      // independent plain-Scala replay of decode + NN sampling
+      var expected = 0L
+      for (dy <- 0 until 8; dx <- 0 until 8) {
+        val sx = dx * sw / 8
+        val sy = dy * sh / 8
+        expected += (5 * sx + id) % 256
+        expected += (7 * sy + 2 * id) % 256
+        expected += (sx + sy + 3 * id) % 256
+      }
+      assert(sum == expected, s"resize sample sum mismatch for doc $id")
+    }
+    // non-vacuity: the gradient makes the digest sampling-dependent — a
+    // wrong coordinate map (ceil instead of floor) must change the sum
+    val id = 17L
+    val sw = (id % 21 + 1) * 3
+    val sh = (id % 13 + 1) * 4
+    var wrong = 0L
+    for (dy <- 0 until 8; dx <- 0 until 8) {
+      val sx = math.min(sw - 1, (dx * sw + 7) / 8)
+      val sy = math.min(sh - 1, (dy * sh + 7) / 8)
+      wrong += (5 * sx + id) % 256
+      wrong += (7 * sy + 2 * id) % 256
+      wrong += (sx + sy + 3 * id) % 256
+    }
+    val right = out.find(_._1 == id).get._6
+    assert(wrong != right, "gradient fixture failed to distinguish floor from ceil sampling")
+  }
+
   test("mp4 synthesize/parse round-trips container metadata through a real box walk") {
     val ids = Seq(0L, 7L, 59L, 123L).toDF("doc_id")
     val media = Multimodal.synthesizeMp4(ids)
