@@ -1906,7 +1906,10 @@ object LlmQueries {
       },
       (spark, sf) =>
         Similarity
-          .ivfPqTopK(clusteredFixture(spark, sf), "vec_id", "v", k = 5, cells = 8, nprobe = 2, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, rerank = 50, dim = EmbDim)
+          // checkpoint the fixture: its zip_with construction is otherwise
+          // re-evaluated by every consumer in the chain (coarse fit, PQ
+          // fit, encode, probe, re-rank fetch) — measured 9.6 → 7.1 s
+          .ivfPqTopK(clusteredFixture(spark, sf).localCheckpoint(true), "vec_id", "v", k = 5, cells = 8, nprobe = 2, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, rerank = 50, dim = EmbDim)
           .select("qid", "nid", "rank")
     ),
     // Recall ledger pricing PQ loss: ADC-ONLY top-5 (no re-rank, same
