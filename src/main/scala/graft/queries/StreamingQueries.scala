@@ -383,6 +383,70 @@ object StreamingQueries {
           .awaitTermination()
         spark.read.parquet(out).select("a", "b", "band", "hamming")
       }
+    ),
+    // Incremental HLL maintenance over a real multi-batch stream: the
+    // corpus arrives as THREE micro-batches (maxFilesPerTrigger=1), each
+    // batch emits its PARTIAL register table via foreachBatch, and the
+    // read side folds them with the register-MAX merge — the streaming
+    // form of the [[graft.llmops.Sketches.hllMerge]] algebra. Because
+    // register merge is idempotent and order-free, the result must equal
+    // the one-shot batch registers over the whole corpus EXACTLY (the
+    // same rows llm_hll_sketch derives) — no watermark, no state store:
+    // the sketch itself is the state, which is why mergeable sketches are
+    // the streaming-cardinality answer at 100 TB.
+    QueryDef(
+      "t10_stream_hll_batch_eq",
+      Some(
+        """WITH t0 AS (SELECT string_split(text, ' ') AS toks FROM documents),
+          |tok AS (SELECT unnest(list_distinct(list_transform(range(len(toks)-2),
+          |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS t FROM t0),
+          |h AS (SELECT CAST((CAST(concat('0x', substr(md5(t), 1, 7)) AS UBIGINT) << 28)
+          |        + CAST(concat('0x', substr(md5(t), 8, 7)) AS UBIGINT) AS BIGINT) AS hv FROM tok),
+          |r AS (SELECT hv >> 50 AS bucket, hv & 4294967295 AS w FROM h),
+          |rh AS (SELECT bucket, CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS rho FROM r)
+          |SELECT bucket, max(rho) AS m_j FROM rh GROUP BY 1""".stripMargin
+      ),
+      (spark, sf) => {
+        import graft.llmops.{Fingerprints, Sketches}
+        val in = tmpDir("t10_in")
+        val out = tmpDir("t10_out")
+        val ckpt = tmpDir("t10_ckpt")
+        // three files -> three micro-batches under maxFilesPerTrigger=1
+        spark.read
+          .parquet(s"$sf/documents.parquet")
+          .select("doc_id", "text")
+          .repartition(3)
+          .write
+          .mode("overwrite")
+          .parquet(in)
+        val stream = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+        stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // per-batch PARTIAL registers appended to the sink; the merge
+            // happens at read. Micro-batch boundaries can't change the
+            // answer — register max is associative, commutative, and
+            // idempotent (a replayed batch after a crash folds to the
+            // same registers: exactly-once NOT required).
+            Sketches
+              .hllRegisters(
+                batch.select(explode(Fingerprints.shingles(col("text"), 3)).as("t")),
+                "t",
+                p = 6
+              )
+              .write
+              .mode("append")
+              .parquet(out)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        Sketches.hllMerge(spark.read.parquet(out))
+      }
     )
   )
 
