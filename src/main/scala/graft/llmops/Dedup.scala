@@ -280,6 +280,47 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Directed n-gram CONTAINMENT pairs — the excerpt/quote detector
+    * Jaccard misses: containment C(a→b) = |S(a) ∩ S(b)| / |S(a)| is ~1
+    * when doc `a` is a snippet of doc `b` even though their Jaccard is
+    * tiny (|S(b)| dominates the union). Emits (a, b, containment) for
+    * a ≠ b with containment ≥ tau — DIRECTED, so both orientations are
+    * evaluated and only the contained side fires. Same shared-shingle
+    * equi-join + `maxDf` universe-cap discipline as
+    * [[ngramJaccardPairs]] (set sizes come from the capped universe, so
+    * the capped containment stays unbiased); at scale the cap is what
+    * keeps the join off stop-shingles.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tau: Double,
+      maxDf: Int = 0
+  ): DataFrame = {
+    val withSh = df.select(col(idCol).as("__id"), Fingerprints.shingles(col(textCol), k).as("__sh"))
+    val exploded = withSh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val filtered =
+      if (maxDf <= 0) exploded
+      else {
+        val dfreq = exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
+        exploded.join(dfreq.filter(col("__df") <= maxDf).select("__s"), "__s")
+      }
+    val counts = filtered.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val left = filtered.select(col("__id").as("a"), col("__s"))
+    val right = filtered.select(col("__id").as("b"), col("__s").as("__s2"))
+    val inter = left
+      .join(right, col("__s") === col("__s2") && col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(counts.withColumnRenamed("__id", "a").withColumnRenamed("__n", "__na"), "a")
+      .withColumn("containment", col("__inter").cast("double") / col("__na").cast("double"))
+      .filter(col("containment") >= tau)
+      .select("a", "b", "containment")
+  }
+
   /** Incremental exact dedup — the ingest-time variant of [[dedupExact]]:
     * drop from `batch` every row whose content `key` already exists in the
     * previously-ingested index (`existingKeys`), then dedup within the

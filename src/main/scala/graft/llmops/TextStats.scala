@@ -118,6 +118,84 @@ object TextStats {
       )
   }
 
+  /** Blocklist screening (the C4 "bad words" cleaning step): per doc, the
+    * OCCURRENCE count of blocklisted tokens (not distinct hits — ratio
+    * thresholds need occurrences), the bad-token ratio, and the keep
+    * decision at `maxBadRatio`. The list rides into the plan as an array
+    * literal (broadcast-free below ~thousands of terms; for a 100k-term
+    * list switch to a broadcast left-semi join on token). Pure per-row
+    * expressions — full scan parallelism, no shuffle.
+    */
+  def blocklistFilter(
+      df: DataFrame,
+      textCol: String,
+      words: Seq[String],
+      maxBadRatio: Double
+  ): DataFrame = {
+    require(words.nonEmpty, "need at least one blocklisted word")
+    require(maxBadRatio >= 0.0, "maxBadRatio must be non-negative")
+    val toks = tokens(col(textCol))
+    val wl = array(words.map(lit): _*)
+    val nBad = size(filter(toks, t => array_contains(wl, t))).cast("long")
+    val ratio = nBad.cast("double") / size(toks).cast("double")
+    df.withColumn("n_bad", nBad)
+      .withColumn("bad_ratio", ratio)
+      .withColumn("keep", ratio <= maxBadRatio)
+  }
+
+  /** Quantized bigram surprisal — the LM-perplexity-proxy quality signal
+    * (CCNet filters on a KenLM score; this is the log-FREE form of the
+    * same idea). Per bigram occurrence, surprisal = ⌊log₂ c(prev)⌋ −
+    * ⌊log₂ c(prev,next)⌋ — an integer lower-witness of −log₂ P(next|prev)
+    * quantized to whole bits. High mean surprisal = improbable word
+    * transitions under the corpus's own bigram statistics (OCR noise,
+    * shuffled text, wrong language); low = formulaic prose. The floor-log₂
+    * is a BINARY DIGIT COUNT (same trick as the HLL rho), so the whole
+    * score is exact integers into one trailing division — it hash-gates
+    * cross-engine, where a float `ln` LM score is at the mercy of libm.
+    *
+    * Scale shape: bigram-vocab count tables (map-side-combined), two
+    * AQE-skew-splittable vocab joins back on the occurrence stream —
+    * the [[rarityScore]] shape, one n-gram order up. Output per doc:
+    * (n_bigrams, surprisal_sum, mean_surprisal; single-token docs keep a
+    * row with n_bigrams = 0 and NULL mean).
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val bigrams = df.select(
+      col(idCol),
+      explode(
+        zip_with(
+          slice(toks, lit(1), greatest(n - 1, lit(0))),
+          slice(toks, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => struct(a.as("prev"), concat(a, lit(" "), b).as("bg"))
+        )
+      ).as("__e")
+    ).select(col(idCol), col("__e.prev").as("__prev"), col("__e.bg").as("__bg"))
+    val cPair = bigrams.groupBy("__bg").agg(count(lit(1)).as("__cpair"))
+    val cPrev = bigrams.groupBy("__prev").agg(count(lit(1)).as("__cprev"))
+    def flog2(c: Column): Column = (length(conv(c, 10, 2)) - 1).cast("long")
+    val perDoc = bigrams
+      .join(cPair, "__bg")
+      .join(cPrev, "__prev")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(flog2(col("__cprev")) - flog2(col("__cpair"))).as("surprisal_sum")
+      )
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_sum"), lit(0L)).as("surprisal_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(col("surprisal_sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_surprisal")
+      )
+  }
+
   /** PII redaction: emails, IPv4 addresses, then long digit runs are
     * replaced with typed placeholder tags, in that fixed order (order
     * matters — a phone-ish digit run inside an already-redacted tag must

@@ -1161,6 +1161,32 @@ object LlmQueries {
       (spark, sf) =>
         TextStats.rarityScore(table(spark, sf, "documents"))
     ),
+    // Quantized bigram surprisal: the log-free LM-score proxy — integer
+    // floor-log2 (binary digit count) of the corpus's own bigram
+    // conditionals, so the perplexity-style signal hash-gates where a
+    // float ln score couldn't.
+    QueryDef(
+      "llm_surprisal",
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |b AS (SELECT doc_id, toks[CAST(u.i AS INTEGER) + 1] AS prev,
+          |        toks[CAST(u.i AS INTEGER) + 1] || ' ' || toks[CAST(u.i AS INTEGER) + 2] AS bg
+          |      FROM t, unnest(range(len(toks) - 1)) AS u(i)),
+          |cp AS (SELECT bg, CAST(count(*) AS BIGINT) AS cpair FROM b GROUP BY 1),
+          |cv AS (SELECT prev, CAST(count(*) AS BIGINT) AS cprev FROM b GROUP BY 1),
+          |s AS (SELECT doc_id,
+          |        CAST((length(bin(cprev)) - 1) - (length(bin(cpair)) - 1) AS BIGINT) AS sv
+          |      FROM b JOIN cp USING (bg) JOIN cv USING (prev)),
+          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |          CAST(sum(sv) AS BIGINT) AS surprisal_sum FROM s GROUP BY 1)
+          |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+          |  coalesce(surprisal_sum, 0) AS surprisal_sum,
+          |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN NULL
+          |       ELSE CAST(surprisal_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS mean_surprisal
+          |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+      ),
+      (spark, sf) => TextStats.bigramSurprisal(table(spark, sf, "documents"))
+    ),
     // Content fingerprint (cross-engine md5).
     QueryDef(
       "llm_fingerprint",
@@ -1256,6 +1282,40 @@ object LlmQueries {
           bands = 32,
           tau = 0.8
         )
+      }
+    ),
+    // Directed n-gram CONTAINMENT: the excerpt detector. The fixture
+    // plants 12-token prefix snippets of every 37th doc — snippet→source
+    // containment is 1.0 while their Jaccard is tiny, exactly the case
+    // the jaccard dedup family structurally misses.
+    QueryDef(
+      "llm_containment",
+      Some(
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id,
+          |    array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+          |  FROM documents WHERE doc_id % 37 = 2),
+          |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s FROM t),
+          |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY 1),
+          |i AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+          |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+          |SELECT a, b, CAST(inter AS DOUBLE) / CAST(ns AS DOUBLE) AS containment
+          |FROM i JOIN n ON n.doc_id = i.a
+          |WHERE CAST(inter AS DOUBLE) / CAST(ns AS DOUBLE) >= 0.8""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents").select("doc_id", "text")
+        val snippets = docs
+          .filter(col("doc_id") % 37 === 2)
+          .select(
+            copyId(col("doc_id")).as("doc_id"),
+            array_join(slice(TextStats.tokens(col("text")), 1, 12), " ").as("text")
+          )
+        Dedup.ngramContainmentPairs(docs.unionByName(snippets), "doc_id", "text", k = 3, tau = 0.8)
       }
     ),
     // Exact n-gram Jaccard pairs via the inverted-index join (lower tau:
@@ -2291,6 +2351,31 @@ object LlmQueries {
       (spark, sf) =>
         table(spark, sf, "documents")
           .select(col("doc_id"), TextStats.redactPii(col("text")).as("redacted"))
+    ),
+    // Blocklist screening (C4 badwords step, on corpus-native tokens so
+    // both branches of the keep decision fire): occurrence counts, ratio,
+    // and the keep flag at a 12% ceiling (majority keep, tail drop).
+    QueryDef(
+      "llm_blocklist",
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |b AS (SELECT doc_id, toks,
+          |        CAST(len(list_filter(toks, x -> list_contains(['slow', 'big', 'stream'], x))) AS BIGINT) AS n_bad
+          |      FROM t)
+          |SELECT doc_id, n_bad,
+          |  CAST(n_bad AS DOUBLE) / len(toks) AS bad_ratio,
+          |  CAST(n_bad AS DOUBLE) / len(toks) <= 0.12 AS keep
+          |FROM b""".stripMargin
+      ),
+      (spark, sf) =>
+        TextStats
+          .blocklistFilter(
+            table(spark, sf, "documents").select("doc_id", "text"),
+            "text",
+            words = Seq("slow", "big", "stream"),
+            maxBadRatio = 0.12
+          )
+          .select("doc_id", "n_bad", "bad_ratio", "keep")
     ),
     // Gopher-style quality-rule flags: measured values + composite keep.
     QueryDef(

@@ -1446,6 +1446,63 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(estM == estW)
   }
 
+  test("blocklistFilter: occurrence counts (not distinct), ratio threshold") {
+    val df = Seq(
+      (1L, "bad bad ok ok"),     // 2/4 = 0.5
+      (2L, "ok ok ok ok"),       // 0
+      (3L, "bad ok")             // 0.5
+    ).toDF("doc_id", "text")
+    val out = TextStats
+      .blocklistFilter(df, "text", Seq("bad"), maxBadRatio = 0.4)
+      .select("doc_id", "n_bad", "bad_ratio", "keep")
+      .as[(Long, Long, Double, Boolean)]
+      .collect()
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 0.5, false), (2L, 0L, 0.0, true), (3L, 1L, 0.5, false)))
+  }
+
+  test("ngramContainmentPairs: snippet containment fires where jaccard stays low") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 8 shingles at k=3
+      (2L, "a b c d"),             // 2 shingles, both in doc 1 -> C(2->1)=1.0
+      (3L, "z y x w v")            // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .ngramContainmentPairs(df, "doc_id", "text", k = 3, tau = 0.9)
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    assert(pairs == Seq((2L, 1L, 1.0))) // directed: only snippet->source
+    // jaccard on the same pair is 2/8 = 0.25 — below any dedup tau
+    val j = Dedup
+      .ngramJaccardPairs(df, "doc_id", "text", k = 3, tau = 0.2)
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    assert(j == Seq((1L, 2L, 0.25)))
+  }
+
+  test("bigramSurprisal: integer floor-log2 conditionals, hand-checked") {
+    val df = Seq(
+      (1L, "a b a b"), // bigrams: ab, ba, ab
+      (2L, "a b c"),   // ab, bc
+      (3L, "x")        // no bigrams
+    ).toDF("doc_id", "text")
+    // occurrence counts: prev a:3 (ab,ab,ab), b:2 (ba,bc); pairs ab:3, ba:1, bc:1
+    // flog2: c(a)=3->1, c(b)=2->1, ab=3->1, ba=1->0, bc=1->0
+    // doc1: (1-1)+(1-0)+(1-1) = 1 over 3; doc2: (1-1)+(1-0) = 1 over 2
+    val out = TextStats
+      .bigramSurprisal(df)
+      .as[(Long, Long, Long, Option[Double])]
+      .collect()
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, Some(1.0 / 3.0)),
+      (2L, 2L, 1L, Some(0.5)),
+      (3L, 0L, 0L, None)
+    ))
+  }
+
   test("curriculumOrder: stage thresholds, stage-major order, shuffle within stage") {
     val df = Seq(
       (1L, 0.1), (2L, 0.9), (3L, 0.4), (4L, 0.95), (5L, 0.2), (6L, 0.55)
