@@ -154,6 +154,57 @@ object Fingerprints {
   def simhash56Md5(text: Column): Column =
     graft.functions.native.simhash56Md5(TextStats.tokens(text))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS document
+    * fingerprint): hash every POSITIONAL k-gram (not the distinct set —
+    * winnowing is order-aware), then keep the MINIMUM hash of every
+    * window of `w` consecutive k-gram hashes, deduplicated. Guarantee:
+    * any two docs sharing a token run of ≥ w+k−1 tokens share at least
+    * one fingerprint, while the stored set is ~2/(w+1) the size of the
+    * full k-gram set — the density/guarantee trade that makes winnowing
+    * the standard near-copy index for plagiarism/clone detection. Docs
+    * with fewer than `w` k-grams keep one fingerprint (the global min);
+    * docs shorter than k tokens emit none.
+    *
+    * Pure per-row array expressions (no shuffle, no UDF); the 56-bit
+    * md5-derived hash is the corpus-wide [[graft.llmops.Sketches.hash56]]
+    * form, so fingerprint equality is engine-portable and the DuckDB
+    * oracle replays the whole selection. Output: (idCol, fp) exploded —
+    * the inverted-index shape a fingerprint store ingests.
+    */
+  def winnowFingerprints(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k-gram width must be positive")
+    require(w >= 1, "winnowing window must be positive")
+    val toks = TextStats.tokens(col(textCol))
+    val n = size(toks)
+    val grams = when(
+      n >= k,
+      transform(
+        sequence(lit(0), n - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)
+      )
+    ).otherwise(array().cast("array<string>"))
+    val hashes = transform(
+      grams,
+      g =>
+        shl(conv(substring(md5(g), 1, 7), 16, 10).cast("long"), lit(28))
+          .bitwiseOR(conv(substring(md5(g), 8, 7), 16, 10).cast("long"))
+    )
+    val hs = col("__hs")
+    val fps = when(size(hs) === 0, array().cast("array<bigint>"))
+      .when(size(hs) <= w, array(array_min(hs)))
+      .otherwise(
+        transform(sequence(lit(0), size(hs) - w), i => array_min(slice(hs, i + 1, lit(w))))
+      )
+    df.select(col(idCol), hashes.as("__hs"))
+      .select(col(idCol), explode(array_distinct(fps)).as("fp"))
+  }
+
   /** Built-in-function formulation of [[simhash56Md5]] — reference
     * implementation (conv/md5/substring are all Spark built-ins; slow
     * interpreted HOF, spec-only).

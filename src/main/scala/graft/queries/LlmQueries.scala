@@ -1195,6 +1195,30 @@ object LlmQueries {
         table(spark, sf, "documents")
           .select(col("doc_id"), Fingerprints.contentKeyMd5(col("text")).as("content_md5"))
     ),
+    // Winnowing fingerprints (MOSS): min-hash of every 4-window of
+    // positional 3-gram hashes, deduped — the full selection replayed by
+    // DuckDB. Shared runs of >= 6 tokens are GUARANTEED a shared
+    // fingerprint at ~2/(w+1) storage density.
+    QueryDef(
+      "llm_winnow",
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+          |        THEN list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+          |        ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+          |h AS (SELECT doc_id, list_transform(grams,
+          |        g -> CAST((CAST(concat('0x', substr(md5(g), 1, 7)) AS UBIGINT) << 28)
+          |               + CAST(concat('0x', substr(md5(g), 8, 7)) AS UBIGINT) AS BIGINT)) AS hs FROM g),
+          |f AS (SELECT doc_id, list_distinct(
+          |        CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+          |             WHEN len(hs) <= 4 THEN [list_min(hs)]
+          |             ELSE list_transform(range(len(hs)-3),
+          |                    i -> list_min(hs[CAST(i+1 AS INTEGER):CAST(i+4 AS INTEGER)])) END) AS fps FROM h)
+          |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin
+      ),
+      (spark, sf) =>
+        Fingerprints.winnowFingerprints(table(spark, sf, "documents"), "doc_id", "text", k = 3, w = 4)
+    ),
     // Portable fingerprints: 56-bit md5-simhash + order-sensitive rolling
     // hash, both recomputed bit-for-bit by the DuckDB oracle (was a
     // rows-only entry when it exposed the xxhash64 variants; those stay as

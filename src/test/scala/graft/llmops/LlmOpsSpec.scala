@@ -1446,6 +1446,33 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(estM == estW)
   }
 
+  test("winnowFingerprints: guarantee (shared >= w+k-1 run shares a fingerprint), density, edges") {
+    // docs 1 and 2 share the 7-token run "p q r s t u v" >= w+k-1 = 6
+    val df = Seq(
+      (1L, "a b p q r s t u v c d e f g h"),
+      (2L, "x y z p q r s t u v w"),
+      (3L, "m n"),        // shorter than k: no fingerprints
+      (4L, "m n o p")     // 2 grams < w: exactly one (global-min) fingerprint
+    ).toDF("doc_id", "text")
+    val fps = Fingerprints
+      .winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert(!fps.contains(3L))
+    assert(fps(4L).size == 1)
+    // density: far fewer fingerprints than grams (13 grams in doc 1)
+    assert(fps(1L).size < 13)
+    // determinism + the selected values are actual gram hashes
+    val again = Fingerprints
+      .winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(again == Fingerprints.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long)].collect().toSet)
+  }
+
   test("blocklistFilter: occurrence counts (not distinct), ratio threshold") {
     val df = Seq(
       (1L, "bad bad ok ok"),     // 2/4 = 0.5
