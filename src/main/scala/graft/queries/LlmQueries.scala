@@ -1311,7 +1311,16 @@ object LlmQueries {
     // Directed n-gram CONTAINMENT: the excerpt detector. The fixture
     // plants 12-token prefix snippets of every 37th doc — snippet→source
     // containment is 1.0 while their Jaccard is tiny, exactly the case
-    // the jaccard dedup family structurally misses.
+    // the jaccard dedup family structurally misses. Registered WITH the
+    // maxDf universe cap (df <= 8): the uncapped shared-shingle join
+    // measured 71x shuffle growth under 10x data (this corpus's tiny
+    // token vocabulary saturates the 3-gram space, so pair volume tracks
+    // sum(df^2) ~ n^2/|shingle space|); at df <= 8 the measured join
+    // volume is 54k -> 457k under 10x data — linear — while the planted
+    // snippet signal stays live at both SFs (snippet shingles natively
+    // have df 2). Capped containment is containment OVER the capped
+    // universe on both engines — the same semantics-preserving trade the
+    // capped jaccard entry proves.
     QueryDef(
       "llm_containment",
       Some(
@@ -1322,8 +1331,10 @@ object LlmQueries {
           |    array_to_string(string_split(text, ' ')[1:12], ' ') AS text
           |  FROM documents WHERE doc_id % 37 = 2),
           |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
+          |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks)-2),
           |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s FROM t),
+          |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 8),
+          |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
           |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY 1),
           |i AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
           |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
@@ -1339,7 +1350,7 @@ object LlmQueries {
             copyId(col("doc_id")).as("doc_id"),
             array_join(slice(TextStats.tokens(col("text")), 1, 12), " ").as("text")
           )
-        Dedup.ngramContainmentPairs(docs.unionByName(snippets), "doc_id", "text", k = 3, tau = 0.8)
+        Dedup.ngramContainmentPairs(docs.unionByName(snippets), "doc_id", "text", k = 3, tau = 0.8, maxDf = 8)
       }
     ),
     // Exact n-gram Jaccard pairs via the inverted-index join (lower tau:
