@@ -73,13 +73,13 @@ object Embeddings {
     * the recall ledger prices what the distortion costs.
     */
   def randomProject(qvec: Column, matrix: Array[Array[Int]]): Column =
+    // one native codegen'd arrayDot per output dim: the HOF
+    // aggregate/zip_with formulation of the same left-to-right sum
+    // measured ~14 s at bench SF (interpreted lambda per element per
+    // dim); products are ints, so the kernel's double accumulator is
+    // exact and the long cast loses nothing
     array(matrix.map { row =>
-      val rowLit = array(row.map(lit): _*)
-      aggregate(
-        zip_with(qvec, rowLit, (x, s) => (x * s).cast("long")),
-        lit(0L),
-        (acc, x) => acc + x
-      )
+      graft.functions.native.arrayDot(qvec, array(row.map(lit): _*)).cast("long")
     }: _*)
 
   def quantizedCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =

@@ -2545,16 +2545,20 @@ object LlmQueries {
       ),
       (spark, sf) => {
         val m = Embeddings.signMatrix(16, AnnOracles.Dim, seed = 7L)
-        table(spark, sf, "embeddings").select(
-          col("vec_id"),
-          array_join(
-            transform(
-              Embeddings.randomProject(Embeddings.quantizeInt8(col("embedding")), m),
-              x => x.cast("string")
-            ),
-            ","
-          ).as("proj")
-        )
+        // quantize in its OWN projection: the 16 per-dim aggregates each
+        // reference the quantized array, and inlining quantizeInt8 16x
+        // re-evaluates its array_max scale per element per dim (measured
+        // 14.3 s for this per-row query; two-step select: sub-second).
+        // CollapseProject keeps the split (qv referenced 16x, non-cheap).
+        table(spark, sf, "embeddings")
+          .select(col("vec_id"), Embeddings.quantizeInt8(col("embedding")).as("__qv"))
+          .select(
+            col("vec_id"),
+            array_join(
+              transform(Embeddings.randomProject(col("__qv"), m), x => x.cast("string")),
+              ","
+            ).as("proj")
+          )
       }
     ),
     // What the 4x projection costs, priced per REGIME (the honest JL
@@ -2619,13 +2623,19 @@ object LlmQueries {
             vecCol: String,
             labeled: Boolean
         ) = {
-          val proj = src.select(
-            col("vec_id"),
-            transform(
-              Embeddings.randomProject(Embeddings.quantizeInt8(col(vecCol)), m),
-              x => x.cast("double")
-            ).as("pv")
-          )
+          // checkpoint the projected vectors: bruteTopK's pair join would
+          // otherwise re-evaluate the projection expression PER PAIR
+          // (n x per row — measured 32 s for this ledger; checkpointed:
+          // the brute passes alone). Quantize split from projection for
+          // the same per-dim re-evaluation reason as llm_embed_project.
+          val proj = src
+            .select(col("vec_id"), Embeddings.quantizeInt8(col(vecCol)).as("__qv"))
+            .select(
+              col("vec_id"),
+              transform(Embeddings.randomProject(col("__qv"), m), x => x.cast("double"))
+                .as("pv")
+            )
+            .localCheckpoint(true)
           val full = Similarity.bruteTopK(src, "vec_id", vecCol, k = 5).select("qid", "nid")
           val onProj = Similarity.bruteTopK(proj, "vec_id", "pv", k = 5).select("qid", "nid")
           val structScore =
