@@ -280,6 +280,63 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Winnowing fingerprint MATCH pairs — the cross-document half of the
+    * MOSS pipeline (Schleimer et al. 2003 §4: report documents sharing
+    * selected fingerprints). [[Fingerprints.winnowFingerprints]] gives the
+    * per-document selection with the guarantee that any shared token run
+    * of length ≥ w+k−1 contributes a SHARED fingerprint; this operator
+    * joins those selections on the fingerprint value and emits, per
+    * ordered pair, the shared-fingerprint count and the directed coverage
+    * `n_shared / |fp(a)|` — near 1 when `a` is substantially excerpted in
+    * `b`. This is the scalable stand-in for exact substring dedup (Lee et
+    * al. 2021 use suffix arrays single-node; winnowed fingerprints give
+    * the same long-shared-run signal as an equi-join).
+    *
+    * Scale: identical discipline to [[ngramJaccardPairs]] — the join key
+    * is the fingerprint, `maxDf` caps its document frequency BEFORE the
+    * self-join (a boilerplate run selected in millions of docs would
+    * otherwise create a quadratic bucket), and per-doc fingerprint counts
+    * come from the capped universe so the coverage ratio stays unbiased
+    * under the cap. Winnowing itself already thins the join input to
+    * ~2/(w+1) of the k-gram stream — this pair join moves strictly less
+    * data than the shingle-level containment join at the same guarantee
+    * length.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      tau: Double,
+      maxDf: Int = 0
+  ): DataFrame = {
+    val fps = Fingerprints.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp"))
+      // read by the df-cap, the per-doc counts, and BOTH sides of the
+      // self-join: snapshot once (the Similarity.scala cache-lifecycle
+      // idiom) instead of replaying the per-gram md5 window chain 4×
+      .localCheckpoint(true)
+    val filtered =
+      if (maxDf <= 0) fps
+      else {
+        val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        fps.join(dfreq.filter(col("__df") <= maxDf).select("fp"), "fp")
+      }
+    val counts = filtered.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val left = filtered.select(col("__id").as("a"), col("fp"))
+    val right = filtered.select(col("__id").as("b"), col("fp").as("__fp2"))
+    val inter = left
+      .join(right, col("fp") === col("__fp2") && col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(counts.withColumnRenamed("__id", "a").withColumnRenamed("__n", "__na"), "a")
+      .withColumn("coverage", col("n_shared").cast("double") / col("__na").cast("double"))
+      .filter(col("coverage") >= tau)
+      .select(col("a"), col("b"), col("n_shared"), col("coverage"))
+  }
+
   /** Directed n-gram CONTAINMENT pairs — the excerpt/quote detector
     * Jaccard misses: containment C(a→b) = |S(a) ∩ S(b)| / |S(a)| is ~1
     * when doc `a` is a snippet of doc `b` even though their Jaccard is

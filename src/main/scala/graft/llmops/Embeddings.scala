@@ -82,6 +82,61 @@ object Embeddings {
       graft.functions.native.arrayDot(qvec, array(row.map(lit): _*)).cast("long")
     }: _*)
 
+  /** Quality-centroid affinity — the embedding-space analog of the
+    * CLIP-score filter used by LAION / DataComp: score every vector by its
+    * cosine against the centroid of a trusted slice (`targetFilter`, e.g.
+    * a curated label), then keep the high-affinity tail. The centroid is
+    * the exact-integer SUM of the target rows' int8-quantized vectors
+    * (cosine is scale-invariant, so the un-divided sum IS the mean
+    * direction — no float mean, no reduction-order channel); the per-row
+    * score is one native [[graft.functions.native.arrayDot]] against that
+    * sum plus a single trailing divide-by-norms, so `dot_c` is an exact
+    * long that hash-gates cross-engine and `affinity` is deterministic
+    * per-row IEEE.
+    *
+    * Scale: the centroid is a 1-row scalar cross join (dim longs) built
+    * from one map-side-combined (dim, sum) aggregation of the TARGET slice
+    * only; scoring is a zero-shuffle projection over the corpus. The
+    * exactness envelope: |Σ q_i| ≤ 127·n_target, and the dot's double
+    * accumulator holds products up to 127·that — exact below 2^53, i.e.
+    * n_target up to ~5·10^8 per dimension. Past that, pre-divide the sums
+    * (mean direction re-quantized) before scoring.
+    */
+  def centroidAffinity(
+      df: DataFrame,
+      targetFilter: Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val qdf = df.select(col(idCol), quantizeInt8(col(vecCol)).as("__q"), targetFilter.as("__tgt"))
+    val sums = qdf
+      .filter(col("__tgt"))
+      .select(posexplode(col("__q")).as(Seq("__dim", "__v")))
+      .groupBy("__dim")
+      .agg(sum(col("__v").cast("long")).as("__s"))
+    val centroid = sums
+      .agg(collect_list(struct(col("__dim"), col("__s"))).as("__ds"))
+      .select(transform(array_sort(col("__ds")), s => s.getField("__s")).as("__csum"))
+    qdf
+      .crossJoin(centroid) // 1-row scalar: constant-cost broadcast at any scale
+      .select(
+        col(idCol),
+        col("__tgt").as("is_target"),
+        graft.functions.native.arrayDot(col("__q"), col("__csum")).cast("long").as("dot_c"),
+        when(
+          graft.functions.native.arrayDot(col("__q"), col("__q")) === 0.0 ||
+            graft.functions.native.arrayDot(col("__csum"), col("__csum")) === 0.0,
+          lit(0.0)
+        ).otherwise(
+          graft.functions.native.arrayDot(col("__q"), col("__csum")) /
+            sqrt(
+              graft.functions.native.arrayDot(col("__q"), col("__q")) *
+                graft.functions.native.arrayDot(col("__csum"), col("__csum"))
+            )
+        ).as("affinity")
+      )
+  }
+
   def quantizedCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol), posexplode(quantizeInt8(col(vecCol))).as(Seq("dim", "__q")))
       .groupBy(col(groupCol), col("dim").cast("long").as("dim"))

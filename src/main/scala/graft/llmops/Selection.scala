@@ -1,0 +1,212 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned / distribution-matching data-selection operators — the family
+  * that decides WHICH documents enter the training mix (as opposed to the
+  * rule-based filters in [[TextStats]] and the duplicate machinery in
+  * [[Dedup]]):
+  *
+  *   - DSIR (Xie et al., NeurIPS 2023 "Data Selection for Language Models
+  *     via Importance Resampling"): hashed-n-gram importance weights that
+  *     score every raw document by how target-like its feature distribution
+  *     is. The published recipe is float log-likelihood ratios; here the
+  *     per-bucket log-ratio is QUANTIZED to integer floor-log2 (the same
+  *     binary-digit-count trick as [[TextStats.bigramSurprisal]] and the
+  *     HLL rho), so every document score is an exact integer that
+  *     hash-gates cross-engine — no libm, no reduction-order channel.
+  *   - A multinomial Naive Bayes quality classifier — the role fastText
+  *     plays in the GPT-3 / LLaMA pipelines (train positive = a curated
+  *     source, negative = the rest; keep raw documents the classifier
+  *     scores positive). NB over token counts is the one classic text
+  *     classifier whose training IS a groupBy — no SGD, no float
+  *     accumulation order, fully SQL-replayable.
+  *
+  * Scale shape (both operators): one corpus tokenize pass; statistics
+  * tables are bounded (DSIR: ≤ `buckets` rows — broadcast; NB: vocabulary-
+  * sized, grows sublinearly — AQE-splittable join, same shape as
+  * [[TextStats.rarityScore]]); per-doc scores are one map-side-combined
+  * groupBy on the id. The corpus body never rides through a shuffle.
+  */
+object Selection {
+
+  /** Integer floor-log2 via binary digit count (c >= 1). */
+  private def flog2(c: Column): Column = (length(conv(c, 10, 2)) - 1).cast("long")
+
+  /** Cross-engine feature-hash bucket: first 28 bits of md5, mod buckets
+    * (DuckDB replays via `CAST(concat('0x', substr(md5(f),1,7)) AS
+    * UBIGINT) % buckets`).
+    */
+  private def bucketOf(feat: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(feat), 1, 7), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /** Hashed unigram+bigram feature occurrences, one row per occurrence:
+    * (idCol, __tgt, __b). The paper's feature space (§3.1: hashed n-grams,
+    * unigrams and bigrams) with the n-gram extraction shared with
+    * [[Fingerprints.shingles]]' windowing.
+    */
+  private def featureOccurrences(
+      df: DataFrame,
+      targetFilter: Column,
+      idCol: String,
+      textCol: String,
+      buckets: Int
+  ): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    val n = size(toks)
+    val bigrams = when(
+      n >= 2,
+      transform(
+        sequence(lit(0), n - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))
+      )
+    ).otherwise(array().cast("array<string>"))
+    df.select(
+      col(idCol).as("__id"),
+      targetFilter.as("__tgt"),
+      explode(concat(toks, bigrams)).as("__f")
+    ).select(col("__id"), col("__tgt"), bucketOf(col("__f"), buckets).as("__b"))
+  }
+
+  /** DSIR importance scores: for every document, the quantized
+    * log-importance weight of its hashed unigram+bigram bag under
+    * target-vs-raw bucket distributions.
+    *
+    * Per bucket b (Laplace-smoothed, +1 over `buckets` extra mass):
+    * {{{
+    *   qlr(b) = (flog2(c_tgt(b)+1) − flog2(N_tgt+B)) − (flog2(c_raw(b)+1) − flog2(N_raw+B))
+    * }}}
+    * and `dsir_score(doc) = Σ_occurrences qlr(bucket(feature))` — an exact
+    * integer (each term is a floor-log2 of an exact count). Documents from
+    * the target slice itself are scored too (the paper scores the whole
+    * raw pool; scoring the target rows costs nothing and gives the spec a
+    * separation invariant: target-like docs score higher).
+    *
+    * At 100 TB: the bucket table is ≤ `buckets` rows at any corpus size —
+    * explicitly broadcast — and the two normalizers are 1-row scalar cross
+    * joins (the documented [[TextStats.tfidfTopTerms]] pattern). Selection
+    * at scale is a threshold on the score (derive the cut from
+    * hash-sampled quantiles, the [[Corpus.curriculumOrder]] discipline),
+    * never a global sort.
+    *
+    * @param targetFilter rows where this is true form the target
+    *                     distribution (e.g. `col("source") === "wiki"`)
+    */
+  def dsirScores(
+      df: DataFrame,
+      targetFilter: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    // read twice (bucket stats + the scoring join): snapshot the hashed
+    // occurrences — (id, bool, long) rows, a fraction of corpus bytes —
+    // rather than re-running the explode+md5 extraction per reference
+    // (the Similarity.scala cache-lifecycle idiom; at multi-hour scale
+    // prefer checkpoint() with a reliable dir, same shape)
+    val occ = featureOccurrences(df, targetFilter, idCol, textCol, buckets).localCheckpoint(true)
+    val bucketStats = occ
+      .groupBy("__b")
+      .agg(
+        count(lit(1)).as("__craw"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ctgt")
+      )
+    val totals = bucketStats.agg(
+      sum("__craw").as("__nraw"),
+      sum("__ctgt").as("__ntgt")
+    )
+    val qlr = bucketStats
+      .crossJoin(totals) // 1-row scalar: constant-cost broadcast at any scale
+      .select(
+        col("__b"),
+        ((flog2(col("__ctgt") + 1L) - flog2(col("__ntgt") + buckets.toLong)) -
+          (flog2(col("__craw") + 1L) - flog2(col("__nraw") + buckets.toLong))).as("__qlr")
+      )
+    val scored = occ
+      .join(broadcast(qlr), "__b") // ≤ buckets rows at any corpus size
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_features"), sum("__qlr").as("dsir_score"))
+    df.select(col(idCol))
+      .join(scored.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score")
+      )
+  }
+
+  /** Multinomial Naive Bayes quality scores, trained in-engine on a label
+    * column and scored over the same corpus (the GPT-3/LLaMA fastText
+    * shape: positive = curated source, negative = everything else; a raw
+    * document that scores positive "looks curated").
+    *
+    * Training is exactly two aggregations: per-token class occurrence
+    * counts and the class totals. The per-token weight is the quantized
+    * Laplace-smoothed log-likelihood ratio
+    * {{{
+    *   w(t) = (flog2(c_pos(t)+1) − flog2(T_pos+V)) − (flog2(c_neg(t)+1) − flog2(T_neg+V))
+    * }}}
+    * and `nb_score(doc) = prior + Σ_occurrences w(token)` with
+    * `prior = flog2(n_posdocs+1) − flog2(n_negdocs+1)` — every term an
+    * integer, so scores hash-gate cross-engine. `nb_positive = score > 0`
+    * is the keep decision.
+    *
+    * At 100 TB: the weight table is vocabulary-sized (sublinear in corpus
+    * bytes) and joins against token occurrences AQE-skew-splittable (the
+    * [[TextStats.rarityScore]] shape — do NOT broadcast-hint a 100 TB
+    * corpus's vocabulary); class totals and the prior are 1-row scalar
+    * cross joins. Scoring a DIFFERENT corpus with a trained weight table
+    * is the same join with a left join + the OOV constant
+    * `flog2(T_neg+V) − flog2(T_pos+V)` in the coalesce.
+    */
+  def nbQualityScores(
+      df: DataFrame,
+      positive: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val occ = df.select(
+      col(idCol).as("__id"),
+      positive.as("__pos"),
+      explode(TextStats.tokens(col(textCol))).as("__tok")
+    ).localCheckpoint(true) // read by training AND scoring — snapshot once
+    val vocabStats = occ
+      .groupBy("__tok")
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__cpos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__cneg")
+      )
+    val classTotals = vocabStats.agg(
+      sum("__cpos").as("__tpos"),
+      sum("__cneg").as("__tneg"),
+      count(lit(1)).as("__v")
+    )
+    val weights = vocabStats
+      .crossJoin(classTotals) // 1-row scalar: constant-cost broadcast at any scale
+      .select(
+        col("__tok"),
+        ((flog2(col("__cpos") + 1L) - flog2(col("__tpos") + col("__v"))) -
+          (flog2(col("__cneg") + 1L) - flog2(col("__tneg") + col("__v")))).as("__w")
+      )
+    val docScores = occ
+      .join(weights, "__tok") // vocab-sized, AQE-splittable — never broadcast at scale
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__w").as("__tokscore"))
+    val prior = df.agg(
+      (flog2(sum(when(positive, 1L).otherwise(0L)) + 1L) -
+        flog2(sum(when(positive, 0L).otherwise(1L)) + 1L)).as("__prior")
+    )
+    df.select(col(idCol), positive.as("is_positive_label"))
+      .join(docScores.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .crossJoin(prior) // 1-row scalar
+      .select(
+        col(idCol),
+        col("is_positive_label"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("__tokscore"), lit(0L)) + col("__prior")).as("nb_score"),
+        ((coalesce(col("__tokscore"), lit(0L)) + col("__prior")) > 0L).as("nb_positive")
+      )
+  }
+}

@@ -4044,6 +4044,161 @@ object LlmQueries {
         val docs = table(spark, sf, "documents")
         Bpe.encodeIds(docs, Bpe.learn(docs, numMerges = BpeMerges))
       }
+    ),
+    // DSIR importance scores (Xie et al. 2023): hashed unigram+bigram
+    // bucket distributions, target = English docs, quantized (floor-log2)
+    // per-bucket log-likelihood ratios summed per doc — every score an
+    // exact integer, the full hashed-feature pipeline replayed by the
+    // oracle. The target slice's real distributional signal (English
+    // stopword n-grams) is what separates scores, not the label itself.
+    QueryDef(
+      "llm_dsir",
+      Some(
+        """WITH t AS (SELECT doc_id, (lang = 'en') AS tgt, string_split(text, ' ') AS toks FROM documents),
+          |f AS (
+          |  SELECT doc_id, tgt, unnest(toks) AS f FROM t
+          |  UNION ALL
+          |  SELECT doc_id, tgt, unnest(list_transform(range(len(toks)-1),
+          |    i -> toks[i+1] || ' ' || toks[i+2])) AS f
+          |  FROM t WHERE len(toks) >= 2),
+          |o AS (SELECT doc_id, tgt,
+          |        CAST(CAST(concat('0x', substr(md5(f), 1, 7)) AS UBIGINT) % 1024 AS BIGINT) AS b FROM f),
+          |bs AS (SELECT b, CAST(count(*) AS BIGINT) AS craw,
+          |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ctgt FROM o GROUP BY 1),
+          |tot AS (SELECT CAST(sum(craw) AS BIGINT) AS nraw, CAST(sum(ctgt) AS BIGINT) AS ntgt FROM bs),
+          |q AS (SELECT b,
+          |        ((length(bin(ctgt + 1)) - 1) - (length(bin(ntgt + 1024)) - 1))
+          |      - ((length(bin(craw + 1)) - 1) - (length(bin(nraw + 1024)) - 1)) AS qlr
+          |      FROM bs, tot),
+          |s AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+          |        CAST(sum(qlr) AS BIGINT) AS dsir_score
+          |      FROM o JOIN q USING (b) GROUP BY 1)
+          |SELECT d.doc_id, coalesce(n_features, 0) AS n_features,
+          |  coalesce(dsir_score, 0) AS dsir_score
+          |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+      ),
+      (spark, sf) =>
+        Selection.dsirScores(table(spark, sf, "documents"), col("lang") === "en", buckets = 1024)
+    ),
+    // Multinomial Naive Bayes quality classifier (the fastText role in the
+    // GPT-3/LLaMA pipelines), trained in-engine: positive = zh docs (a
+    // cleanly separable token distribution, so the predicted flag is live
+    // in both directions), quantized Laplace-smoothed per-token weights,
+    // integer scores. Training (two aggregations) and scoring are both
+    // replayed end-to-end by the oracle.
+    QueryDef(
+      "llm_nb_classifier",
+      Some(
+        """WITH t AS (SELECT doc_id, (lang = 'zh') AS pos, string_split(text, ' ') AS toks FROM documents),
+          |o AS (SELECT doc_id, pos, unnest(toks) AS tok FROM t),
+          |v AS (SELECT tok,
+          |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+          |        CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg FROM o GROUP BY 1),
+          |ct AS (SELECT CAST(sum(cpos) AS BIGINT) AS tpos, CAST(sum(cneg) AS BIGINT) AS tneg,
+          |         CAST(count(*) AS BIGINT) AS vs FROM v),
+          |w AS (SELECT tok,
+          |        ((length(bin(cpos + 1)) - 1) - (length(bin(tpos + vs)) - 1))
+          |      - ((length(bin(cneg + 1)) - 1) - (length(bin(tneg + vs)) - 1)) AS w
+          |      FROM v, ct),
+          |s AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(w) AS BIGINT) AS ts
+          |      FROM o JOIN w USING (tok) GROUP BY 1),
+          |p AS (SELECT (length(bin(CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) + 1)) - 1)
+          |           - (length(bin(CAST(sum(CASE WHEN lang = 'zh' THEN 0 ELSE 1 END) AS BIGINT) + 1)) - 1) AS prior
+          |      FROM documents)
+          |SELECT d.doc_id, (d.lang = 'zh') AS is_positive_label,
+          |  coalesce(n_tokens, 0) AS n_tokens,
+          |  CAST(coalesce(ts, 0) + prior AS BIGINT) AS nb_score,
+          |  (coalesce(ts, 0) + prior) > 0 AS nb_positive
+          |FROM documents d LEFT JOIN s USING (doc_id), p""".stripMargin
+      ),
+      (spark, sf) =>
+        Selection.nbQualityScores(table(spark, sf, "documents"), col("lang") === "zh")
+    ),
+    // Winnowing MATCH pairs — the cross-document MOSS join over the
+    // selected fingerprints (k=3, w=4: shared runs >= 6 tokens guaranteed
+    // detected). Same planted-snippet fixture as llm_containment (12-token
+    // prefixes of every 37th doc): the snippet's 7 winnow windows all come
+    // from the shared run, so snippet->source coverage is ~1.0. The df<=8
+    // cap keeps the fingerprint self-join off boilerplate-hot buckets —
+    // the measured-linear discipline of the shingle-level pair joins, on a
+    // stream winnowing has already thinned ~2/(w+1).
+    QueryDef(
+      "llm_winnow_pairs",
+      Some(
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id,
+          |    array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+          |  FROM documents WHERE doc_id % 37 = 2),
+          |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+          |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+          |        THEN list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+          |        ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+          |h AS (SELECT doc_id, list_transform(grams,
+          |        g -> CAST((CAST(concat('0x', substr(md5(g), 1, 7)) AS UBIGINT) << 28)
+          |               + CAST(concat('0x', substr(md5(g), 8, 7)) AS UBIGINT) AS BIGINT)) AS hs FROM g),
+          |f AS (SELECT doc_id, list_distinct(
+          |        CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+          |             WHEN len(hs) <= 4 THEN [list_min(hs)]
+          |             ELSE list_transform(range(len(hs)-3),
+          |                    i -> list_min(hs[CAST(i+1 AS INTEGER):CAST(i+4 AS INTEGER)])) END) AS fps FROM h),
+          |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+          |keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 8),
+          |ec AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp)),
+          |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM ec GROUP BY 1),
+          |i AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+          |      FROM ec a JOIN ec b ON a.fp = b.fp AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+          |SELECT a, b, n_shared, CAST(n_shared AS DOUBLE) / CAST(nf AS DOUBLE) AS coverage
+          |FROM i JOIN n ON n.doc_id = i.a
+          |WHERE CAST(n_shared AS DOUBLE) / CAST(nf AS DOUBLE) >= 0.5""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents").select("doc_id", "text")
+        val snippets = docs
+          .filter(col("doc_id") % 37 === 2)
+          .select(
+            copyId(col("doc_id")).as("doc_id"),
+            array_join(slice(TextStats.tokens(col("text")), 1, 12), " ").as("text")
+          )
+        Dedup.winnowPairs(docs.unionByName(snippets), "doc_id", "text", k = 3, w = 4, tau = 0.5, maxDf = 8)
+      }
+    ),
+    // Embedding quality-centroid affinity — the CLIP-score-filter shape
+    // (LAION/DataComp): cosine of every vector against the exact-integer
+    // centroid SUM of a trusted slice (label 3), computed over the int8
+    // quantization so dot_c hash-gates and the affinity is one trailing
+    // IEEE divide. The fixture's labels are real clusters (target-slice
+    // mean affinity ~0.14 vs ~0.00 for the rest), so the score carries
+    // signal, and the oracle replays quantize -> centroid sum -> dot ->
+    // normalize end to end.
+    QueryDef(
+      "llm_embed_quality",
+      Some(
+        """WITH e AS (SELECT vec_id, label,
+          |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+          |  embedding FROM embeddings),
+          |q AS (SELECT vec_id, label, list_transform(embedding,
+          |        x -> CASE WHEN scale = 0 THEN 0
+          |                  ELSE CAST(floor((CAST(x AS DOUBLE) * 127.0) / scale + 0.5) AS INTEGER) END) AS qv
+          |      FROM e),
+          |x AS (SELECT i AS dim, qv[CAST(i AS INTEGER)+1] AS v FROM q, unnest(range(len(qv))) AS u(i)
+          |      WHERE label = 3),
+          |c AS (SELECT list(s ORDER BY dim) AS csum
+          |      FROM (SELECT dim, CAST(sum(v) AS BIGINT) AS s FROM x GROUP BY 1)),
+          |d AS (SELECT vec_id, (label = 3) AS is_target,
+          |        CAST(list_sum(list_transform(range(len(qv)),
+          |          i -> CAST(qv[CAST(i AS INTEGER)+1] AS BIGINT) * csum[CAST(i AS INTEGER)+1])) AS BIGINT) AS dot_c,
+          |        CAST(list_sum(list_transform(qv, y -> CAST(y AS BIGINT) * y)) AS BIGINT) AS qq,
+          |        CAST(list_sum(list_transform(csum, y -> y * y)) AS BIGINT) AS cc
+          |      FROM q, c)
+          |SELECT vec_id, is_target, dot_c,
+          |  CASE WHEN qq = 0 OR cc = 0 THEN 0.0
+          |       ELSE CAST(dot_c AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) END AS affinity
+          |FROM d""".stripMargin
+      ),
+      (spark, sf) =>
+        Embeddings.centroidAffinity(table(spark, sf, "embeddings"), col("label") === 3)
     )
   )
 

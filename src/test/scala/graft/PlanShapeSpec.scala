@@ -35,6 +35,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_paragraph_dedup",
     "llm_duplicate_spans",
     "llm_span_removal",
+    "llm_winnow_pairs",
     // ANN family (bucketed paths only — brute baselines are exempt by design)
     "llm_ann_lsh",
     "llm_ann_lsh_auto",

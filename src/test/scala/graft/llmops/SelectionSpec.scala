@@ -1,0 +1,200 @@
+package graft.llmops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Selection-family coverage: DSIR importance scores and the NB quality
+  * classifier are checked against INDEPENDENT plain-Scala references
+  * (same discipline as BpeSpec) — the reference reimplements the math
+  * from the papers' formulas with java.security MD5, sharing no code
+  * with the Spark operators. winnowPairs and centroidAffinity are
+  * checked on planted fixtures with hand-derived expectations.
+  */
+class SelectionSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def flog2(c: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(c)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x")
+      .mkString
+
+  private def bucketOf(f: String, buckets: Int): Long =
+    java.lang.Long.parseLong(md5hex(f).take(7), 16) % buckets
+
+  // Target docs (first two) share English-ish filler; off-target docs a
+  // disjoint vocabulary — so bucket distributions genuinely differ.
+  private lazy val corpus = Seq(
+    (1L, "the cat sat on the mat", true),
+    (2L, "the dog sat on the rug", true),
+    (3L, "zzq qqx vvk zzq qqx", false),
+    (4L, "vvk qqx zzq vvk qqx", false),
+    (5L, "the cat sat on the mat", false) // target-identical text, raw label
+  ).toDF("doc_id", "text", "is_tgt")
+
+  /** Plain-Scala DSIR reference: hashed unigram+bigram buckets, quantized
+    * floor-log2 LLR per bucket, summed per doc.
+    */
+  private def dsirReference(
+      docs: Seq[(Long, String, Boolean)],
+      buckets: Int
+  ): Map[Long, (Long, Long)] = {
+    def feats(text: String): Seq[String] = {
+      val t = text.split(" ", -1).toSeq
+      t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val occ = docs.flatMap { case (id, text, tgt) => feats(text).map(f => (id, tgt, bucketOf(f, buckets))) }
+    val craw = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ctgt = occ.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nraw = occ.size.toLong
+    val ntgt = occ.count(_._2).toLong
+    def qlr(b: Long): Long =
+      (flog2(ctgt.getOrElse(b, 0L) + 1) - flog2(ntgt + buckets)) -
+        (flog2(craw(b) + 1) - flog2(nraw + buckets))
+    occ.groupBy(_._1).map { case (id, os) => id -> (os.size.toLong, os.map(o => qlr(o._3)).sum) }
+  }
+
+  test("dsirScores matches the plain-Scala reference exactly") {
+    val got = Selection
+      .dsirScores(corpus, col("is_tgt"), buckets = 256)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val want = dsirReference(
+      Seq(
+        (1L, "the cat sat on the mat", true),
+        (2L, "the dog sat on the rug", true),
+        (3L, "zzq qqx vvk zzq qqx", false),
+        (4L, "vvk qqx zzq vvk qqx", false),
+        (5L, "the cat sat on the mat", false)
+      ),
+      buckets = 256
+    )
+    assert(got == want)
+  }
+
+  test("dsirScores: target-vocabulary docs outscore off-target docs; identical text, identical score") {
+    val got = Selection
+      .dsirScores(corpus, col("is_tgt"), buckets = 256)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> r._3)
+      .toMap
+    // doc 5 has the exact text of target doc 1: same features, same score —
+    // scoring depends on content, not on the label of the row being scored.
+    assert(got(5L) == got(1L))
+    // target-like docs strictly outscore the disjoint-vocabulary docs
+    assert(math.min(got(1L), got(2L)) > math.max(got(3L), got(4L)))
+  }
+
+  /** Plain-Scala NB reference (multinomial, Laplace-smoothed, quantized). */
+  private def nbReference(
+      docs: Seq[(Long, String, Boolean)]
+  ): Map[Long, (Long, Long, Boolean)] = {
+    val occ = docs.flatMap { case (id, text, pos) => text.split(" ", -1).toSeq.map(t => (id, pos, t)) }
+    val cpos = occ.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cneg = occ.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tpos = occ.count(_._2).toLong
+    val tneg = occ.count(!_._2).toLong
+    val v = occ.map(_._3).distinct.size.toLong
+    def w(t: String): Long =
+      (flog2(cpos.getOrElse(t, 0L) + 1) - flog2(tpos + v)) -
+        (flog2(cneg.getOrElse(t, 0L) + 1) - flog2(tneg + v))
+    val prior = flog2(docs.count(_._3).toLong + 1) - flog2(docs.count(!_._3).toLong + 1)
+    docs.map { case (id, text, _) =>
+      val toks = text.split(" ", -1).toSeq
+      val s = prior + toks.map(w).sum
+      id -> (toks.size.toLong, s, s > 0)
+    }.toMap
+  }
+
+  test("nbQualityScores matches the plain-Scala reference and separates the classes") {
+    // class-conditional counts must clear a power-of-2 boundary for the
+    // quantized (floor-log2) weights to see them — repetition does that
+    val fixture = Seq(
+      (1L, "good good good clean clean prose prose with structure", true),
+      (2L, "good good clean prose prose with with words", true),
+      (3L, "spam spam buy now spam spam buy", false),
+      (4L, "buy now buy now spam buy now", false),
+      (5L, "good clean prose with words", false) // positive-looking raw doc
+    )
+    val got = Selection
+      .nbQualityScores(fixture.toDF("doc_id", "text", "is_pos"), col("is_pos"))
+      .select("doc_id", "n_tokens", "nb_score", "nb_positive")
+      .as[(Long, Long, Long, Boolean)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3, r._4))
+      .toMap
+    val want = nbReference(fixture)
+    assert(got == want)
+    // the classifier generalizes: doc 5 carries positive-class vocabulary
+    // despite its negative label, and must be flagged positive
+    assert(got(5L)._3, "positive-vocabulary raw doc should classify positive")
+    assert(!got(3L)._3 && !got(4L)._3, "spam docs should classify negative")
+  }
+
+  test("winnowPairs detects a planted excerpt with full coverage and honors the guarantee length") {
+    // doc 11 = 12-token excerpt of doc 10; doc 12 shares a run of exactly
+    // w+k-1 = 6 tokens with doc 10 (guaranteed >= 1 shared fingerprint);
+    // doc 13 is disjoint.
+    val docs = Seq(
+      (10L, "a b c d e f g h i j k l m n o p q r"),
+      (11L, "a b c d e f g h i j k l"),
+      (12L, "x y z w f g h i j k zz yy xx"),
+      (13L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .winnowPairs(docs, "doc_id", "text", k = 3, w = 4, tau = 0.0, maxDf = 0)
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .map(p => (p._1, p._2) -> (p._3, p._4))
+      .toMap
+    // excerpt: every fingerprint of 11 comes from the shared prefix run
+    assert(pairs((11L, 10L))._2 == 1.0, "excerpt coverage must be 1.0")
+    // 6-token shared run: the winnowing guarantee fires
+    assert(pairs((12L, 10L))._1 >= 1L, "w+k-1 shared run must share a fingerprint")
+    // disjoint doc pairs never appear
+    assert(!pairs.keySet.exists { case (a, b) => a == 13L || b == 13L })
+  }
+
+  test("winnowPairs maxDf drops boilerplate-hot fingerprints from the join") {
+    // the same 6-token run planted in 5 docs: fp df = 5 > maxDf = 3 — all
+    // cross pairs from that run must vanish under the cap
+    val docs = (1L to 5L)
+      .map(i => (i, s"u$i v$i common1 common2 common3 common4 common5 common6 t$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(docs, "doc_id", "text", k = 3, w = 4, tau = 0.0, maxDf = 3)
+    val uncapped = Dedup.winnowPairs(docs, "doc_id", "text", k = 3, w = 4, tau = 0.0, maxDf = 0)
+    assert(uncapped.count() > 0, "shared run must pair without the cap")
+    assert(capped.count() == 0, "df-capped join must drop the boilerplate fingerprints")
+  }
+
+  test("centroidAffinity scores direction-aligned vectors at 1 and orthogonal at 0") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), true),
+      (2L, Array(0.5f, 0.0f, 0.0f), true),  // same direction, different scale
+      (3L, Array(0.0f, 1.0f, 0.0f), false), // orthogonal
+      (4L, Array(-1.0f, 0.0f, 0.0f), false), // anti-aligned
+      (5L, Array(0.0f, 0.0f, 0.0f), false)  // zero vector -> affinity 0
+    ).toDF("vec_id", "embedding", "is_q")
+    val got = Embeddings
+      .centroidAffinity(vecs, col("is_q"), "vec_id", "embedding")
+      .select("vec_id", "dot_c", "affinity")
+      .as[(Long, Long, Double)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    // centroid sum = (254, 0, 0): quantized (127,0,0) + (127,0,0)
+    assert(got(1L) == ((127L * 254L, 1.0)))
+    assert(got(2L)._2 == 1.0) // cosine is scale-invariant
+    assert(got(3L) == ((0L, 0.0)))
+    assert(got(4L)._2 == -1.0)
+    assert(got(5L) == ((0L, 0.0)))
+  }
+}
