@@ -209,4 +209,83 @@ object Selection {
         ((coalesce(col("__tokscore"), lit(0L)) + col("__prior")) > 0L).as("nb_positive")
       )
   }
+
+  /** Cross-corpus NB scoring — the production shape: train on the labeled
+    * corpus, score an UNLABELED ingest batch. Same trained weights as
+    * [[nbQualityScores]]; batch tokens absent from the training vocabulary
+    * take the OOV weight `flog2(T_neg+V) − flog2(T_pos+V)` (the Laplace
+    * mass both classes give an unseen token), applied as `n_oov · oov_w` —
+    * one scalar multiply, so the left join stays a plain vocab join with a
+    * null-count aggregate. Emits per batch doc: token/OOV counts, the
+    * integer score, and the keep flag.
+    *
+    * Scale: identical join shapes to [[nbQualityScores]] (vocab-sized
+    * weight join on the BATCH's occurrences — batch-sized, not
+    * corpus-sized; constants are 1-row scalar cross joins). Training reads
+    * the corpus exactly once.
+    */
+  def nbScoreAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      positive: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val occ = corpus.select(
+      positive.as("__pos"),
+      explode(TextStats.tokens(col(textCol))).as("__tok")
+    )
+    val vocabStats = occ
+      .groupBy("__tok")
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__cpos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__cneg")
+      )
+    val classTotals = vocabStats
+      .agg(
+        sum("__cpos").as("__tpos"),
+        sum("__cneg").as("__tneg"),
+        count(lit(1)).as("__v")
+      )
+      .localCheckpoint(true) // feeds the weight projection AND the consts row
+    val weights = vocabStats
+      .crossJoin(classTotals) // 1-row scalar: constant-cost broadcast at any scale
+      .select(
+        col("__tok"),
+        ((flog2(col("__cpos") + 1L) - flog2(col("__tpos") + col("__v"))) -
+          (flog2(col("__cneg") + 1L) - flog2(col("__tneg") + col("__v")))).as("__w")
+      )
+    val consts = corpus
+      .agg(
+        (flog2(sum(when(positive, 1L).otherwise(0L)) + 1L) -
+          flog2(sum(when(positive, 0L).otherwise(1L)) + 1L)).as("__prior")
+      )
+      .crossJoin(classTotals)
+      .select(
+        col("__prior"),
+        (flog2(col("__tneg") + col("__v")) - flog2(col("__tpos") + col("__v"))).as("__oovw")
+      )
+    val batchScores = batch
+      .select(col(idCol).as("__id"), explode(TextStats.tokens(col(textCol))).as("__tok"))
+      .join(weights, Seq("__tok"), "left") // vocab-sized, AQE-splittable
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__w").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("__w"), lit(0L))).as("__known")
+      )
+    batch
+      .select(col(idCol))
+      .join(batchScores.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .crossJoin(consts) // 1-row scalar
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (coalesce(col("__known"), lit(0L)) +
+          coalesce(col("n_oov"), lit(0L)) * col("__oovw") + col("__prior")).as("nb_score"),
+        ((coalesce(col("__known"), lit(0L)) +
+          coalesce(col("n_oov"), lit(0L)) * col("__oovw") + col("__prior")) > 0L).as("nb_positive")
+      )
+  }
 }

@@ -4114,6 +4114,54 @@ object LlmQueries {
       (spark, sf) =>
         Selection.nbQualityScores(table(spark, sf, "documents"), col("lang") === "zh")
     ),
+    // Cross-corpus NB scoring — the production ingest shape: weights
+    // trained on the labeled corpus, scores computed for an UNLABELED
+    // batch containing tokens the training vocabulary has never seen
+    // (every batch doc gets one synthetic 'unseen<id>' token, so the OOV
+    // branch is structurally non-vacuous: n_oov >= 1 on every row and the
+    // oov-weight constant participates in every score).
+    QueryDef(
+      "llm_nb_xtable",
+      Some(
+        """WITH t AS (SELECT doc_id, (lang = 'zh') AS pos, string_split(text, ' ') AS toks FROM documents),
+          |o AS (SELECT pos, unnest(toks) AS tok FROM t),
+          |v AS (SELECT tok,
+          |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+          |        CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg FROM o GROUP BY 1),
+          |ct AS (SELECT CAST(sum(cpos) AS BIGINT) AS tpos, CAST(sum(cneg) AS BIGINT) AS tneg,
+          |         CAST(count(*) AS BIGINT) AS vs FROM v),
+          |w AS (SELECT tok,
+          |        ((length(bin(cpos + 1)) - 1) - (length(bin(tpos + vs)) - 1))
+          |      - ((length(bin(cneg + 1)) - 1) - (length(bin(tneg + vs)) - 1)) AS w
+          |      FROM v, ct),
+          |consts AS (SELECT
+          |    (length(bin(CAST((SELECT sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) FROM documents) AS BIGINT) + 1)) - 1)
+          |  - (length(bin(CAST((SELECT sum(CASE WHEN lang = 'zh' THEN 0 ELSE 1 END) FROM documents) AS BIGINT) + 1)) - 1) AS prior,
+          |    (length(bin(tneg + vs)) - 1) - (length(bin(tpos + vs)) - 1) AS oovw
+          |  FROM ct),
+          |batch AS (SELECT doc_id, text || ' unseen' || CAST(doc_id AS VARCHAR) AS text
+          |          FROM documents WHERE doc_id % 7 = 1),
+          |bo AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM batch),
+          |s AS (SELECT bo.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |        CAST(sum(CASE WHEN w.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |        CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS known
+          |      FROM bo LEFT JOIN w USING (tok) GROUP BY 1)
+          |SELECT b.doc_id, coalesce(n_tokens, 0) AS n_tokens, coalesce(n_oov, 0) AS n_oov,
+          |  CAST(coalesce(known, 0) + coalesce(n_oov, 0) * oovw + prior AS BIGINT) AS nb_score,
+          |  (coalesce(known, 0) + coalesce(n_oov, 0) * oovw + prior) > 0 AS nb_positive
+          |FROM batch b LEFT JOIN s USING (doc_id), consts""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val batch = docs
+          .filter(col("doc_id") % 7 === 1)
+          .select(
+            col("doc_id"),
+            concat(col("text"), lit(" unseen"), col("doc_id").cast("string")).as("text")
+          )
+        Selection.nbScoreAgainst(docs, batch, col("lang") === "zh")
+      }
+    ),
     // Winnowing MATCH pairs — the cross-document MOSS join over the
     // selected fingerprints (k=3, w=4: shared runs >= 6 tokens guaranteed
     // detected). Same planted-snippet fixture as llm_containment (12-token

@@ -139,6 +139,34 @@ class SelectionSpec extends AnyFunSuite with SparkTestSession {
     assert(!got(3L)._3 && !got(4L)._3, "spam docs should classify negative")
   }
 
+  test("nbScoreAgainst scores unseen batch tokens with the OOV weight and known tokens with trained weights") {
+    val corpus = Seq(
+      (1L, "good good good clean clean prose prose with structure", true),
+      (2L, "good good clean prose prose with with words", true),
+      (3L, "spam spam buy now spam spam buy", false),
+      (4L, "buy now buy now spam buy now", false)
+    ).toDF("doc_id", "text", "is_pos")
+    val batch = Seq(
+      (10L, "good clean prose"),     // all known, positive vocabulary
+      (11L, "spam buy now"),         // all known, negative vocabulary
+      (12L, "novelA novelB novelC")  // all OOV
+    ).toDF("doc_id", "text")
+    val got = Selection
+      .nbScoreAgainst(corpus, batch, col("is_pos"))
+      .select("doc_id", "n_tokens", "n_oov", "nb_score", "nb_positive")
+      .as[(Long, Long, Long, Long, Boolean)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5))
+      .toMap
+    // plain-Scala constants: tpos=17, tneg=14, V=9 -> oovW = flog2(23)-flog2(26) = 4-4 = 0;
+    // prior = flog2(3)-flog2(3) = 0
+    val oovW = flog2(14 + 9) - flog2(17 + 9)
+    val prior = 0L
+    assert(got(10L)._2 == 0L && got(10L)._4, "known positive-vocab batch doc classifies positive")
+    assert(got(11L)._2 == 0L && !got(11L)._4, "known negative-vocab batch doc classifies negative")
+    assert(got(12L) == ((3L, 3L, prior + 3 * oovW, prior + 3 * oovW > 0)), "all-OOV doc scores n·oovW + prior")
+  }
+
   test("winnowPairs detects a planted excerpt with full coverage and honors the guarantee length") {
     // doc 11 = 12-token excerpt of doc 10; doc 12 shares a run of exactly
     // w+k-1 = 6 tokens with doc 10 (guaranteed >= 1 shared fingerprint);
