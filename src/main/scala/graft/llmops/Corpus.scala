@@ -615,4 +615,45 @@ object Corpus {
       .withColumn("epochs", col("alloc_tokens") / col("n_tokens").cast("double"))
       .select(col(sourceCol), col("n_tokens"), col("cap_tokens"), col("saturated"), col("alloc_tokens"), col("epochs"))
   }
+
+  /** Per-source corpus audit report — the "data card" ledger a pipeline
+    * publishes before training: document/token volume, corpus-wide
+    * exact-duplicate incidence, PII incidence, Gopher-rule pass rate, and
+    * language spread, one row per source. Every counter is an exact
+    * integer (the mean is the single trailing division), so the whole
+    * report hash-gates cross-engine.
+    *
+    * Scale: one corpus scan computes the per-row signals (Gopher flags,
+    * PII match — both zero-shuffle projections); the only shuffles are the
+    * content-hash duplicate-key aggregation (32-char hashes, never text —
+    * the [[Dedup.dedupExact]] shape) and the final source rollup
+    * (map-side combined to |sources|·|langs| rows).
+    */
+  def corpusReport(
+      df: DataFrame,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"
+  ): DataFrame = {
+    val keyed = df.withColumn("__key", Fingerprints.contentKeyMd5(col(textCol)))
+    val dupKeys = keyed
+      .groupBy("__key")
+      .agg(count(lit(1)).as("__nk"))
+      .filter(col("__nk") > 1)
+      .select(col("__key"), lit(true).as("__dup"))
+    TextStats
+      .gopherRules(keyed.join(dupKeys, Seq("__key"), "left"))
+      .withColumn("__pii", TextStats.redactPii(col(textCol)) =!= col(textCol))
+      .groupBy(sourceCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        (sum("n_tokens").cast("double") / count(lit(1))).as("mean_doc_tokens"),
+        sum(when(coalesce(col("__dup"), lit(false)), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("__pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_gopher_keep"),
+        countDistinct(col(langCol)).as("n_langs")
+      )
+  }
 }

@@ -196,6 +196,50 @@ object TextStats {
       )
   }
 
+  /** CCNet-style perplexity bands over [[bigramSurprisal]] — the
+    * head/middle/tail split CCNet computes from its KenLM score, here from
+    * the quantized bigram surprisal so the whole decision is integer
+    * arithmetic. Bands are CORPUS-RELATIVE (the distribution shifts with
+    * corpus composition, so fixed absolute thresholds are meaningless):
+    * the corpus mean surprisal is taken as an integer per-mille value
+    * `m1000 = (1000·Σss) div (Σnb)` — totals divided FIRST, so every
+    * subsequent comparison multiplies per-document quantities only and
+    * stays far below 2^63 at any corpus size (ANSI-safe; a cross-multiply
+    * against raw corpus totals would overflow at ~10^14 bigrams). A doc is
+    * `head` when its mean is below lo‰ of the corpus mean, `tail` above
+    * hi‰, else `middle`; `keep = band ≠ tail` (drop the unpredictable
+    * tail — boilerplate/garbage; CCNet keeps head+middle). Docs with zero
+    * bigrams land in `middle` (0-vs-0 comparisons are false on both
+    * engines). One 1-row scalar cross join over the per-doc surprisal
+    * table; everything else is [[bigramSurprisal]]'s shuffle shape.
+    */
+  def surprisalBands(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      loPermille: Int = 998,
+      hiPermille: Int = 1002
+  ): DataFrame = {
+    require(loPermille <= hiPermille, "band thresholds must be ordered")
+    val s = bigramSurprisal(df, idCol, textCol)
+    val m = s
+      .agg((sum("surprisal_sum") * 1000L).as("__a"), sum("n_bigrams").as("__b"))
+      .select(expr("__a div __b").as("__m1000"))
+    val lhs = col("surprisal_sum") * 1000000L
+    val band =
+      when(lhs < lit(loPermille.toLong) * col("__m1000") * col("n_bigrams"), lit("head"))
+        .when(lhs > lit(hiPermille.toLong) * col("__m1000") * col("n_bigrams"), lit("tail"))
+        .otherwise(lit("middle"))
+    s.crossJoin(m) // 1-row scalar: constant-cost broadcast at any scale
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        col("surprisal_sum"),
+        band.as("band"),
+        (band =!= "tail").as("keep")
+      )
+  }
+
   /** PII redaction: emails, IPv4 addresses, then long digit runs are
     * replaced with typed placeholder tags, in that fixed order (order
     * matters — a phone-ish digit run inside an already-redacted tag must

@@ -4162,6 +4162,128 @@ object LlmQueries {
         Selection.nbScoreAgainst(docs, batch, col("lang") === "zh")
       }
     ),
+    // CCNet-style perplexity bands over the quantized surprisal: the
+    // head/middle/tail split is CORPUS-RELATIVE (integer per-mille mean,
+    // totals divided first so the comparison never multiplies corpus
+    // totals into per-doc products — ANSI-safe at any scale). Thresholds
+    // 998/1002 keep all three bands populated at both SFs (219/38/243 at
+    // sf0.01, 2826/1244/930 at sf0.1).
+    QueryDef(
+      "llm_ppl_bands",
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |b AS (SELECT doc_id, toks[CAST(u.i AS INTEGER) + 1] AS prev,
+          |        toks[CAST(u.i AS INTEGER) + 1] || ' ' || toks[CAST(u.i AS INTEGER) + 2] AS bg
+          |      FROM t, unnest(range(len(toks) - 1)) AS u(i)),
+          |cp AS (SELECT bg, count(*) AS cpair FROM b GROUP BY 1),
+          |cv AS (SELECT prev, count(*) AS cprev FROM b GROUP BY 1),
+          |s AS (SELECT doc_id, (length(bin(cprev)) - 1) - (length(bin(cpair)) - 1) AS sv
+          |      FROM b JOIN cp USING (bg) JOIN cv USING (prev)),
+          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, CAST(sum(sv) AS BIGINT) AS ss
+          |        FROM s GROUP BY 1),
+          |tot AS (SELECT CAST(sum(ss) * 1000 // sum(nb) AS BIGINT) AS m1000 FROM agg),
+          |r AS (SELECT d.doc_id, coalesce(nb, 0) AS n_bigrams, coalesce(ss, 0) AS surprisal_sum
+          |      FROM documents d LEFT JOIN agg USING (doc_id))
+          |SELECT doc_id, n_bigrams, surprisal_sum,
+          |  CASE WHEN surprisal_sum * 1000000 < 998 * m1000 * n_bigrams THEN 'head'
+          |       WHEN surprisal_sum * 1000000 > 1002 * m1000 * n_bigrams THEN 'tail'
+          |       ELSE 'middle' END AS band,
+          |  NOT (surprisal_sum * 1000000 > 1002 * m1000 * n_bigrams) AS keep
+          |FROM r, tot""".stripMargin
+      ),
+      (spark, sf) => TextStats.surprisalBands(table(spark, sf, "documents"))
+    ),
+    // Per-source corpus audit report (the "data card" ledger): volume,
+    // exact-dup incidence, PII incidence, Gopher pass rate, language
+    // spread — every counter integer-exact. The raw fixture has ~no dups
+    // or PII, so the report corpus plants both: every 29th doc
+    // re-ingested verbatim (live n_dup_docs) and every 41st re-ingested
+    // with an appended email (live n_pii_docs) — the llm_containment
+    // copyId fixture discipline.
+    QueryDef(
+      "llm_corpus_report",
+      Some {
+        val nestedPii = TextStats.piiPatterns.foldLeft("k.text") { case (inner, (pat, tag)) =>
+          s"regexp_replace($inner, '$pat', '$tag', 'g')"
+        }
+        s"""WITH corpus AS (
+           |  SELECT doc_id, source, lang, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, source, lang, text FROM documents WHERE doc_id % 29 = 5
+           |  UNION ALL
+           |  SELECT doc_id + 200000, source, lang, text || ' contact bob@example.com' AS text
+           |  FROM documents WHERE doc_id % 41 = 3),
+           |k AS (SELECT *, md5(text) AS key FROM corpus),
+           |dk AS (SELECT key, true AS dup FROM k GROUP BY key HAVING count(*) > 1),
+           |s AS (SELECT k.source, k.lang,
+           |        length(k.text) AS nc, len(string_split(k.text, ' ')) AS nt,
+           |        len(list_distinct(string_split(k.text, ' '))) AS nd,
+           |        length(regexp_replace(k.text, '[A-Za-z0-9 ]', '', 'g')) AS nsym,
+           |        coalesce(dk.dup, false) AS dup,
+           |        ($nestedPii) <> k.text AS pii
+           |      FROM k LEFT JOIN dk USING (key))
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+           |  CAST(CAST(sum(nt) AS BIGINT) AS DOUBLE) / count(*) AS mean_doc_tokens,
+           |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           |  CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+           |  CAST(sum(CASE WHEN (nt BETWEEN 16 AND 100000)
+           |        AND (CAST(nc - nt + 1 AS DOUBLE) / nt BETWEEN 2.0 AND 12.0)
+           |        AND (CAST(nsym AS DOUBLE) / nc <= 0.2)
+           |        AND (1.0 - CAST(nd AS DOUBLE) / nt <= 0.6) THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+           |FROM s GROUP BY 1""".stripMargin
+      },
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents").select("doc_id", "source", "lang", "text")
+        val copies = docs
+          .filter(col("doc_id") % 29 === 5)
+          .select(copyId(col("doc_id")).as("doc_id"), col("source"), col("lang"), col("text"))
+        val piiCopies = docs
+          .filter(col("doc_id") % 41 === 3)
+          .select(
+            copyId(col("doc_id"), 2).as("doc_id"),
+            col("source"),
+            col("lang"),
+            concat(col("text"), lit(" contact bob@example.com")).as("text")
+          )
+        Corpus.corpusReport(docs.unionByName(copies).unionByName(piiCopies))
+      }
+    ),
+    // Tokenizer fertility ledger — the standard tokenizer-quality metric
+    // (subword pieces per word, chars per piece) per language, over the
+    // learned BPE vocabulary: exact-integer piece/word/char sums into one
+    // trailing division per (5-row) lang group. The oracle RELEARNS the
+    // merges and recomputes every count — a fertility drift on either
+    // engine fails the hash gate. High-fertility languages (zh: no
+    // merge reuse across CJK chars) vs low (en) is the signal a real
+    // tokenizer team reads off this table.
+    QueryDef(
+      "llm_bpe_fertility",
+      Some(bpeFertilityOracle(BpeMerges)),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val enc = Bpe.encode(docs, Bpe.learn(docs, numMerges = BpeMerges))
+        val words = filter(TextStats.tokens(col("text")), w => length(w) > 0)
+        val per = docs.select(
+          col("doc_id"),
+          col("lang"),
+          size(words).cast("long").as("__w"),
+          aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("__c")
+        )
+        per
+          .join(enc, "doc_id")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("__w").as("n_words"),
+            sum("n_pieces").as("n_pieces"),
+            sum("__c").as("n_chars"),
+            (sum("n_pieces").cast("double") / sum("__w")).as("fertility"),
+            (sum("__c").cast("double") / sum("n_pieces")).as("chars_per_piece")
+          )
+      }
+    ),
     // Winnowing MATCH pairs — the cross-document MOSS join over the
     // selected fingerprints (k=3, w=4: shared runs >= 6 tokens guaranteed
     // detected). Same planted-snippet fixture as llm_containment (12-token
@@ -4326,6 +4448,32 @@ object LlmQueries {
        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_pieces,
        |  array_to_string(ids, ' ') AS ids_str, CAST(0 AS BIGINT) AS n_oov
        |FROM ids""".stripMargin
+
+  /** DuckDB replay of the fertility ledger: relearn the merges, re-encode
+    * every word, aggregate exact-integer piece/word/char totals per lang.
+    */
+  private def bpeFertilityOracle(numMerges: Int): String =
+    s"""WITH ${bpeLearnCtes(numMerges)},
+       |d AS (
+       |  SELECT doc_id, s.word AS word
+       |  FROM (SELECT doc_id,
+       |          UNNEST(list_transform(range(1, len(ws)+1), i -> struct_pack(pos := i, word := ws[i]))) AS s
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       |  WHERE length(s.word) > 0),
+       |enc AS (
+       |  SELECT d.doc_id, CAST(sum(len(w.syms)) AS BIGINT) AS n_pieces,
+       |         CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(length(d.word)) AS BIGINT) AS n_chars
+       |  FROM d JOIN w$numMerges w ON d.word = w.word
+       |  GROUP BY 1)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(enc.n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(sum(enc.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(CAST(sum(enc.n_pieces) AS BIGINT) AS DOUBLE) / CAST(sum(enc.n_words) AS BIGINT) AS fertility,
+       |  CAST(CAST(sum(enc.n_chars) AS BIGINT) AS DOUBLE) / CAST(sum(enc.n_pieces) AS BIGINT) AS chars_per_piece
+       |FROM documents doc JOIN enc ON enc.doc_id = doc.doc_id
+       |GROUP BY 1""".stripMargin
 
   private def bpeEncodeOracle(numMerges: Int): String =
     s"""WITH ${bpeLearnCtes(numMerges)},

@@ -1530,6 +1530,52 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     ))
   }
 
+  test("surprisalBands: corpus-relative head/middle/tail, hand-checked") {
+    // d1/d2: "the a" loops — every bigram's pair count equals its prev
+    // count (sv = 0, maximally predictable). d3: "the" followed by four
+    // distinct continuations — sv(the,x) = flog2(12) − flog2(1) = 3.
+    // Totals: ss = 12, nb = 21 ⇒ m1000 = 12000 div 21 = 571.
+    // d1: 0 < 998·571·7 → head; d3: 12e6 > 1002·571·7 → tail;
+    // d4 has no bigrams (0-vs-0 comparisons false) → middle, kept.
+    val df = Seq(
+      (1L, "the a the a the a the a"),
+      (2L, "the a the a the a the a"),
+      (3L, "the b the c the d the e"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextStats
+      .surprisalBands(df)
+      .select("doc_id", "band", "keep")
+      .as[(Long, String, Boolean)]
+      .collect()
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "head", true),
+      (2L, "head", true),
+      (3L, "tail", false),
+      (4L, "middle", true)
+    ))
+  }
+
+  test("corpusReport: per-source counters, hand-checked") {
+    val long = "the quick brown fox jumps over the lazy dog and then some more filler words here"
+    val docs = Seq(
+      (1L, "srcA", "en", long), // 16 tokens, gopher-keep
+      (2L, "srcA", "en", long), // exact dup of 1
+      (3L, "srcA", "de", "kurz"), // 1 token: fails gopher min
+      (4L, "srcB", "en", "mail me at a@b.com please thanks") // PII, 6 tokens
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = Corpus
+      .corpusReport(docs)
+      .select("source", "n_docs", "n_tokens", "n_dup_docs", "n_pii_docs", "n_gopher_keep", "n_langs")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7))
+      .toMap
+    assert(got("srcA") == ((3L, 33L, 2L, 0L, 2L, 2L)))
+    assert(got("srcB") == ((1L, 6L, 0L, 1L, 0L, 1L)))
+  }
+
   test("curriculumOrder: stage thresholds, stage-major order, shuffle within stage") {
     val df = Seq(
       (1L, 0.1), (2L, 0.9), (3L, 0.4), (4L, 0.95), (5L, 0.2), (6L, 0.55)
