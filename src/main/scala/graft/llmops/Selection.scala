@@ -210,27 +210,32 @@ object Selection {
       )
   }
 
-  /** Cross-corpus NB scoring — the production shape: train on the labeled
-    * corpus, score an UNLABELED ingest batch. Same trained weights as
-    * [[nbQualityScores]]; batch tokens absent from the training vocabulary
-    * take the OOV weight `flog2(T_neg+V) − flog2(T_pos+V)` (the Laplace
-    * mass both classes give an unseen token), applied as `n_oov · oov_w` —
-    * one scalar multiply, so the left join stays a plain vocab join with a
-    * null-count aggregate. Emits per batch doc: token/OOV counts, the
-    * integer score, and the keep flag.
-    *
-    * Scale: identical join shapes to [[nbQualityScores]] (vocab-sized
-    * weight join on the BATCH's occurrences — batch-sized, not
-    * corpus-sized; constants are 1-row scalar cross joins). Training reads
-    * the corpus exactly once.
+  // Cross-corpus NB scoring — the production shape: train on the labeled
+  // corpus ([[nbFit]]), score UNLABELED ingest batches ([[nbScore]]).
+  // Batch tokens absent from the training vocabulary take the OOV weight
+  // flog2(T_neg+V) − flog2(T_pos+V) (the Laplace mass both classes give an
+  // unseen token), applied as n_oov · oov_w — one scalar multiply, so the
+  // left join stays a plain vocab join with a null-count aggregate.
+  // Scale: vocab-sized weight join on the BATCH's occurrences (batch-sized,
+  // not corpus-sized); constants are 1-row scalar cross joins; training
+  // reads the corpus exactly once.
+
+  /** A fitted NB model: the per-token weight table and the 1-row constants
+    * table (prior + OOV weight). Both are snapshotted at fit time
+    * (localCheckpoint) — the model is FROZEN, so scoring many batches
+    * (or a stream's micro-batches) re-reads the materialized tables
+    * instead of re-deriving them from the training corpus per batch.
     */
-  def nbScoreAgainst(
+  final case class NbModel(weights: DataFrame, consts: DataFrame)
+
+  /** Train the NB model: one corpus tokenize pass, two aggregations.
+    * See [[nbQualityScores]] for the weight formula.
+    */
+  def nbFit(
       corpus: DataFrame,
-      batch: DataFrame,
       positive: Column,
-      idCol: String = "doc_id",
       textCol: String = "text"
-  ): DataFrame = {
+  ): NbModel = {
     val occ = corpus.select(
       positive.as("__pos"),
       explode(TextStats.tokens(col(textCol))).as("__tok")
@@ -255,6 +260,7 @@ object Selection {
         ((flog2(col("__cpos") + 1L) - flog2(col("__tpos") + col("__v"))) -
           (flog2(col("__cneg") + 1L) - flog2(col("__tneg") + col("__v")))).as("__w")
       )
+      .localCheckpoint(true)
     val consts = corpus
       .agg(
         (flog2(sum(when(positive, 1L).otherwise(0L)) + 1L) -
@@ -265,9 +271,24 @@ object Selection {
         col("__prior"),
         (flog2(col("__tneg") + col("__v")) - flog2(col("__tpos") + col("__v"))).as("__oovw")
       )
+      .localCheckpoint(true)
+    NbModel(weights, consts)
+  }
+
+  /** Score one (micro-)batch under a fitted model — the scoring half of
+    * [[nbScoreAgainst]], usable from `foreachBatch` on a stream: per-doc
+    * scores depend only on the batch's own rows and the frozen model, so
+    * micro-batch boundaries cannot change any score.
+    */
+  def nbScore(
+      batch: DataFrame,
+      model: NbModel,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
     val batchScores = batch
       .select(col(idCol).as("__id"), explode(TextStats.tokens(col(textCol))).as("__tok"))
-      .join(weights, Seq("__tok"), "left") // vocab-sized, AQE-splittable
+      .join(model.weights, Seq("__tok"), "left") // vocab-sized, AQE-splittable
       .groupBy("__id")
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -277,7 +298,7 @@ object Selection {
     batch
       .select(col(idCol))
       .join(batchScores.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .crossJoin(consts) // 1-row scalar
+      .crossJoin(model.consts) // 1-row scalar
       .select(
         col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
@@ -288,4 +309,16 @@ object Selection {
           coalesce(col("n_oov"), lit(0L)) * col("__oovw") + col("__prior")) > 0L).as("nb_positive")
       )
   }
+
+  /** Train-then-score in one call: [[nbFit]] on the labeled corpus,
+    * [[nbScore]] on the batch. See those for the per-piece shapes.
+    */
+  def nbScoreAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      positive: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    nbScore(batch, nbFit(corpus, positive, textCol), idCol, textCol)
 }

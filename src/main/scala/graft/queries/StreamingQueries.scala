@@ -447,6 +447,74 @@ object StreamingQueries {
           .awaitTermination()
         Sketches.hllMerge(spark.read.parquet(out))
       }
+    ),
+    QueryDef(
+      "t11_stream_nb_score_batch_eq",
+      Some(
+        // quality-classifier scoring at ingest: the NB model is FROZEN
+        // (fitted batch-side on the full labeled corpus), each micro-batch
+        // of arriving docs is scored against it. A doc's score depends
+        // only on its own tokens and the frozen model, so micro-batch
+        // boundaries cannot change any score and the streamed sink must
+        // equal the batch scoring of the same corpus exactly. The oracle
+        // is the batch replay: training + scoring in SQL (every corpus
+        // token is in-vocab here, so n_oov = 0; the OOV branch is gated
+        // separately by llm_nb_xtable).
+        """WITH t AS (SELECT doc_id, (lang = 'zh') AS pos, string_split(text, ' ') AS toks FROM documents),
+          |o AS (SELECT doc_id, pos, unnest(toks) AS tok FROM t),
+          |v AS (SELECT tok,
+          |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+          |        CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg FROM o GROUP BY 1),
+          |ct AS (SELECT CAST(sum(cpos) AS BIGINT) AS tpos, CAST(sum(cneg) AS BIGINT) AS tneg,
+          |         CAST(count(*) AS BIGINT) AS vs FROM v),
+          |w AS (SELECT tok,
+          |        ((length(bin(cpos + 1)) - 1) - (length(bin(tpos + vs)) - 1))
+          |      - ((length(bin(cneg + 1)) - 1) - (length(bin(tneg + vs)) - 1)) AS w
+          |      FROM v, ct),
+          |p AS (SELECT (length(bin(CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) + 1)) - 1)
+          |           - (length(bin(CAST(sum(CASE WHEN lang = 'zh' THEN 0 ELSE 1 END) AS BIGINT) + 1)) - 1) AS prior
+          |      FROM documents),
+          |s AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |        CAST(sum(CASE WHEN w.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |        CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS known
+          |      FROM o LEFT JOIN w USING (tok) GROUP BY 1)
+          |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, coalesce(n_oov, 0) AS n_oov,
+          |  CAST(coalesce(known, 0) + prior AS BIGINT) AS nb_score,
+          |  (coalesce(known, 0) + prior) > 0 AS nb_positive
+          |FROM documents d LEFT JOIN s USING (doc_id), p""".stripMargin
+      ),
+      (spark, sf) => {
+        import graft.llmops.Selection
+        val in = tmpDir("t11_in")
+        val out = tmpDir("t11_out")
+        val ckpt = tmpDir("t11_ckpt")
+        val docs = spark.read.parquet(s"$sf/documents.parquet")
+        val model = Selection.nbFit(docs, col("lang") === "zh")
+        // three files -> three micro-batches under maxFilesPerTrigger=1
+        docs
+          .select("doc_id", "text")
+          .repartition(3)
+          .write
+          .mode("overwrite")
+          .parquet(in)
+        spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // deterministic scores against the frozen model: a replayed
+            // batch after a crash appends IDENTICAL rows, removed by the
+            // id-dedup at read — effectively-once without a stateful sink
+            Selection.nbScore(batch, model).write.mode("append").parquet(out)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out).dropDuplicates("doc_id")
+      }
     )
   )
 
