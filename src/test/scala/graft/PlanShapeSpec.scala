@@ -36,6 +36,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_duplicate_spans",
     "llm_span_removal",
     "llm_winnow_pairs",
+    "llm_corpus_report",
+    "llm_bpe_fertility",
     // ANN family (bucketed paths only — brute baselines are exempt by design)
     "llm_ann_lsh",
     "llm_ann_lsh_auto",
