@@ -203,6 +203,57 @@ class SelectionSpec extends AnyFunSuite with SparkTestSession {
     assert(capped.count() == 0, "df-capped join must drop the boilerplate fingerprints")
   }
 
+  /** Deterministic scalacheck sampling (the FingerprintPropertiesSpec
+    * idiom — scalatestplus isn't in the offline cache).
+    */
+  private def sampleGen[A](gen: org.scalacheck.Gen[A], n: Int): Seq[A] = {
+    var seed = org.scalacheck.rng.Seed(314159L)
+    (1 to n).map { _ =>
+      val a = gen.pureApply(org.scalacheck.Gen.Parameters.default, seed)
+      seed = seed.next
+      a
+    }
+  }
+
+  private lazy val randomLabeledCorpus: Seq[(Long, String, Boolean)] = {
+    import org.scalacheck.Gen
+    val tokenGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)).suchThat(_.nonEmpty),
+      Gen.oneOf("the", "of", "fox", "über", "東京", "x@y.io", "#", "九州")
+    )
+    val docGen: Gen[(String, Boolean)] = for {
+      n <- Gen.chooseNum(0, 25)
+      toks <- Gen.listOfN(n, tokenGen)
+      label <- Gen.oneOf(true, false)
+    } yield (toks.mkString(" "), label)
+    sampleGen(docGen, 250).zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+  }
+
+  test("property: dsirScores matches the plain-Scala reference on random labeled corpora") {
+    val df = randomLabeledCorpus.toDF("doc_id", "text", "is_tgt")
+    val got = Selection
+      .dsirScores(df, col("is_tgt"), buckets = 64)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val want = dsirReference(randomLabeledCorpus, buckets = 64)
+    assert(got == want)
+  }
+
+  test("property: nbQualityScores matches the plain-Scala reference on random labeled corpora") {
+    val df = randomLabeledCorpus.toDF("doc_id", "text", "is_pos")
+    val got = Selection
+      .nbQualityScores(df, col("is_pos"))
+      .select("doc_id", "n_tokens", "nb_score", "nb_positive")
+      .as[(Long, Long, Long, Boolean)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3, r._4))
+      .toMap
+    val want = nbReference(randomLabeledCorpus)
+    assert(got == want)
+  }
+
   test("centroidAffinity scores direction-aligned vectors at 1 and orthogonal at 0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), true),
