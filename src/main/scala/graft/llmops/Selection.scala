@@ -210,6 +210,31 @@ object Selection {
       )
   }
 
+  /** Above-corpus-mean DSIR selection: keep docs whose score is at or
+    * above the corpus mean, decided by CROSS-MULTIPLICATION
+    * (`score·n ≥ Σscore`) rather than an integer-divided mean — DSIR
+    * scores go negative, and integer division SEMANTICS differ across
+    * engines on negatives (Spark's `div` truncates toward zero, DuckDB's
+    * `//` floors), so a divided mean is a cross-engine hash trap the
+    * multiply form sidesteps entirely. Magnitude envelope: |score| is
+    * corpus-size-independent (~tens), so score·n stays far below 2^63 at
+    * any corpus size. The corpus-relative rule is what survives SF/corpus
+    * drift — an absolute threshold measured months apart selects a
+    * different fraction (observed here: median −8 at sf0.01 vs +23 at
+    * sf0.1 for identical generation parameters).
+    */
+  def dsirAboveMean(scored: DataFrame, idCol: String = "doc_id"): DataFrame =
+    scored
+      .crossJoin( // 1-row scalar: constant-cost broadcast at any scale
+        scored.agg(sum("dsir_score").as("__ts"), count(lit(1)).as("__n"))
+      )
+      .select(
+        col(idCol),
+        col("n_features"),
+        col("dsir_score"),
+        (col("dsir_score") * col("__n") >= col("__ts")).as("dsir_keep")
+      )
+
   // Cross-corpus NB scoring — the production shape: train on the labeled
   // corpus ([[nbFit]]), score UNLABELED ingest batches ([[nbScore]]).
   // Batch tokens absent from the training vocabulary take the OOV weight

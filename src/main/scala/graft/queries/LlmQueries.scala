@@ -4193,6 +4193,96 @@ object LlmQueries {
       ),
       (spark, sf) => TextStats.surprisalBands(table(spark, sf, "documents"))
     ),
+    // The selection stage composed: NB classifier (curated-like = en),
+    // DSIR above-corpus-mean importance (same en target, cross-multiplied
+    // — never integer-divided: Spark div truncates, DuckDB // floors, and
+    // DSIR scores go negative), and the perplexity middle+head band, with
+    // selected = all three. Signals are coherent (one curated slice
+    // drives both learned signals) and every flag is live in both
+    // directions at both SFs; the oracle replays all three pipelines and
+    // the conjunction.
+    QueryDef(
+      "llm_select_pipeline",
+      Some(
+        """WITH t AS (SELECT doc_id, (lang = 'en') AS tgt, string_split(text, ' ') AS toks FROM documents),
+          |f AS (
+          |  SELECT doc_id, tgt, unnest(toks) AS f FROM t
+          |  UNION ALL
+          |  SELECT doc_id, tgt, unnest(list_transform(range(len(toks)-1),
+          |    i -> toks[i+1] || ' ' || toks[i+2])) AS f
+          |  FROM t WHERE len(toks) >= 2),
+          |o AS (SELECT doc_id, tgt,
+          |        CAST(CAST(concat('0x', substr(md5(f), 1, 7)) AS UBIGINT) % 1024 AS BIGINT) AS b FROM f),
+          |bs AS (SELECT b, CAST(count(*) AS BIGINT) AS craw,
+          |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ctgt FROM o GROUP BY 1),
+          |dtot AS (SELECT CAST(sum(craw) AS BIGINT) AS nraw, CAST(sum(ctgt) AS BIGINT) AS ntgt FROM bs),
+          |q AS (SELECT b,
+          |        ((length(bin(ctgt + 1)) - 1) - (length(bin(ntgt + 1024)) - 1))
+          |      - ((length(bin(craw + 1)) - 1) - (length(bin(nraw + 1024)) - 1)) AS qlr
+          |      FROM bs, dtot),
+          |ds AS (SELECT d.doc_id, CAST(coalesce(sum(qlr), 0) AS BIGINT) AS score
+          |       FROM documents d LEFT JOIN o ON o.doc_id = d.doc_id LEFT JOIN q USING (b) GROUP BY 1),
+          |dm AS (SELECT CAST(sum(score) AS BIGINT) AS ts, CAST(count(*) AS BIGINT) AS n FROM ds),
+          |tk AS (SELECT doc_id, (lang = 'en') AS pos, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |v AS (SELECT tok,
+          |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+          |        CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg FROM tk GROUP BY 1),
+          |ct AS (SELECT CAST(sum(cpos) AS BIGINT) AS tpos, CAST(sum(cneg) AS BIGINT) AS tneg,
+          |         CAST(count(*) AS BIGINT) AS vs FROM v),
+          |w AS (SELECT tok,
+          |        ((length(bin(cpos + 1)) - 1) - (length(bin(tpos + vs)) - 1))
+          |      - ((length(bin(cneg + 1)) - 1) - (length(bin(tneg + vs)) - 1)) AS w
+          |      FROM v, ct),
+          |nbs AS (SELECT tk.doc_id, CAST(sum(w) AS BIGINT) AS tsc FROM tk JOIN w USING (tok) GROUP BY 1),
+          |pr AS (SELECT (length(bin(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) + 1)) - 1)
+          |            - (length(bin(CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) + 1)) - 1) AS prior
+          |       FROM documents),
+          |bg AS (SELECT doc_id, toks[CAST(u.i AS INTEGER) + 1] AS prev,
+          |        toks[CAST(u.i AS INTEGER) + 1] || ' ' || toks[CAST(u.i AS INTEGER) + 2] AS bg
+          |      FROM t, unnest(range(len(toks) - 1)) AS u(i)),
+          |cp AS (SELECT bg, count(*) AS cpair FROM bg GROUP BY 1),
+          |cv AS (SELECT prev, count(*) AS cprev FROM bg GROUP BY 1),
+          |sv AS (SELECT doc_id, (length(bin(cprev)) - 1) - (length(bin(cpair)) - 1) AS s
+          |      FROM bg JOIN cp USING (bg) JOIN cv USING (prev)),
+          |sagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, CAST(sum(s) AS BIGINT) AS ss
+          |         FROM sv GROUP BY 1),
+          |stot AS (SELECT CAST(sum(ss) * 1000 // sum(nb) AS BIGINT) AS m1000 FROM sagg),
+          |ppl AS (SELECT d.doc_id,
+          |          NOT (coalesce(ss, 0) * 1000000 > 1002 * m1000 * coalesce(nb, 0)) AS ppl_keep
+          |        FROM documents d LEFT JOIN sagg USING (doc_id), stot)
+          |SELECT d.doc_id,
+          |  (coalesce(nbs.tsc, 0) + pr.prior) > 0 AS nb_positive,
+          |  ds.score * dm.n >= dm.ts AS dsir_keep,
+          |  ppl.ppl_keep AS ppl_keep,
+          |  ((coalesce(nbs.tsc, 0) + pr.prior) > 0 AND ds.score * dm.n >= dm.ts AND ppl.ppl_keep) AS selected
+          |FROM documents d
+          |JOIN ds ON ds.doc_id = d.doc_id
+          |JOIN ppl ON ppl.doc_id = d.doc_id
+          |LEFT JOIN nbs ON nbs.doc_id = d.doc_id, dm, pr""".stripMargin
+      ),
+      (spark, sf) => {
+        val docs = table(spark, sf, "documents")
+        val en = col("lang") === "en"
+        val nb = Selection
+          .nbQualityScores(docs, en)
+          .select(col("doc_id"), col("nb_positive"))
+        val ds = Selection
+          .dsirAboveMean(Selection.dsirScores(docs, en, buckets = 1024))
+          .select(col("doc_id"), col("dsir_keep"))
+        val ppl = TextStats
+          .surprisalBands(docs)
+          .select(col("doc_id"), col("keep").as("ppl_keep"))
+        nb.join(ds, "doc_id")
+          .join(ppl, "doc_id")
+          .select(
+            col("doc_id"),
+            col("nb_positive"),
+            col("dsir_keep"),
+            col("ppl_keep"),
+            (col("nb_positive") && col("dsir_keep") && col("ppl_keep")).as("selected")
+          )
+      }
+    ),
     // Per-source corpus audit report (the "data card" ledger): volume,
     // exact-dup incidence, PII incidence, Gopher pass rate, language
     // spread — every counter integer-exact. The raw fixture has ~no dups
