@@ -296,8 +296,14 @@ object Dedup {
     * is the fingerprint, `maxDf` caps its document frequency BEFORE the
     * self-join (a boilerplate run selected in millions of docs would
     * otherwise create a quadratic bucket), and per-doc fingerprint counts
-    * come from the capped universe so the coverage ratio stays unbiased
-    * under the cap. Winnowing itself already thins the join input to
+    * come from the capped universe so numerator and denominator are
+    * computed CONSISTENTLY over the same (capped) fingerprint set. Note
+    * the cap is not bias-free: a doc whose fingerprints are mostly
+    * boilerplate (df > maxDf) keeps only its rarer fingerprints in the
+    * denominator, so sharing a few of those reports elevated coverage —
+    * callers tuning `tau` on heavily-capped corpora should expect the
+    * coverage of boilerplate-dominated docs to read high, not low.
+    * Winnowing itself already thins the join input to
     * ~2/(w+1) of the k-gram stream — this pair join moves strictly less
     * data than the shingle-level containment join at the same guarantee
     * length.

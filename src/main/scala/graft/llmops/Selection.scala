@@ -246,21 +246,48 @@ object Selection {
   // reads the corpus exactly once.
 
   /** A fitted NB model: the per-token weight table and the 1-row constants
-    * table (prior + OOV weight). Both are snapshotted at fit time
-    * (localCheckpoint) — the model is FROZEN, so scoring many batches
-    * (or a stream's micro-batches) re-reads the materialized tables
-    * instead of re-deriving them from the training corpus per batch.
+    * table (prior + OOV weight). Both are snapshotted at fit time —
+    * the model is FROZEN, so scoring many batches (or a stream's
+    * micro-batches) re-reads the materialized tables instead of
+    * re-deriving them from the training corpus per batch.
+    *
+    * Lifecycle caveat (same as Similarity's checkpoint idiom): the
+    * default fit snapshots with `localCheckpoint`, which truncates
+    * lineage — the blocks live on executors and do NOT survive executor
+    * loss, so a multi-hour streaming job scoring with this model dies
+    * unrecoverably if a holder executor is lost. For that shape fit with
+    * `nbFit(..., reliable = true)` (requires
+    * `spark.sparkContext.setCheckpointDir`): the tables are written to
+    * the reliable checkpoint store and any executor can re-read them.
+    * Call [[release]] when the model is retired to drop the cached
+    * blocks eagerly instead of waiting for the ContextCleaner.
     */
-  final case class NbModel(weights: DataFrame, consts: DataFrame)
+  final case class NbModel(weights: DataFrame, consts: DataFrame) {
+
+    /** Eagerly drop the model's cached blocks (no-op on already-released
+      * or reliably-checkpointed models — those blocks are files, not
+      * storage-level cache). Safe to call once scoring is finished.
+      */
+    def release(): Unit = {
+      weights.unpersist(blocking = false)
+      consts.unpersist(blocking = false)
+    }
+  }
 
   /** Train the NB model: one corpus tokenize pass, two aggregations.
-    * See [[nbQualityScores]] for the weight formula.
+    * See [[nbQualityScores]] for the weight formula. `reliable = true`
+    * freezes the model via reliable `checkpoint` (survives executor
+    * loss — use for multi-hour streaming scorers; needs a checkpoint
+    * dir) instead of the default executor-local snapshot.
     */
   def nbFit(
       corpus: DataFrame,
       positive: Column,
-      textCol: String = "text"
+      textCol: String = "text",
+      reliable: Boolean = false
   ): NbModel = {
+    def freeze(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val occ = corpus.select(
       positive.as("__pos"),
       explode(TextStats.tokens(col(textCol))).as("__tok")
@@ -271,32 +298,34 @@ object Selection {
         sum(when(col("__pos"), 1L).otherwise(0L)).as("__cpos"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("__cneg")
       )
-    val classTotals = vocabStats
-      .agg(
+    val classTotals = freeze( // feeds the weight projection AND the consts row
+      vocabStats.agg(
         sum("__cpos").as("__tpos"),
         sum("__cneg").as("__tneg"),
         count(lit(1)).as("__v")
       )
-      .localCheckpoint(true) // feeds the weight projection AND the consts row
-    val weights = vocabStats
-      .crossJoin(classTotals) // 1-row scalar: constant-cost broadcast at any scale
-      .select(
-        col("__tok"),
-        ((flog2(col("__cpos") + 1L) - flog2(col("__tpos") + col("__v"))) -
-          (flog2(col("__cneg") + 1L) - flog2(col("__tneg") + col("__v")))).as("__w")
-      )
-      .localCheckpoint(true)
-    val consts = corpus
-      .agg(
-        (flog2(sum(when(positive, 1L).otherwise(0L)) + 1L) -
-          flog2(sum(when(positive, 0L).otherwise(1L)) + 1L)).as("__prior")
-      )
-      .crossJoin(classTotals)
-      .select(
-        col("__prior"),
-        (flog2(col("__tneg") + col("__v")) - flog2(col("__tpos") + col("__v"))).as("__oovw")
-      )
-      .localCheckpoint(true)
+    )
+    val weights = freeze(
+      vocabStats
+        .crossJoin(classTotals) // 1-row scalar: constant-cost broadcast at any scale
+        .select(
+          col("__tok"),
+          ((flog2(col("__cpos") + 1L) - flog2(col("__tpos") + col("__v"))) -
+            (flog2(col("__cneg") + 1L) - flog2(col("__tneg") + col("__v")))).as("__w")
+        )
+    )
+    val consts = freeze(
+      corpus
+        .agg(
+          (flog2(sum(when(positive, 1L).otherwise(0L)) + 1L) -
+            flog2(sum(when(positive, 0L).otherwise(1L)) + 1L)).as("__prior")
+        )
+        .crossJoin(classTotals)
+        .select(
+          col("__prior"),
+          (flog2(col("__tneg") + col("__v")) - flog2(col("__tpos") + col("__v"))).as("__oovw")
+        )
+    )
     NbModel(weights, consts)
   }
 

@@ -224,7 +224,10 @@ object TextStats {
     val s = bigramSurprisal(df, idCol, textCol)
     val m = s
       .agg((sum("surprisal_sum") * 1000L).as("__a"), sum("n_bigrams").as("__b"))
-      .select(expr("__a div __b").as("__m1000"))
+      // degenerate corpus (every doc < 2 tokens ⇒ Σnb = 0): `div` would
+      // raise under ANSI mode; define m1000 = 0 so every doc lands in
+      // `middle` (the documented zero-bigram banding) instead of erroring
+      .select(when(col("__b") === 0L, lit(0L)).otherwise(expr("__a div __b")).as("__m1000"))
     val lhs = col("surprisal_sum") * 1000000L
     val band =
       when(lhs < lit(loPermille.toLong) * col("__m1000") * col("n_bigrams"), lit("head"))
@@ -390,21 +393,88 @@ object TextStats {
 
   /** Corpus vocabulary with frequency-ranked ids — the id-assignment step
     * of tokenizer training. Two-phase hash aggregation over the corpus
-    * (map-side partial counts), then ONE global window over the distinct
-    * token set only: the sort is vocab-sized (10⁵–10⁷ rows), never
-    * corpus-sized, so the single-partition rank step is cheap at any
-    * corpus scale. Ties rank deterministically (count desc, token asc).
-    * `minCount` prunes the long hapax tail before the rank.
+    * (map-side partial counts), then a DISTRIBUTED global rank over the
+    * distinct-token table via [[distributedRank]]: range-repartition on
+    * (count desc, token asc), per-partition `row_number`, plus broadcast
+    * cumulative partition offsets — no task ever sorts more than its
+    * range slice, so the rank survives the web-scale hapax/typo/unicode
+    * tail (billions of distinct tokens at `minCount = 1`), where a
+    * single global `Window.orderBy` would funnel the whole distinct set
+    * through one task. Ties rank deterministically (count desc, token
+    * asc) — ids are identical to the single-partition rank's. `minCount`
+    * prunes the long hapax tail before the rank (set it ≥ 2 on raw web
+    * text to also shrink the table the encode join broadcasts).
     */
   def buildVocab(df: DataFrame, textCol: String = "text", minCount: Long = 1L): DataFrame =
-    df.select(explode(tokens(col(textCol))).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
+    distributedRank(
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount),
+      Seq(col("cnt").desc, col("token").asc),
+      "token_id"
+    )
+
+  /** Global dense 0-based rank of `df`'s rows under `order`, assigned
+    * WITHOUT a single-partition global window: range-repartition on the
+    * order key (the range exchange balances buckets from a data sample,
+    * so a skewed tail — e.g. billions of count-1 tokens — spreads across
+    * tasks by its secondary key), `row_number` within each range bucket,
+    * and a broadcast join of the per-bucket cumulative offsets (one tiny
+    * `numPartitions`-row table). The ranked ids equal the ones a global
+    * `row_number().over(Window.orderBy(order))` would assign, at a
+    * per-task cost of one range slice instead of the whole table.
+    *
+    * The repartitioned table is snapshotted (`localCheckpoint`) because
+    * the offsets branch and the rank branch must observe the SAME range
+    * boundaries: the range exchange samples its bounds at execution
+    * time, so two independent evaluations could disagree near bucket
+    * edges and corrupt ids. The snapshot pins one evaluation. (For
+    * multi-hour reliability prefer a reliable `checkpoint` upstream —
+    * executor-local blocks do not survive executor loss.)
+    *
+    * `order` must be a TOTAL order (include a unique tiebreak column)
+    * for the ids to be deterministic.
+    */
+  private[graft] def distributedRank(
+      df: DataFrame,
+      order: Seq[Column],
+      idCol: String,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    val p =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parted
+      .groupBy("__pid")
+      .agg(count(lit(1)).as("__n"))
       .withColumn(
-        "token_id",
-        (row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1).cast("long")
+        "__off", // cumulative offset; window over ≤ numPartitions rows
+        // (constant partition key: the table is partition-count-sized by
+        // construction, so one task is the right plan — keyed explicitly
+        // to make that intent visible rather than tripping WindowExec's
+        // unpartitioned-window warning)
+        coalesce(
+          sum("__n").over(
+            Window.partitionBy(lit(0)).orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
       )
+      .select("__pid", "__off")
+    parted
+      .join(broadcast(offsets), "__pid")
+      .withColumn(
+        idCol,
+        (row_number().over(Window.partitionBy("__pid").orderBy(order: _*)) - 1 + col("__off"))
+          .cast("long")
+      )
+      .drop("__pid", "__off")
+  }
 
   /** Apply a learned vocabulary ([[buildVocab]]'s (token, token_id) table)
     * to a corpus — the encode half of the tokenizer loop: text →

@@ -1099,6 +1099,42 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pruned.toSeq == Seq(("a", 3L, 0L), ("b", 3L, 1L)))
   }
 
+  test("distributedRank equals the single-partition global rank on a skewed hapax-tail table") {
+    // Zipf-ish shape: a few hot tokens, a long count-1 tail — the web-text
+    // shape that breaks a single global Window.orderBy at scale. The
+    // distributed two-phase rank must assign EXACTLY the ids the global
+    // window would, across many range buckets.
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 5000).map { i =>
+      val cnt = if (i < 10) 1000L - i else if (i < 100) 50L else 1L
+      (f"tok_${rng.nextInt(1000000)}%07d_$i", cnt)
+    }
+    val df = rows.toDF("token", "cnt")
+    val expected = df
+      .withColumn(
+        "token_id",
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("token"))
+        ) - 1).cast("long")
+      )
+      .as[(String, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    val got = TextStats
+      .distributedRank(df, Seq(col("cnt").desc, col("token").asc), "token_id", numPartitions = 13)
+      .as[(String, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // and the ranked table really spans multiple range buckets
+    val nparts = TextStats
+      .distributedRank(df, Seq(col("cnt").desc, col("token").asc), "token_id", numPartitions = 13)
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct()
+      .count()
+    assert(nparts > 1L)
+  }
+
   test("encodeWithVocab preserves token order and applies the OOV id deterministically") {
     val corpus = Seq(
       (1L, "a b c a"),
@@ -1555,6 +1591,20 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       (3L, "tail", false),
       (4L, "middle", true)
     ))
+  }
+
+  test("surprisalBands: all-short-doc corpus (zero bigrams everywhere) bands middle, no ANSI error") {
+    // every doc has < 2 tokens ⇒ Σ n_bigrams = 0: the corpus-mean division
+    // must be guarded (ANSI `div` by zero would throw), and the documented
+    // zero-bigram banding (middle, kept) must apply to every row
+    val df = Seq((1L, "solo"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val out = TextStats
+      .surprisalBands(df)
+      .select("doc_id", "band", "keep")
+      .as[(Long, String, Boolean)]
+      .collect()
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "middle", true), (2L, "middle", true), (3L, "middle", true)))
   }
 
   test("corpusReport: per-source counters, hand-checked") {
