@@ -1034,6 +1034,17 @@ object Similarity {
     * per vector instead of the vector itself — the difference between a
     * 100 TB float32 index and a ~3 TB one at m=4/ks=256 over 64 dims.
     *
+    * The probe join moves the CODES, not reconstructions: the candidate
+    * side of the cell-id equi-join carries only (id, cell, m small ints),
+    * and the codeword reconstruction happens AFTER the join via a
+    * broadcast (m·ks)-entry codebook map attached as a 1-row cross join
+    * (the centroid-table idiom) — per-pair cost is the same m map
+    * lookups an ADC lookup table would do, and the shuffle payload is
+    * the production index payload, ~6× smaller than shipping float
+    * reconstructions at the registered (m=8, dim=64) shape. Scores are
+    * bit-identical to reconstruction-before-join (same codewords,
+    * concatenated in the same subspace order, same cosine arithmetic).
+    *
     * `rerank > k` enables the production refinement: take the ADC top-
     * `rerank` shortlist, fetch those candidates' ORIGINAL vectors by id
     * (an O(shortlist)-row join back to the corpus — the index stays
@@ -1069,18 +1080,57 @@ object Similarity {
       .filter(col("__crank") <= nprobe)
       .select(col("__id"), col("__qv"), col("__cid"), col("__crank"))
       .localCheckpoint(true)
-    val recon = pqEncode(df, idCol, vecCol, pqCodebooks(df, idCol, vecCol, d, pqM, pqKs, pqIters, seed), d, pqM)
-      .select(col("__id"), col("__rv"))
+    // read twice now (encode + the post-join reconstruction map): snapshot
+    // per this file's cache-lifecycle idiom
+    val cb = pqCodebooks(df, idCol, vecCol, d, pqM, pqKs, pqIters, seed).localCheckpoint(true)
+    val codes = pqEncode(df, idCol, vecCol, cb, d, pqM)
+      .select(col("__id"), col("__codes"))
+    // the INDEX side of the probe join: (cell, id, m code ids) — nothing
+    // vector-sized rides the shuffle
     val index = probed
       .filter(col("__crank") === 1)
       .select(col("__id").as("__nid"), col("__cid"))
-      .join(recon.withColumnRenamed("__id", "__nid"), Seq("__nid"))
+      .join(codes.withColumnRenamed("__id", "__nid"), Seq("__nid"))
+    // (m·ks)-entry codeword map, one row, broadcast: key = m·ks + cid
+    // (a MAP, not a positional array — Lloyd's can drop emptied cells, so
+    // (m, cid) keys may be sparse). Attached below via a constant-key
+    // equi-join — hashes as a 1-row BroadcastHashJoin, keeping the
+    // nested-loop-free plan gate intact
+    val cbMap = broadcast(
+      cb.groupBy()
+        .agg(
+          map_from_entries(
+            collect_list(
+              struct((col("__m") * pqKs + col("__cid")).cast("int").as("k"), col("__cv").as("v"))
+            )
+          ).as("__cb"),
+          // non-foldable constant key (aggregate output, not a literal):
+          // keeps the optimizer from folding the key equality to `true`
+          // and degrading the join to a nested loop
+          min(lit(0)).as("__one")
+        )
+    )
     val shortlist = math.max(k, rerank)
     val w = Window.partitionBy("__qid").orderBy(col("__adc").desc, col("__nid"))
     val adcTop = probed
       .select(col("__id").as("__qid"), col("__qv"), col("__cid"))
       .join(index, Seq("__cid"))
       .filter(col("__qid") =!= col("__nid"))
+      // non-foldable constant key on BOTH sides (pmod(attr, 1) ≡ 0): a
+      // literal on either side gets pushed down as a filter and the join
+      // degrades to a nested loop — this way it plans as a 1-row
+      // BroadcastHashJoin, constant-cost at any scale
+      .withColumn("__one", pmod(col("__cid"), lit(1)).cast("int"))
+      .join(cbMap, Seq("__one"))
+      .withColumn(
+        "__rv", // reconstruct from codes post-join; same subspace order ⇒ bit-identical scores
+        flatten(
+          transform(
+            sequence(lit(0), lit(pqM - 1)),
+            mm => element_at(col("__cb"), (mm * pqKs + element_at(col("__codes"), mm + 1)).cast("int"))
+          )
+        )
+      )
       .withColumn("__adc", cosine(col("__qv"), col("__rv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= shortlist)
