@@ -1,0 +1,186 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index lifecycle — the production shape of
+  * [[Similarity.ivfPqTopK]]: fit ONCE over the corpus, write the three
+  * index tables to storage, `load` in any later session (batch or the
+  * scoring side of a stream), and `probe` arbitrary query batches without
+  * ever re-reading corpus vectors. [[Similarity.ivfPqTopK]] is the fused
+  * self-probe special case; fit + probe here share its exact building
+  * blocks ([[Similarity.cellRanks]] / [[Similarity.pqAdcRank]]), so a
+  * save → load → probe round-trip over the same corpus returns
+  * bit-identical (qid, nid, rank) rows — spec- and oracle-gated.
+  *
+  * On-disk layout under `dir`:
+  *   - `meta/`       one row: (version, dim, cells, pq_m, pq_ks, seed)
+  *   - `centroids/`  coarse k-means centroids (`__cid`, `__cv`) — cells rows
+  *   - `codebooks/`  PQ codewords (`__m`, `__cid`, `__cv`) — ≤ m·ks rows
+  *   - `codes/`      the corpus index (`__nid`, `__codes`), PARTITIONED BY
+  *                   `__cid`: m small ints per vector (m bytes at
+  *                   ks ≤ 256) — the ~30× compression vs float32 that
+  *                   makes a 100 TB corpus a ~3 TB index — laid out so a
+  *                   probe of `nprobe` cells prunes to `nprobe/cells` of
+  *                   the index files. A small online query batch can
+  *                   collect its probed cell list and filter
+  *                   `__cid IN (...)` for static partition pruning; the
+  *                   registered batch query keeps the join form (dynamic
+  *                   pruning / AQE territory) because its query side is
+  *                   corpus-sized.
+  *
+  * Everything persisted is engine-portable parquet: doubles round-trip
+  * bit-exact, so a loaded index probes identically to the in-memory fit.
+  */
+object AnnIndex {
+
+  /** A fitted (or loaded) IVF-PQ index. The DataFrames are lazy — after
+    * [[load]] they are plain parquet scans; after [[fitIvfPq]] they are
+    * snapshotted fit outputs.
+    */
+  final case class IvfPqIndex(
+      dim: Int,
+      cells: Int,
+      pqM: Int,
+      pqKs: Int,
+      seed: Long,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      codes: DataFrame
+  )
+
+  private val FormatVersion = 1
+
+  /** Fit the index: coarse k-means ([[Similarity.kmeansCentroids]]) +
+    * per-subspace PQ codebooks ([[Similarity.pqCodebooks]]), then ONE
+    * assignment pass producing the codes-only corpus index (nearest cell
+    * + m code ids per vector). Fit tables are snapshotted (each feeds
+    * both the assignment pass and [[save]]). At 100 TB fit on a sample
+    * via the underlying `fitSamplePercent` knobs' discipline and pass the
+    * full corpus here only for the assignment/encode pass — both are
+    * single broadcast-join passes, no corpus shuffle.
+    */
+  def fitIvfPq(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: Int = 16,
+      iters: Int = 2,
+      seed: Long = 42L,
+      pqM: Int = 4,
+      pqKs: Int = 8,
+      pqIters: Int = 2,
+      dim: Int = Similarity.AutoDim
+  ): IvfPqIndex = {
+    val d = Similarity.resolveDim(df.select(col(idCol).as("__id"), col(vecCol).as("__v")), dim)
+    val centroids = Similarity
+      .kmeansCentroids(df, idCol, vecCol, cells, iters, seed)
+      .localCheckpoint(true) // feeds assignment AND save
+    val cb = Similarity
+      .pqCodebooks(df, idCol, vecCol, d, pqM, pqKs, pqIters, seed)
+      .localCheckpoint(true) // feeds encode AND save
+    val assigned = Similarity
+      .cellRanks(Similarity.quantizedBase(df, idCol, vecCol), broadcast(centroids), 1)
+      .select(col("__id").as("__nid"), col("__cid"))
+    val codes = Similarity
+      .pqEncode(df, idCol, vecCol, cb, d, pqM)
+      .select(col("__id").as("__nid"), col("__codes"))
+    IvfPqIndex(
+      dim = d,
+      cells = cells,
+      pqM = pqM,
+      pqKs = pqKs,
+      seed = seed,
+      centroids = centroids,
+      codebooks = cb,
+      codes = assigned.join(codes, Seq("__nid")).select("__cid", "__nid", "__codes")
+    )
+  }
+
+  /** Persist the index under `dir` (overwrite). Codes are partitioned by
+    * cell id — the probe-side pruning layout documented on the object.
+    */
+  def save(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    Seq((FormatVersion, index.dim, index.cells, index.pqM, index.pqKs, index.seed))
+      .toDF("version", "dim", "cells", "pq_m", "pq_ks", "seed")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/meta")
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.codes.write.mode("overwrite").partitionBy("__cid").parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted index. The returned DataFrames are lazy parquet
+    * scans — nothing is read until a probe runs, and a probe touching
+    * `nprobe` cells reads only those code partitions.
+    */
+  def load(spark: SparkSession, dir: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val version = meta.getAs[Int]("version")
+    require(version == FormatVersion, s"unsupported AnnIndex format version $version")
+    IvfPqIndex(
+      dim = meta.getAs[Int]("dim"),
+      cells = meta.getAs[Int]("cells"),
+      pqM = meta.getAs[Int]("pq_m"),
+      pqKs = meta.getAs[Int]("pq_ks"),
+      seed = meta.getAs[Long]("seed"),
+      centroids = spark.read.parquet(s"$dir/centroids"),
+      codebooks = spark.read.parquet(s"$dir/codebooks"),
+      // partition-discovered __cid comes back as INT (written from int
+      // cids); select the documented column order explicitly
+      codes = spark.read.parquet(s"$dir/codes").select("__cid", "__nid", "__codes")
+    )
+  }
+
+  /** Probe the index with a query batch: rank each query's `nprobe`
+    * nearest cells (broadcast centroids), equi-join the codes-only index
+    * on cell id, ADC-rank via the broadcast codeword map, and optionally
+    * exact-rerank the top-`rerank` shortlist against `rerankFrom`
+    * (id → original vector — the corpus, a feature store, ...).
+    * `excludeSelf` drops qid = nid matches when the query batch IS the
+    * indexed corpus (the [[Similarity.ivfPqTopK]] semantics — with it,
+    * fit → save → load → probe over the same corpus is bit-identical to
+    * the fused operator).
+    */
+  def probeIvfPq(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 2,
+      rerank: Int = 0,
+      rerankFrom: Option[DataFrame] = None,
+      excludeSelf: Boolean = false
+  ): DataFrame = {
+    require(
+      rerank <= k || rerankFrom.nonEmpty,
+      "rerank > k needs rerankFrom (id, vector) to fetch originals from"
+    )
+    val probed = Similarity
+      .cellRanks(
+        Similarity.quantizedBase(queries, idCol, vecCol),
+        broadcast(index.centroids),
+        nprobe
+      )
+      .localCheckpoint(true) // snapshot the broadcast-scoring pass (the ivfPqTopK idiom)
+    val orig = rerankFrom
+      .getOrElse(queries)
+      .select(col(idCol).as("__oid"), col(vecCol).as("__ov"))
+    Similarity.pqAdcRank(
+      probed.select(col("__id").as("__qid"), col("__qv"), col("__cid")),
+      index.codes,
+      Similarity.pqCodebookMap(index.codebooks, index.pqKs),
+      index.pqM,
+      index.pqKs,
+      k,
+      rerank,
+      orig,
+      excludeSelf
+    )
+  }
+}

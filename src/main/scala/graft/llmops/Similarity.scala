@@ -257,7 +257,7 @@ object Similarity {
     */
   private[graft] val probeDimCalls = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def resolveDim(base: DataFrame, dim: Int): Int =
+  private[llmops] def resolveDim(base: DataFrame, dim: Int): Int =
     if (dim > 0) dim else probeDim(base)
 
   /** Sign-bucket keys for every (vector, table) pair, snapshotted (both
@@ -1067,20 +1067,12 @@ object Similarity {
       dim: Int = AutoDim
   ): DataFrame = {
     val d = resolveDim(df.select(col(idCol).as("__id"), col(vecCol).as("__v")), dim)
-    val base = df.select(
-      col(idCol).as("__id"),
-      transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double")).as("__qv")
-    )
+    val base = quantizedBase(df, idCol, vecCol)
     val centroids = broadcast(kmeansCentroids(df, idCol, vecCol, cells, iters, seed))
-    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
-    val probed = base
-      .crossJoin(centroids)
-      .withColumn("__csim", cosine(col("__qv"), col("__cv")))
-      .withColumn("__crank", row_number().over(wCell))
-      .filter(col("__crank") <= nprobe)
-      .select(col("__id"), col("__qv"), col("__cid"), col("__crank"))
-      .localCheckpoint(true)
-    // read twice now (encode + the post-join reconstruction map): snapshot
+    // ONE nprobe-deep centroid scoring pass serves both roles of the
+    // self-probe: crank = 1 assigns index cells, crank ≤ nprobe probes
+    val probed = cellRanks(base, centroids, nprobe).localCheckpoint(true)
+    // read twice (encode + the post-join reconstruction map): snapshot
     // per this file's cache-lifecycle idiom
     val cb = pqCodebooks(df, idCol, vecCol, d, pqM, pqKs, pqIters, seed).localCheckpoint(true)
     val codes = pqEncode(df, idCol, vecCol, cb, d, pqM)
@@ -1091,12 +1083,57 @@ object Similarity {
       .filter(col("__crank") === 1)
       .select(col("__id").as("__nid"), col("__cid"))
       .join(codes.withColumnRenamed("__id", "__nid"), Seq("__nid"))
-    // (m·ks)-entry codeword map, one row, broadcast: key = m·ks + cid
-    // (a MAP, not a positional array — Lloyd's can drop emptied cells, so
-    // (m, cid) keys may be sparse). Attached below via a constant-key
-    // equi-join — hashes as a 1-row BroadcastHashJoin, keeping the
-    // nested-loop-free plan gate intact
-    val cbMap = broadcast(
+    pqAdcRank(
+      probed.select(col("__id").as("__qid"), col("__qv"), col("__cid")),
+      index,
+      pqCodebookMap(cb, pqKs),
+      pqM,
+      pqKs,
+      k,
+      rerank,
+      df.select(col(idCol).as("__oid"), col(vecCol).as("__ov")),
+      excludeSelf = true
+    )
+  }
+
+  // -------------------------------------------------------------------
+  // IVF-PQ building blocks, shared between the fused self-probe above and
+  // the persisted-index lifecycle (graft.llmops.AnnIndex)
+  // -------------------------------------------------------------------
+
+  /** (id, int8-quantized-as-double vector) projection — the space every
+    * IVF/PQ fit, assignment, and probe runs in.
+    */
+  private[llmops] def quantizedBase(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+      col(idCol).as("__id"),
+      transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double")).as("__qv")
+    )
+
+  /** Rank centroids per vector by quantized cosine (deterministic cid
+    * tie-break) and keep ranks ≤ `upTo`: `upTo = 1` is index-side cell
+    * assignment, `upTo = nprobe` is query-side probing. Centroids ride
+    * in broadcast; the output is (`__id`, `__qv`, `__cid`, `__crank`).
+    */
+  private[llmops] def cellRanks(base: DataFrame, centroids: DataFrame, upTo: Int): DataFrame = {
+    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
+    base
+      .crossJoin(centroids)
+      .withColumn("__csim", cosine(col("__qv"), col("__cv")))
+      .withColumn("__crank", row_number().over(wCell))
+      .filter(col("__crank") <= upTo)
+      .select(col("__id"), col("__qv"), col("__cid"), col("__crank"))
+  }
+
+  /** The PQ codebooks as a single-row broadcast (m·ks)-entry map keyed by
+    * `m·ks + cid` (a MAP, not a positional array — Lloyd's can drop
+    * emptied cells, so (m, cid) keys may be sparse), plus a NON-FOLDABLE
+    * constant join key `__one` (an aggregate output, not a literal: a
+    * literal key on either join side gets pushed down as a filter and the
+    * attach join degrades to a nested loop).
+    */
+  private[llmops] def pqCodebookMap(cb: DataFrame, pqKs: Int): DataFrame =
+    broadcast(
       cb.groupBy()
         .agg(
           map_from_entries(
@@ -1104,22 +1141,37 @@ object Similarity {
               struct((col("__m") * pqKs + col("__cid")).cast("int").as("k"), col("__cv").as("v"))
             )
           ).as("__cb"),
-          // non-foldable constant key (aggregate output, not a literal):
-          // keeps the optimizer from folding the key equality to `true`
-          // and degrading the join to a nested loop
           min(lit(0)).as("__one")
         )
     )
+
+  /** ADC-rank probed queries against a codes-only index, with the
+    * optional exact fetch-and-rerank refinement. `probedQueries` is
+    * (`__qid`, `__qv`, `__cid`) — one row per (query, probed cell);
+    * `index` is (`__cid`, `__nid`, `__codes`); `cbMap` is
+    * [[pqCodebookMap]]'s single row; `orig` supplies the rerank fetch as
+    * (`__oid`, `__ov`). Candidates are reconstructed AFTER the cell-id
+    * equi-join from the broadcast codeword map — the join ships m code
+    * ids per candidate, never a vector.
+    */
+  private[llmops] def pqAdcRank(
+      probedQueries: DataFrame,
+      index: DataFrame,
+      cbMap: DataFrame,
+      pqM: Int,
+      pqKs: Int,
+      k: Int,
+      rerank: Int,
+      orig: DataFrame,
+      excludeSelf: Boolean
+  ): DataFrame = {
     val shortlist = math.max(k, rerank)
     val w = Window.partitionBy("__qid").orderBy(col("__adc").desc, col("__nid"))
-    val adcTop = probed
-      .select(col("__id").as("__qid"), col("__qv"), col("__cid"))
-      .join(index, Seq("__cid"))
-      .filter(col("__qid") =!= col("__nid"))
-      // non-foldable constant key on BOTH sides (pmod(attr, 1) ≡ 0): a
-      // literal on either side gets pushed down as a filter and the join
-      // degrades to a nested loop — this way it plans as a 1-row
-      // BroadcastHashJoin, constant-cost at any scale
+    val joined = probedQueries.join(index, Seq("__cid"))
+    val adcTop = (if (excludeSelf) joined.filter(col("__qid") =!= col("__nid")) else joined)
+      // non-foldable constant key on BOTH sides (pmod(attr, 1) ≡ 0): see
+      // [[pqCodebookMap]] — plans as a 1-row BroadcastHashJoin,
+      // constant-cost at any scale
       .withColumn("__one", pmod(col("__cid"), lit(1)).cast("int"))
       .join(cbMap, Seq("__one"))
       .withColumn(
@@ -1143,7 +1195,6 @@ object Similarity {
       // vectors back from the corpus by id (the index side stays codes-
       // only — this is the production fetch-and-rerank, O(shortlist) rows
       // per query, never a second scan) and rank by exact cosine.
-      val orig = df.select(col(idCol).as("__oid"), col(vecCol).as("__ov"))
       val wr = Window.partitionBy("__qid").orderBy(col("__exact").desc, col("__nid"))
       adcTop
         .select(col("__qid"), col("__nid"))

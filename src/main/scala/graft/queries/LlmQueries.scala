@@ -2007,6 +2007,39 @@ object LlmQueries {
           .ivfPqTopK(clusteredFixture(spark, sf).localCheckpoint(true), "vec_id", "v", k = 5, cells = 8, nprobe = 2, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, rerank = 50, dim = EmbDim)
           .select("qid", "nid", "rank")
     ),
+    // Persisted-index lifecycle (the production shape of llm_ann_ivf_pq):
+    // fit the IVF-PQ index ONCE, WRITE it to storage (centroids +
+    // codebooks + the codes-only corpus index partitioned by cell id —
+    // m small ints per vector, the ~30× compression that turns a 100 TB
+    // float32 corpus into a ~3 TB index whose probe prunes to
+    // nprobe/cells of the files), LOAD it back as lazy parquet scans,
+    // and PROBE the query batch against the loaded tables. The probe
+    // shares ivfPqTopK's exact building blocks, and parquet round-trips
+    // doubles bit-exact, so the oracle is the SAME full-algorithm replay
+    // as llm_ann_ivf_pq — the gate proves a saved index answers
+    // identically to the in-memory fit across sessions.
+    QueryDef(
+      "llm_ann_index_lifecycle",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
+           |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L)},
+           |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50)}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr""".stripMargin
+      },
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val dir = tmpDir("llm_ann_index_lifecycle")
+        val idx = AnnIndex.fitIvfPq(fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        val loaded = AnnIndex.load(spark, dir)
+        AnnIndex
+          .probeIvfPq(loaded, fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid", "rank")
+      }
+    ),
     // Recall ledger pricing PQ loss: ADC-ONLY top-5 (no re-rank, same
     // m/ks as the headline) vs the exact re-rank top-5 over the SAME
     // coarse candidates (ivfTopKKmeans at identical cells/nprobe/seed) —

@@ -725,6 +725,37 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     perQ.values.foreach(rows => assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L)))
   }
 
+  test("AnnIndex: fit → save → load → probe round-trip is bit-identical to the fused ivfPqTopK") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map { i =>
+      val center = i % 3
+      val v = Array.tabulate(8)(j => (center * 5).toFloat + rnd.nextFloat() * 0.1f)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val fused = Similarity
+      .ivfPqTopK(df, "vec_id", "v", k = 3, cells = 3, nprobe = 2, iters = 2, pqM = 2, pqKs = 4, rerank = 10, dim = 8)
+      .select("qid", "nid", "rank")
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(r => (r._1, r._3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val idx = AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    AnnIndex.save(idx, dir)
+    val loaded = AnnIndex.load(spark, dir)
+    assert(loaded.dim == 8 && loaded.cells == 3 && loaded.pqM == 2 && loaded.pqKs == 4 && loaded.seed == 42L)
+    val probed = AnnIndex
+      .probeIvfPq(loaded, df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank")
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(r => (r._1, r._3))
+    assert(probed.toSeq == fused.toSeq, "persisted-index probe must reproduce the fused operator exactly")
+    // the on-disk codes are laid out one directory per cell (partition pruning unit)
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles().filter(_.getName.startsWith("__cid="))
+    assert(cellDirs.nonEmpty, "codes must be partitioned by cell id")
+  }
+
   test("softDedup weights each duplicate group to one document of mass") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val out = Dedup
