@@ -146,6 +146,117 @@ object Bpe {
     Model(merges, words.localCheckpoint(true))
   }
 
+  /** Learn `numMerges` merge rules with the merge LOOP on the driver —
+    * the production trainer shape (HuggingFace `tokenizers`, SentencePiece
+    * BPE): the corpus is touched exactly once by the distributed
+    * word-frequency aggregation, the vocab-sized (word, freq) table is
+    * collected (tens of MB at 10⁵–10⁷ distinct words — a MODEL-side
+    * collect, bounded regardless of corpus bytes, the same class as
+    * broadcasting it), and the merge loop runs in-process with
+    * INCREMENTAL pair-count maintenance: each step touches only the words
+    * containing the merged pair, so a 32k-merge production schedule is
+    * seconds of driver CPU instead of `2·numMerges` scheduled Spark jobs
+    * (~0.2–0.5 s fixed overhead each — hours at production vocab; see
+    * bench_results/round12_bpe_merges.md for the measured gap at 200
+    * merges). Semantics are IDENTICAL to [[learn]] (same pair counting,
+    * same count-desc/left-asc/right-asc tie-break, same greedy leftmost
+    * fold) — spec-asserted equal on the reference corpus, and the
+    * returned [[Model]] has the same schemas, so [[encode]] /
+    * [[encodeIds]] / [[vocab]] work unchanged.
+    *
+    * Use [[learn]] when the merge loop itself must stay in the engine
+    * (e.g. the oracle replay); use this when training a realistic
+    * vocabulary.
+    */
+  def learnLocal(
+      df: DataFrame,
+      textCol: String = "text",
+      numMerges: Int = 100,
+      minWordCount: Long = 1L,
+      eow: String = "</w>"
+  ): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the ONE distributed pass: corpus → (distinct word, freq)
+    val freqs: Array[(String, Long)] = df
+      .select(explode(TextStats.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minWordCount)
+      .as[(String, Long)]
+      .collect()
+
+    val wordFreq = freqs.map(_._2)
+    val syms = freqs.map { case (w, _) => w.map(_.toString).toVector :+ eow }
+
+    // pair → (count, set of word indexes containing it)
+    val pairCount = scala.collection.mutable.Map.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.Map.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWordPairs(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * wordFreq(i)
+        if (c == 0L) { pairCount.remove(p); () }
+        else pairCount.update(p, c)
+        if (sign > 0) pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(addWordPairs(_, 1L))
+
+    def applyLocal(s: Vector[String], l: String, r: String): Vector[String] =
+      if (s.length < 2) s
+      else
+        s.tail.foldLeft(Vector(s.head)) { (acc, x) =>
+          if (acc.last == l && x == r) acc.init :+ (l + r) else acc :+ x
+        }
+
+    val found = scala.collection.mutable.ListBuffer.empty[(Int, String, String)]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      if (pairCount.isEmpty) exhausted = true
+      else {
+        // argmax with the engine tie-break: count desc, left asc, right asc
+        var best: ((String, String), Long) = null
+        pairCount.foreach { e =>
+          if (
+            best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (e._1._1 < best._1._1 ||
+              (e._1._1 == best._1._1 && e._1._2 < best._1._2)))
+          ) best = e
+        }
+        val (l, r) = best._1
+        found += ((step + 1, l, r))
+        // touch ONLY the words containing the merged pair
+        val affected = pairWords.getOrElse((l, r), scala.collection.mutable.Set.empty).toArray
+        affected.foreach { i =>
+          addWordPairs(i, -1L)
+          syms(i) = applyLocal(syms(i), l, r)
+          addWordPairs(i, 1L)
+        }
+        pairWords.remove((l, r))
+        step += 1
+      }
+    }
+
+    val merges = found.toSeq
+      .toDF("rank", "l", "r")
+      .select(
+        col("rank").cast("long").as("rank"),
+        col("l"),
+        col("r"),
+        concat(col("l"), col("r")).as("merged")
+      )
+    val pieces = freqs.indices
+      .map(i => (freqs(i)._1, freqs(i)._2, syms(i)))
+      .toDF("word", "freq", "syms")
+    Model(merges, pieces)
+  }
+
   /** Frequency-ranked subword vocabulary of a learned model: one id per
     * distinct final symbol, ranked by corpus occurrence count (each
     * word's symbols weighted by the word's frequency), ties broken by

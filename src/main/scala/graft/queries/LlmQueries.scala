@@ -4053,6 +4053,20 @@ object LlmQueries {
       (spark, sf) =>
         Bpe.learn(table(spark, sf, "documents"), numMerges = BpeMerges).merges
     ),
+    // The PRODUCTION trainer shape (HuggingFace tokenizers): ONE
+    // distributed corpus pass (word-frequency agg), then the merge loop
+    // driver-local over the collected vocab-sized word table with
+    // incremental pair counts — a 32k-merge schedule is seconds of
+    // driver CPU instead of 2·numMerges scheduled jobs (measured at 200
+    // merges: bench_results/round12_bpe_merges.md). Same oracle as
+    // llm_bpe_vocab: DuckDB re-derives every rule from raw text, so the
+    // gate proves the local loop IS the engine semantics.
+    QueryDef(
+      "llm_bpe_vocab_local",
+      Some(bpeVocabOracle(BpeMerges)),
+      (spark, sf) =>
+        Bpe.learnLocal(table(spark, sf, "documents"), numMerges = BpeMerges).merges
+    ),
     // Encode under the learned merges: per-doc ordered subword pieces.
     // The oracle relearns the same rules (same CTE chain) and reassembles
     // each document word-by-word — a full independent replay of the

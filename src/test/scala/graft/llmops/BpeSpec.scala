@@ -163,6 +163,45 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(ids == (0L until ids.length).toSeq)
   }
 
+  test("learnLocal (driver merge loop) is identical to learn and to the reference") {
+    val (expected, refPieces) = refLearn(corpus, numMerges = 20)
+    val model = Bpe.learnLocal(docsDF, numMerges = 20)
+    val got = model.merges
+      .orderBy("rank")
+      .select("rank", "l", "r")
+      .as[(Long, String, String)]
+      .collect()
+      .map { case (k, l, r) => (k.toInt, l, r) }
+      .toSeq
+    assert(got == expected)
+    val gotPieces = model.wordPieces
+      .select("word", "syms")
+      .as[(String, Seq[String])]
+      .collect()
+      .map { case (w, s) => w -> s.toVector }
+      .toMap
+    assert(gotPieces == refPieces)
+    // and the engine-side learner agrees wholesale (same Model surface)
+    val engine = Bpe.learn(docsDF, numMerges = 20)
+    val enginePieces = engine.wordPieces
+      .select("word", "freq", "syms")
+      .as[(String, Long, Seq[String])]
+      .collect()
+      .toSet
+    val localPieces = model.wordPieces
+      .select("word", "freq", "syms")
+      .as[(String, Long, Seq[String])]
+      .collect()
+      .toSet
+    assert(localPieces == enginePieces)
+  }
+
+  test("learnLocal stops early when no pairs remain") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val model = Bpe.learnLocal(tiny, numMerges = 50)
+    assert(model.merges.count() == 2L)
+  }
+
   test("learn stops early when no pairs remain") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val model = Bpe.learn(tiny, numMerges = 50)
