@@ -70,4 +70,17 @@ class BenchAccountingSpec extends AnyFunSuite {
     assert(math.abs(med - 7.0) < 1e-9)
     assert(math.abs(mn - 5.0) < 1e-9)
   }
+
+  test("heavy top-up selects measured-heavy and measured-noisy queries only") {
+    // heavy: median >= 5 s even when perfectly stable
+    assert(Bench.needsTopUp(List(5.0, 5.1, 5.2)))
+    // noisy: spread beyond 1.5x even when fast — the round-11 ivf_kmeans
+    // shape (min 4.8, max 13.2) that a 3-run median couldn't de-noise
+    assert(Bench.needsTopUp(List(4.8, 10.8, 13.2)))
+    assert(Bench.needsTopUp(List(1.0, 1.0, 1.6)))
+    // fast and stable: stays at 3 runs
+    assert(!Bench.needsTopUp(List(1.0, 1.1, 1.2)))
+    // even-length median (interrupted top-up) takes the upper median
+    assert(math.abs(Bench.median(List(1.0, 2.0, 3.0, 4.0)) - 3.0) < 1e-9)
+  }
 }
