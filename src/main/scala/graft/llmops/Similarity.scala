@@ -724,6 +724,22 @@ object Similarity {
     * Assignment runs on the quantized vectors (the space the centroids
     * were fit in); the pair cosine is exact on the ORIGINAL vectors —
     * both consistent with the IVF family.
+    *
+    * SKEW CAP (`maxCell > 0`): AutoCells bounds EXPECTED within-cell pair
+    * work at ~n·√n, but a skewed corpus can still blow one cell — a
+    * degenerate centroid that catches a constant fraction of the corpus
+    * makes that cell's pair join quadratic regardless of the cell count
+    * (the same failure mode `maxDf` guards in [[Dedup.containmentJoin]]).
+    * With `maxCell` set, each cell's members are ranked by (csim desc, id)
+    * and pairs are only sought within consecutive blocks of `maxCell`
+    * rows ("similarity-ordered blocking"): per-task pair work is bounded
+    * at maxCell² per block and total pair work at n·maxCell, whatever the
+    * skew. Recall degrades only across block boundaries, and the ordering
+    * is chosen to make that rare: near-duplicate vectors have near-equal
+    * centroid similarity, so they land in the same block unless they
+    * straddle a boundary. The rank window is per-CELL (one task sorts one
+    * cell, O(P log P)) — never a global sort. `maxCell = 0` (default)
+    * keeps the exact within-cell semantics.
     */
   def semDedup(
       df: DataFrame,
@@ -733,7 +749,8 @@ object Similarity {
       cells: Int = AutoCells,
       iters: Int = 2,
       seed: Long = 42L,
-      fitSamplePercent: Int = 100
+      fitSamplePercent: Int = 100,
+      maxCell: Int = 0
   ): DataFrame = {
     val resolvedCells = resolveCells(df, cells)
     val base = df.select(
@@ -751,11 +768,23 @@ object Similarity {
       .filter(col("__crank") === 1)
       .select(col("__id"), col("__v"), col("__cid"), col("__csim"))
       .localCheckpoint(true) // both sides of the pair join + the survivor anti-join read it
-    val dropped = asg
-      .select(col("__id").as("__xid"), col("__v").as("__xv"), col("__cid"), col("__csim").as("__xsim"))
+    // skew cap: block key = rank within cell / maxCell (similarity-ordered
+    // blocking; see scaladoc). Uncapped, every cell is one block.
+    val blocked =
+      if (maxCell <= 0) asg.withColumn("__blk", lit(0L))
+      else {
+        val wRank = Window.partitionBy("__cid").orderBy(col("__csim").desc, col("__id"))
+        asg.withColumn(
+          "__blk",
+          floor((row_number().over(wRank) - lit(1)).cast("double") / lit(maxCell.toDouble)).cast("long")
+        )
+      }
+    val dropped = blocked
+      .select(col("__id").as("__xid"), col("__v").as("__xv"), col("__cid"), col("__blk"), col("__csim").as("__xsim"))
       .join(
-        asg.select(col("__id").as("__yid"), col("__v").as("__yv"), col("__cid"), col("__csim").as("__ysim")),
-        Seq("__cid")
+        blocked
+          .select(col("__id").as("__yid"), col("__v").as("__yv"), col("__cid"), col("__blk"), col("__csim").as("__ysim")),
+        Seq("__cid", "__blk")
       )
       .filter(col("__xid") =!= col("__yid"))
       .filter(cosine(col("__xv"), col("__yv")) >= tau)

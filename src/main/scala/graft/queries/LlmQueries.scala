@@ -650,6 +650,24 @@ object LlmQueries {
          |  WHERE list_cosine_similarity(x.v, y.v) >= $tau
          |    AND (y.csim < x.csim OR (y.csim = x.csim AND y.id < x.id)))""".stripMargin
 
+    /** Skew-capped SemDeDup replay ([[Similarity.semDedup]] with
+      * `maxCell > 0`): rank each cell's members by (csim desc, id), block
+      * key = (rank−1) div maxCell, and seek pairs only within (cid, blk) —
+      * the similarity-ordered blocking that bounds a skewed cell's pair
+      * work at maxCell² per block.
+      */
+    def semDedupCappedCtes(tau: Double, iters: Int, maxCell: Int): String =
+      s"""sasg AS (SELECT qb.id, qb.v, c.cid, list_cosine_similarity(qb.qv, c.cv) AS csim
+         |  FROM qb CROSS JOIN k$iters c
+         |  QUALIFY row_number() OVER (PARTITION BY qb.id
+         |    ORDER BY list_cosine_similarity(qb.qv, c.cv) DESC, c.cid) = 1),
+         |sblk AS (SELECT *, CAST(floor(CAST(row_number() OVER (PARTITION BY cid
+         |    ORDER BY csim DESC, id) - 1 AS DOUBLE) / $maxCell) AS BIGINT) AS blk FROM sasg),
+         |sdrop AS (SELECT DISTINCT x.id FROM sblk x JOIN sblk y
+         |  ON x.cid = y.cid AND x.blk = y.blk AND x.id <> y.id
+         |  WHERE list_cosine_similarity(x.v, y.v) >= $tau
+         |    AND (y.csim < x.csim OR (y.csim = x.csim AND y.id < x.id)))""".stripMargin
+
     def kmeansIvfCte(k: Int, cells: Int, nprobe: Int, iters: Int, seed: Long, fitSrc: String = "qb"): String = {
       val probe =
         s"""kp AS (SELECT qb.id, qb.v, c.cid,
@@ -2215,6 +2233,32 @@ object LlmQueries {
         require(n <= 64L * 64L, s"auto-SemDeDup oracle cell search capped at 64 (n <= 4096); n=$n")
         Similarity.semDedup(fx, "vec_id", "v", tau = 0.95, iters = 2, seed = 42L)
       }
+    ),
+    // Skew-capped SemDeDup — the 100 TB guard rail as a driver-verified
+    // query: AutoCells bounds EXPECTED pair work, but one degenerate
+    // centroid catching a constant corpus fraction still makes that
+    // cell's pair join quadratic. maxCell = 24 ranks each cell by
+    // (centroid-sim desc, id) and seeks pairs only within consecutive
+    // 24-row blocks (similarity-ordered blocking: near-dups have
+    // near-equal centroid sim, so blocking costs recall only at block
+    // boundaries) — total pair work n·maxCell whatever the skew. The
+    // fixture's ~62 rows/cell (sf0.01) make the blocking genuinely
+    // engage (~3 blocks per cell), and the oracle replays rank, block
+    // key, and the blocked survivor rule end to end.
+    QueryDef(
+      "llm_semdedup_capped",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
+           |${semDedupCappedCtes(tau = 0.95, iters = 2, maxCell = 24)}
+           |SELECT s.id AS vec_id, CAST(s.cid AS BIGINT) AS cell, s.csim AS centroid_sim
+           |FROM sasg s WHERE s.id NOT IN (SELECT id FROM sdrop)""".stripMargin
+      },
+      (spark, sf) =>
+        Similarity
+          .semDedup(clusteredFixture(spark, sf), "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L, maxCell = 24)
     ),
     // Deep-key LSH top-5 on the clustered fixture — the key width REAL
     // corpora would run: the round-8 knob grid (round8_lsh_knobs.md)

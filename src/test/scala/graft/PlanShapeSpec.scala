@@ -51,6 +51,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_index_lifecycle",
     "llm_ann_lsh_clustered",
     "llm_semdedup",
+    "llm_semdedup_capped",
     "llm_cosine_neardup",
     "llm_cosine_neardup_auto",
     "llm_cosine_xtable",

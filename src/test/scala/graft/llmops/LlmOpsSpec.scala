@@ -1231,6 +1231,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(surv.length < data.length, "identical pairs can never both survive")
   }
 
+  test("semDedup skew cap: blocking only ever reduces drops, and degenerates predictably") {
+    val data = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Seq(0.95f, 0.312f, 0.0f, 0.0f),
+      4L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),
+      5L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),
+      6L -> Seq(0.0f, 0.312f, 0.95f, 0.0f),
+      7L -> Seq(0.5f, -0.5f, 0.5f, -0.5f)
+    )
+    val rows = data.toDF("vec_id", "v")
+    def surv(maxCell: Int): Set[Long] = Similarity
+      .semDedup(rows, "vec_id", "v", tau = 0.9, cells = 2, iters = 2, seed = 42L, maxCell = maxCell)
+      .select("vec_id").as[Long].collect().toSet
+    val uncapped = surv(0)
+    // a cap larger than any cell is a no-op
+    assert(surv(1000) == uncapped)
+    // capped pair universe is a subset of the uncapped one, so drops can
+    // only shrink: uncapped survivors are always capped survivors
+    assert(uncapped.subsetOf(surv(2)))
+    // singleton blocks: no same-block pair exists, everything survives
+    assert(surv(1) == data.map(_._1).toSet)
+  }
+
   test("tfidfTopTerms ranks rare-but-frequent terms first") {
     val corpus = Seq(
       (1L, "x x common"),
