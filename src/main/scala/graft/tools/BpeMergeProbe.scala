@@ -11,7 +11,13 @@ import org.apache.spark.sql.SparkSession
   * [[Bpe.learnLocal]] buys over the engine-side loop's 2-jobs-per-merge
   * schedule.
   *
-  *   sbt "runMain graft.tools.BpeMergeProbe [sfDir] [numMerges] [engineToo]"
+  * With sfDir = `synthetic`, trains over a generated corpus of 6,000
+  * DISTINCT words (base-20 letter encodings of 0..5999, so pair
+  * statistics stay rich) — the testdata documents' small synthetic
+  * vocabulary exhausts its pair space at ~106 rules, which can't sustain
+  * a realistic ≥200-merge schedule.
+  *
+  *   sbt "runMain graft.tools.BpeMergeProbe [sfDir|synthetic] [numMerges] [engineToo]"
   */
 object BpeMergeProbe {
   def main(args: Array[String]): Unit = {
@@ -30,7 +36,19 @@ object BpeMergeProbe {
       )
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").localCheckpoint(true)
+    val docs =
+      if (sfDir == "synthetic") {
+        // 6,000 distinct words, Zipf-ish frequencies (word i appears in
+        // ~6000/(i+1) docs): base-20 letter encoding keeps characters
+        // overlapping so pair statistics stay rich deep into the schedule
+        import org.apache.spark.sql.functions._
+        val words = udf { (id: Long) =>
+          def enc(n: Long): String =
+            if (n == 0) "a" else Iterator.iterate(n)(_ / 20).takeWhile(_ > 0).map(x => ('a' + (x % 20).toInt).toChar).mkString
+          (0 until 40).map(j => enc((id * 37 + j * j + 11) % 6000)).mkString(" ")
+        }
+        spark.range(3000).select(col("id").as("doc_id"), words(col("id")).as("text")).localCheckpoint(true)
+      } else spark.read.parquet(s"$sfDir/documents.parquet").localCheckpoint(true)
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
