@@ -754,6 +754,29 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     // the on-disk codes are laid out one directory per cell (partition pruning unit)
     val cellDirs = new java.io.File(s"$dir/codes").listFiles().filter(_.getName.startsWith("__cid="))
     assert(cellDirs.nonEmpty, "codes must be partitioned by cell id")
+
+    // no fit stages on the query path: a probe of the LOADED index (no
+    // rerank fetch) must read ONLY the index directory — every file scan
+    // in its plan points under dir; the corpus vectors and any k-means/PQ
+    // fit machinery are absent by construction
+    val batch = Seq((1000L, Seq.fill(8)(1.0f))).toDF("vec_id", "v")
+    val probePlan = AnnIndex
+      .probeIvfPq(loaded, batch, "vec_id", "v", k = 3, nprobe = 2)
+      .queryExecution
+      .optimizedPlan
+    val scans = probePlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq(s"non-file relation: ${r.relation.getClass.getName}")
+        }
+    }.flatten
+    assert(scans.nonEmpty, "probe must scan the persisted index")
+    assert(
+      scans.forall(_.contains(dir)),
+      s"probe plan must touch only the index dir; scanned: ${scans.mkString(", ")}"
+    )
   }
 
   test("softDedup weights each duplicate group to one document of mass") {
