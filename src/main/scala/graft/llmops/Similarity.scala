@@ -1196,15 +1196,26 @@ object Similarity {
   ): DataFrame = {
     val shortlist = math.max(k, rerank)
     val w = Window.partitionBy("__qid").orderBy(col("__adc").desc, col("__nid"))
-    val joined = probedQueries.join(index, Seq("__cid"))
-    val adcTop = (if (excludeSelf) joined.filter(col("__qid") =!= col("__nid")) else joined)
+    // Reconstruction placement (round-12 fix of a self-inflicted 3×
+    // regression): the EXPLICIT repartition on cell id puts the exchange
+    // BELOW the reconstruction projection, so the shuffle ships the m-byte
+    // codes (the production payload) while each candidate's codeword
+    // concatenation is computed ONCE PER INDEX ROW after landing — the
+    // per-(query, candidate) pair join above it pays only the cosine.
+    // Reconstructing after the pair join instead (the first form of this
+    // change) multiplied the m map lookups + array build by the pair
+    // count (~nprobe·cell_size per query) and tripled the query's
+    // wall-clock at sf0.1. The candidate join reuses this partitioning
+    // (same key), so the repartition adds no extra exchange.
+    val reconIndex = index
+      .repartition(col("__cid"))
       // non-foldable constant key on BOTH sides (pmod(attr, 1) ≡ 0): see
       // [[pqCodebookMap]] — plans as a 1-row BroadcastHashJoin,
       // constant-cost at any scale
       .withColumn("__one", pmod(col("__cid"), lit(1)).cast("int"))
       .join(cbMap, Seq("__one"))
       .withColumn(
-        "__rv", // reconstruct from codes post-join; same subspace order ⇒ bit-identical scores
+        "__rv", // reconstruct from codes; same subspace order ⇒ bit-identical scores
         flatten(
           transform(
             sequence(lit(0), lit(pqM - 1)),
@@ -1212,6 +1223,9 @@ object Similarity {
           )
         )
       )
+      .select(col("__cid"), col("__nid"), col("__rv"))
+    val joined = probedQueries.join(reconIndex, Seq("__cid"))
+    val adcTop = (if (excludeSelf) joined.filter(col("__qid") =!= col("__nid")) else joined)
       .withColumn("__adc", cosine(col("__qv"), col("__rv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= shortlist)
