@@ -66,6 +66,15 @@ object Bench {
   val HEAVY_SECONDS = 5.0
   val NOISE_SPREAD = 1.5
 
+  /** Spread alone only marks a query noisy above this median: on a 0.2 s
+    * query a 0.1 s jitter trips the 1.5× ratio while moving no total by
+    * anything a reader can see — the first full round-12 run topped up 80
+    * sub-second queries that way, paying ~160 extra runs for noise
+    * nobody was misled by. Heavy (≥ [[HEAVY_SECONDS]]) queries top up
+    * regardless of spread.
+    */
+  val NOISE_FLOOR_SECONDS = 0.5
+
   /** Streaming/stateful queries (t2-t9) run 5 passes instead of 3: round 8
     * showed a single host-contention spike can drag a 3-run median (t7 ran
     * 2.9-14.7 s inside ONE median-of-3, manufacturing a phantom 3.1×
@@ -104,7 +113,8 @@ object Bench {
     * not a throughput claim.
     */
   private[graft] def needsTopUp(xs: List[Double]): Boolean =
-    median(xs) >= HEAVY_SECONDS || xs.max > NOISE_SPREAD * xs.min
+    median(xs) >= HEAVY_SECONDS ||
+      (median(xs) >= NOISE_FLOOR_SECONDS && xs.max > NOISE_SPREAD * xs.min)
 
   /** Both tier totals — median-sum (the headline) and min-sum (the
     * noise-robust floor: a median inflated by host contention moves the

@@ -80,6 +80,9 @@ class BenchAccountingSpec extends AnyFunSuite {
     assert(Bench.needsTopUp(List(1.0, 1.0, 1.6)))
     // fast and stable: stays at 3 runs
     assert(!Bench.needsTopUp(List(1.0, 1.1, 1.2)))
+    // sub-floor jitter is not noise worth 2 extra runs: a 0.2 s query
+    // tripping the 1.5x ratio moves no total a reader can see
+    assert(!Bench.needsTopUp(List(0.2, 0.25, 0.35)))
     // even-length median (interrupted top-up) takes the upper median
     assert(math.abs(Bench.median(List(1.0, 2.0, 3.0, 4.0)) - 3.0) < 1e-9)
   }
