@@ -1254,6 +1254,56 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(surv.length < data.length, "identical pairs can never both survive")
   }
 
+  test("semDedup maxCell equals an independent brute-force replay of the BLOCKED survivor rule") {
+    // 9 near-identical vectors (one cell, every pair over tau) + jitter so
+    // centroid similarities are distinct and the (csim desc, id) rank is
+    // exercised non-trivially; maxCell = 3 puts 3 blocks in the cell. The
+    // expected survivors come from a plain-Scala replay of the full rule:
+    // quantize, fit, rank-1 assign, rank per cell, block = (rank-1)/3,
+    // drop iff a same-(cell, block) neighbor at cos >= tau is
+    // (csim, id)-smaller.
+    val data = (0L until 9L).map { i =>
+      i -> Seq.tabulate(8)(j => 1.0f + ((i * 7 + j * 3) % 11).toFloat / 1000.0f)
+    }
+    val rows = data.toDF("vec_id", "v")
+    val surv = Similarity
+      .semDedup(rows, "vec_id", "v", tau = 0.999, cells = 1, iters = 1, seed = 42L, maxCell = 3)
+      .select("vec_id").as[Long].collect().toSet
+
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def quant(v: Seq[Float]): Seq[Double] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      if (s == 0) v.map(_ => 0.0) else v.map(x => math.floor(x.toDouble * 127.0 / s + 0.5))
+    }
+    val cents = Similarity
+      .kmeansCentroids(rows, "vec_id", "v", cells = 1, iters = 1, seed = 42L)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val asg = data.map { case (id, v) =>
+      val (cid, csim) = cents.map { case (c, cv) => (c, cos(quant(v), cv)) }.maxBy { case (c, s) => (s, -c) }
+      (id, v.map(_.toDouble), cid, csim)
+    }
+    val blocked = asg
+      .groupBy(_._3)
+      .flatMap { case (_, members) =>
+        members.sortBy { case (id, _, _, csim) => (-csim, id) }.zipWithIndex.map { case (m, rank) =>
+          (m._1, m._2, m._3, m._4, rank / 3)
+        }
+      }
+      .toSeq
+    val expected = blocked.collect {
+      case (id, v, cid, csim, blk) if !blocked.exists { case (oid, ov, ocid, ocsim, oblk) =>
+            oid != id && ocid == cid && oblk == blk && cos(ov, v) >= 0.999 &&
+            (ocsim < csim || (ocsim == csim && oid < id))
+          } =>
+        id
+    }.toSet
+    assert(surv == expected, s"operator ${surv.toSeq.sorted} vs reference ${expected.toSeq.sorted}")
+    // non-vacuous: 3 blocks of identical-ish docs keep exactly 1 each
+    assert(expected.size == 3 && surv.size < data.size)
+  }
+
   test("semDedup skew cap: blocking only ever reduces drops, and degenerates predictably") {
     val data = Seq(
       1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
