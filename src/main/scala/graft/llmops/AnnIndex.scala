@@ -183,4 +183,59 @@ object AnnIndex {
       excludeSelf
     )
   }
+
+  /** [[probeIvfPq]] for SMALL query batches — the online-serving shape:
+    * collect the batch's probed cell ids on the driver (≤ |batch|·nprobe
+    * ints, bounded by `maxProbedCells` so a corpus-sized batch can't
+    * sneak a driver collect in) and filter the codes scan with a LITERAL
+    * cell-id IN list. Because [[save]] partitions the codes by `__cid`,
+    * the filter becomes STATIC partition pruning at planning time: the
+    * scan touches only the probed cells' files — for a 10-vector batch at
+    * nprobe = 2 over 1,024 cells, at most 20/1,024 of a ~3 TB index —
+    * where [[probeIvfPq]]'s join form leaves file pruning to runtime
+    * (DPP/AQE) and is the right call only when the batch is corpus-sized.
+    * Results are identical to [[probeIvfPq]] on the same batch (same
+    * building blocks; the filter only removes cells no query probes).
+    */
+  def probeIvfPqPruned(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 2,
+      rerank: Int = 0,
+      rerankFrom: Option[DataFrame] = None,
+      excludeSelf: Boolean = false,
+      maxProbedCells: Int = 4096
+  ): DataFrame = {
+    val probed = Similarity
+      .cellRanks(
+        Similarity.quantizedBase(queries, idCol, vecCol),
+        broadcast(index.centroids),
+        nprobe
+      )
+      .localCheckpoint(true) // read by the cell-list collect AND the rank
+    val probedCells = probed.select(col("__cid").cast("int")).distinct().collect().map(_.getInt(0))
+    require(
+      probedCells.length <= maxProbedCells,
+      s"batch probes ${probedCells.length} cells > maxProbedCells=$maxProbedCells — " +
+        "use probeIvfPq (join form) for corpus-sized batches"
+    )
+    val prunedCodes = index.codes.filter(col("__cid").isin(probedCells.toIndexedSeq: _*))
+    val orig = rerankFrom
+      .getOrElse(queries)
+      .select(col(idCol).as("__oid"), col(vecCol).as("__ov"))
+    Similarity.pqAdcRank(
+      probed.select(col("__id").as("__qid"), col("__qv"), col("__cid")),
+      prunedCodes,
+      Similarity.pqCodebookMap(index.codebooks, index.pqKs),
+      index.pqM,
+      index.pqKs,
+      k,
+      rerank,
+      orig,
+      excludeSelf
+    )
+  }
 }

@@ -2058,6 +2058,38 @@ object LlmQueries {
           .select("qid", "nid", "rank")
       }
     ),
+    // Small-batch pruned probe of the persisted index — the online-serving
+    // shape: the batch's probed cell ids ride as a LITERAL IN filter, so
+    // the cell-partitioned codes scan statically prunes to the probed
+    // cells' files (spec asserts the PartitionFilters; at production
+    // scale a 10-vector batch at nprobe=2 over 1,024 cells reads
+    // ≤ 20/1,024 of a ~3 TB index). Results identical to the join-form
+    // probe on the same batch — the oracle is the full-corpus replay
+    // restricted to the batch's qids, which IS the per-query-independent
+    // semantics being claimed.
+    QueryDef(
+      "llm_ann_index_pruned",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
+           |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L)},
+           |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50)}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr WHERE qid % 97 = 0""".stripMargin
+      },
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val dir = tmpDir("llm_ann_index_pruned")
+        val idx = AnnIndex.fitIvfPq(fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        val loaded = AnnIndex.load(spark, dir)
+        val batch = fx.filter(col("vec_id") % 97 === 0)
+        AnnIndex
+          .probeIvfPqPruned(loaded, batch, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid", "rank")
+      }
+    ),
     // Recall ledger pricing PQ loss: ADC-ONLY top-5 (no re-rank, same
     // m/ks as the headline) vs the exact re-rank top-5 over the SAME
     // coarse candidates (ivfTopKKmeans at identical cells/nprobe/seed) —

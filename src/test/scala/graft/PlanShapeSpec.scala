@@ -49,6 +49,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_ivf_kmeans",
     "llm_ann_ivf_pq",
     "llm_ann_index_lifecycle",
+    "llm_ann_index_pruned",
     "llm_ann_lsh_clustered",
     "llm_semdedup",
     "llm_semdedup_capped",

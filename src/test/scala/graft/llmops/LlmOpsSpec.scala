@@ -777,6 +777,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       scans.forall(_.contains(dir)),
       s"probe plan must touch only the index dir; scanned: ${scans.mkString(", ")}"
     )
+
+    // small-batch pruned probe: identical results, and the codes scan
+    // carries a STATIC partition filter on the probed cell ids
+    val smallBatch = df.filter($"vec_id" < 5).localCheckpoint(true)
+    val viaJoin = AnnIndex
+      .probeIvfPq(loaded, smallBatch, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    val prunedDf = AnnIndex
+      .probeIvfPqPruned(loaded, smallBatch, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+    val viaPruned = prunedDf
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(viaPruned.toSeq == viaJoin.toSeq, "pruned probe must equal the join-form probe")
+    val prunedPlan = prunedDf.queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*__cid[^\\]]*IN".r.findFirstIn(prunedPlan).nonEmpty,
+      s"expected a static __cid IN partition filter on the codes scan; plan:\n$prunedPlan"
+    )
   }
 
   test("softDedup weights each duplicate group to one document of mass") {
