@@ -2266,6 +2266,65 @@ object LlmQueries {
         Similarity.semDedup(fx, "vec_id", "v", tau = 0.95, iters = 2, seed = 42L)
       }
     ),
+    // Cap-cost ledger: what the maxCell=24 blocking COSTS on the
+    // clustered fixture, as driver-verified data — total docs, survivors
+    // under the exact within-cell rule vs the blocked rule, and the
+    // count of docs whose fate (kept/dropped) agrees. The uncapped pair
+    // universe is a superset, so survivors can only grow under the cap;
+    // the gap divided by n is the recall price the shuffle note
+    // describes qualitatively. Both rules replayed in full by the oracle
+    // from one shared assignment.
+    QueryDef(
+      "llm_semdedup_cap_ledger",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
+           |sasg AS (SELECT qb.id, qb.v, c.cid, list_cosine_similarity(qb.qv, c.cv) AS csim
+           |  FROM qb CROSS JOIN k2 c
+           |  QUALIFY row_number() OVER (PARTITION BY qb.id
+           |    ORDER BY list_cosine_similarity(qb.qv, c.cv) DESC, c.cid) = 1),
+           |drop_exact AS (SELECT DISTINCT x.id FROM sasg x JOIN sasg y
+           |  ON x.cid = y.cid AND x.id <> y.id
+           |  WHERE list_cosine_similarity(x.v, y.v) >= 0.95
+           |    AND (y.csim < x.csim OR (y.csim = x.csim AND y.id < x.id))),
+           |sblk AS (SELECT *, CAST(floor(CAST(row_number() OVER (PARTITION BY cid
+           |    ORDER BY csim DESC, id) - 1 AS DOUBLE) / 24) AS BIGINT) AS blk FROM sasg),
+           |drop_blocked AS (SELECT DISTINCT x.id FROM sblk x JOIN sblk y
+           |  ON x.cid = y.cid AND x.blk = y.blk AND x.id <> y.id
+           |  WHERE list_cosine_similarity(x.v, y.v) >= 0.95
+           |    AND (y.csim < x.csim OR (y.csim = x.csim AND y.id < x.id)))
+           |SELECT CAST((SELECT count(*) FROM sasg) AS BIGINT) AS n,
+           |       CAST((SELECT count(*) FROM sasg WHERE id NOT IN (SELECT id FROM drop_exact)) AS BIGINT) AS surv_exact,
+           |       CAST((SELECT count(*) FROM sasg WHERE id NOT IN (SELECT id FROM drop_blocked)) AS BIGINT) AS surv_capped,
+           |       CAST((SELECT count(*) FROM sasg WHERE
+           |               (id IN (SELECT id FROM drop_exact)) = (id IN (SELECT id FROM drop_blocked))) AS BIGINT) AS fate_agree""".stripMargin
+      },
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val exact = Similarity
+          .semDedup(fx, "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L)
+          .select(col("vec_id"))
+        val capped = Similarity
+          .semDedup(fx, "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L, maxCell = 24)
+          .select(col("vec_id"))
+        val base = fx.select(col("vec_id"))
+        val flags = base
+          .join(exact.withColumn("__se", lit(1)), Seq("vec_id"), "left")
+          .join(capped.withColumn("__sc", lit(1)), Seq("vec_id"), "left")
+          .select(
+            coalesce(col("__se"), lit(0)).as("__se"),
+            coalesce(col("__sc"), lit(0)).as("__sc")
+          )
+        flags.agg(
+          count(lit(1)).as("n"),
+          sum(col("__se")).cast("long").as("surv_exact"),
+          sum(col("__sc")).cast("long").as("surv_capped"),
+          sum((col("__se") === col("__sc")).cast("int")).cast("long").as("fate_agree")
+        )
+      }
+    ),
     // Skew-capped SemDeDup — the 100 TB guard rail as a driver-verified
     // query: AutoCells bounds EXPECTED pair work, but one degenerate
     // centroid catching a constant corpus fraction still makes that

@@ -53,6 +53,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_lsh_clustered",
     "llm_semdedup",
     "llm_semdedup_capped",
+    "llm_semdedup_cap_ledger",
     "llm_cosine_neardup",
     "llm_cosine_neardup_auto",
     "llm_cosine_xtable",
