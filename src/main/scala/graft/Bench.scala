@@ -28,9 +28,12 @@ import org.apache.spark.sql.SparkSession
   *     set ops, scalar functions, and the verification-only ledgers),
   *     timed and reported under "secondary" but excluded from the headline
   *     total. The `verificationOnly` subset (brute-force baselines and
-  *     recall/consistency ledgers that deliberately run O(n²) work) is run
-  *     once, not 3× — they gate semantics, not throughput, and tripling
-  *     their cost would crowd out the queries whose time matters.
+  *     recall/consistency ledgers that deliberately run O(n²) work) runs
+  *     once in the base tier, not 3× — they gate semantics, not
+  *     throughput — but a HEAVY one (≥ 5 s) tops up to 5 samples like
+  *     every other heavy query (round 13: single-run heavy ledgers were
+  *     the one place a 5–9× apparent regression had no spread data to
+  *     refute it).
   *
   * Execution is forced through the noop sink so every output column is
   * materialized — `count()` would let Spark skip projection work entirely.
@@ -108,9 +111,14 @@ object Bench {
   }
 
   /** Heavy-tier selection: measured median ≥ [[HEAVY_SECONDS]] or max/min
-    * spread > [[NOISE_SPREAD]] after the base passes. Verification-only
-    * queries stay at 1 run — their number documents a baseline's cost,
-    * not a throughput claim.
+    * spread > [[NOISE_SPREAD]] after the base passes. Round 13: the rule
+    * now covers VERIFICATION-ONLY queries too — their base tier stays 1
+    * run (a cheap ledger's number documents a baseline's cost, not a
+    * throughput claim), but a heavy one (single run ≥ [[HEAVY_SECONDS]])
+    * tops up to [[HEAVY_RUNS]] like everything else: round 12's four
+    * slowest queries were single-run recall ledgers at 5–9× their r11
+    * times with NO spread data to prove it was box noise (VERDICT r12
+    * item #1 — precisely the queries most in need of spread had none).
     */
   private[graft] def needsTopUp(xs: List[Double]): Boolean =
     median(xs) >= HEAVY_SECONDS ||
@@ -342,28 +350,42 @@ object Bench {
           // operators persist candidate projections; release between queries
           // so one query's cache can't skew the next one's timing
           spark.catalog.clearCache()
+          // ... and drop localCheckpoint/persist blocks too: clearCache only
+          // covers catalog-cached plans, while the ANN/vocab/NB operators
+          // snapshot via localCheckpoint(true), whose RDD blocks otherwise
+          // accumulate in the storage pool across a ~200-query single-JVM
+          // run and progressively pressure execution memory (VERDICT r12
+          // hypothesis #2 for the late-run noise concentration). Blocking
+          // unpersist so the next query starts from a clean pool.
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
           r
       }
 
     // interleaved passes: pass p runs every query once, in registry order
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // a failure on a TOP-UP run must not evict the query's valid base
+    // samples from the tier totals (ADVICE r12: settled() would drop a
+    // query that fully passed the base passes, silently shrinking the
+    // headline) — recorded separately and reported as "topup_errors"
+    val topupErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val plan: Seq[(String, Int)] =
       (1 to (RUNS max STREAM_RUNS)).flatMap { p =>
         (selHead ++ selSec).collect {
           case n if !skippedAtBench(n) && p <= runsFor(n) => n -> p
         }
       }
-    def execute(name: String, tag: String): Unit =
-      if (!errors.contains(name)) { // a failed query is not retried on later passes
+    def execute(name: String, tag: String, isTopUp: Boolean = false): Unit =
+      if (!errors.contains(name) && !topupErrors.contains(name)) {
+        // a failed query is not retried on later passes
         System.err.println(s"[bench] $tag: $name")
         runOnce(name) match {
           case Right(s) =>
             samples(name) = s :: samples.getOrElse(name, Nil)
             System.err.println(f"[bench] $name: $s%.2f s")
           case Left(m) =>
-            errors(name) = m
-            System.err.println(s"[bench] $name FAILED: $m")
+            if (isTopUp) { topupErrors(name) = m } else { errors(name) = m }
+            System.err.println(s"[bench] $name FAILED${if (isTopUp) " (top-up; base samples kept)" else ""}: $m")
         }
       }
     plan.foreach { case (name, pass) => execute(name, s"pass $pass") }
@@ -371,14 +393,18 @@ object Bench {
     // adaptive heavy-tier top-up: interleaved extra passes until every
     // heavy/noisy query holds HEAVY_RUNS samples (selection is sticky on
     // the base-pass measurement so a lucky extra run can't drop a query
-    // out of its own top-up mid-flight)
+    // out of its own top-up mid-flight). Covers BOTH tiers including
+    // heavy verification-only ledgers (see needsTopUp); queries already
+    // holding HEAVY_RUNS samples (the streaming tier) are not re-listed
+    // (ADVICE r12: heavy_topped_up must name what actually topped up).
     val heavy: Seq[String] = (selHead ++ selSec)
-      .filter(n => !skippedAtBench(n) && !verificationOnly(n))
+      .filter(n => !skippedAtBench(n))
       .filter(n => samples.contains(n) && !errors.contains(n))
+      .filter(n => samples(n).length < HEAVY_RUNS)
       .filter(n => needsTopUp(samples(n)))
     (1 to HEAVY_RUNS).foreach { extra =>
       heavy.foreach { n =>
-        if (samples.get(n).exists(_.length < HEAVY_RUNS)) execute(n, s"top-up $extra")
+        if (samples.get(n).exists(_.length < HEAVY_RUNS)) execute(n, s"top-up $extra", isTopUp = true)
       }
     }
 
@@ -426,7 +452,11 @@ object Bench {
           .map(jstr)
           .mkString("[", ",", "]")},"skipped":${skippedAtBench.toSeq.sorted
           .map(jstr)
-          .mkString("[", ",", "]")},"runs":$RUNS,"stream_runs":$STREAM_RUNS,"errors":$es,"sf":${jstr(sfDir)}}"""
+          .mkString("[", ",", "]")},"runs":$RUNS,"stream_runs":$STREAM_RUNS,"errors":$es,"topup_errors":${topupErrors
+          .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+          .mkString("{", ",", "}")},"subset":${args.nonEmpty},"args":${args.toSeq
+          .map(jstr)
+          .mkString("[", ",", "]")},"sf":${jstr(sfDir)}}"""
 
     // The driver's BENCH artifact keeps only the last ~2000 chars of stdout
     // (and sbt appends a "[success] Total time ..." line after us), so the
@@ -436,9 +466,24 @@ object Bench {
     // "parsed": null). Full detail goes to a file; stdout carries the
     // headline totals plus as many of the slowest per-query medians as fit
     // a fixed byte budget.
-    val fullPath = java.nio.file.Paths.get("bench_results", "bench_full_latest.json")
-    java.nio.file.Files.createDirectories(fullPath.getParent)
-    java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
+    //
+    // Artifact discipline (round 13, VERDICT r12 #6): every run writes a
+    // STAMPED file (SPARK_GRAFT_BENCH_TAG env, else a UTC timestamp) so no
+    // run can overwrite another's spread data; `bench_full_latest.json` is
+    // refreshed ONLY by full runs — a subset smoke run can never again
+    // masquerade as the round's full artifact (the round-12 pitfall).
+    val dir = java.nio.file.Paths.get("bench_results")
+    java.nio.file.Files.createDirectories(dir)
+    val tag = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_TAG",
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd_HHmmss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+    )
+    java.nio.file.Files.write(dir.resolve(s"bench_full_$tag.json"), (fullJson + "\n").getBytes("UTF-8"))
+    if (args.isEmpty)
+      java.nio.file.Files.write(dir.resolve("bench_full_latest.json"), (fullJson + "\n").getBytes("UTF-8"))
 
     val slowest = (headMeds ++ secMeds).sortBy { case (n, v) => (-v, n) }
     // spread columns for the top tier, visible WITHOUT opening the full
@@ -452,10 +497,10 @@ object Bench {
     val prefix =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","total_min":${"%.3f".format(totalMin)},"runs":$RUNS,""" +
         s""""stream_runs":$STREAM_RUNS,"heavy_runs":$HEAVY_RUNS,"heavy_n":${heavy.length},"top_spread":$topSpread,"noise_outliers_n":${outliers.length},""" +
-        s""""queries_timed":${slowest.length},"errors_n":${errors.size},""" +
+        s""""queries_timed":${slowest.length},"errors_n":${errors.size},"topup_errors_n":${topupErrors.size},""" +
         s""""secondary_total":${"%.3f".format(secTotal)},"secondary_total_min":${"%.3f".format(secTotalMin)},""" +
         s""""skipped":${skippedAtBench.toSeq.sorted.map(jstr).mkString("[", ",", "]")},""" +
-        s""""full":"bench_results/bench_full_latest.json","sf":${jstr(sfDir)},"queries":{"""
+        s""""full":"bench_results/bench_full_$tag.json","subset":${args.nonEmpty},"sf":${jstr(sfDir)},"queries":{"""
     val budget = 1500 // chars for the whole line; tail window is ~2000
     val entries = scala.collection.mutable.ListBuffer.empty[String]
     var len = prefix.length + 2
@@ -469,8 +514,14 @@ object Bench {
     // recorded rc=0 with errors_n=8, so a CI gate keyed on the return code
     // passed a regressed build (ADVICE r10, medium). The JSON record above
     // is already printed/written, so the driver still gets the full stats.
-    if (errors.nonEmpty) {
-      System.err.println(s"[bench] ${errors.size} queries ERRORED: ${errors.keys.mkString(", ")}")
+    if (errors.nonEmpty || topupErrors.nonEmpty) {
+      if (errors.nonEmpty)
+        System.err.println(s"[bench] ${errors.size} queries ERRORED: ${errors.keys.mkString(", ")}")
+      if (topupErrors.nonEmpty)
+        System.err.println(
+          s"[bench] ${topupErrors.size} queries failed a TOP-UP run (base samples kept in totals): " +
+            topupErrors.keys.mkString(", ")
+        )
       sys.exit(1)
     }
   }

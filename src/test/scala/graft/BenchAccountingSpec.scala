@@ -85,5 +85,9 @@ class BenchAccountingSpec extends AnyFunSuite {
     assert(!Bench.needsTopUp(List(0.2, 0.25, 0.35)))
     // even-length median (interrupted top-up) takes the upper median
     assert(math.abs(Bench.median(List(1.0, 2.0, 3.0, 4.0)) - 3.0) < 1e-9)
+    // round 13: a single-run verification ledger tops up iff heavy — the
+    // r12 hole was exactly 40.9/35.9/29.8/20.5 s queries with runs: 1
+    assert(Bench.needsTopUp(List(20.5)))
+    assert(!Bench.needsTopUp(List(1.7)))
   }
 }
