@@ -49,7 +49,10 @@ object AnnIndex {
       codes: DataFrame
   )
 
-  private val FormatVersion = 1
+  /** v2 (round 13) adds `occupancy/` — the fit-time per-cell code counts
+    * that anchor the [[staleness]] ledger after [[append]]s.
+    */
+  private val FormatVersion = 2
 
   /** Fit the index: coarse k-means ([[Similarity.kmeansCentroids]]) +
     * per-subspace PQ codebooks ([[Similarity.pqCodebooks]]), then ONE
@@ -99,6 +102,9 @@ object AnnIndex {
 
   /** Persist the index under `dir` (overwrite). Codes are partitioned by
     * cell id — the probe-side pruning layout documented on the object.
+    * Also snapshots `occupancy/` (per-cell code counts counted from the
+    * WRITTEN files — the physical truth, one cheap codes-only scan): the
+    * fit-time reference [[staleness]] diffs against after [[append]]s.
     */
   def save(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.centroids.sparkSession
@@ -112,6 +118,94 @@ object AnnIndex {
     index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     index.codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     index.codes.write.mode("overwrite").partitionBy("__cid").parquet(s"$dir/codes")
+    spark.read
+      .parquet(s"$dir/codes")
+      .groupBy(col("__cid").cast("int").as("__cid"))
+      .agg(count(lit(1)).as("fit_n"))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/occupancy")
+  }
+
+  /** Encode a NEW batch against the FROZEN fit — nearest frozen centroid
+    * (cell id) + per-subspace nearest frozen codeword (m code ids) —
+    * producing index-shaped rows (`__cid`, `__nid`, `__codes`). The same
+    * two broadcast-join passes as [[fitIvfPq]]'s assignment/encode, with
+    * the fit step skipped: at 100 TB an arriving batch costs
+    * O(batch · (cells + m·ks)) comparisons and touches neither the
+    * corpus nor the existing index files. A corpus row's code is a pure
+    * function of (vector, centroids, codebooks), so encoding the corpus
+    * itself through this path reproduces the fit-time index rows exactly
+    * — the property the `llm_ann_index_append` oracle is built on.
+    */
+  def encodeAgainst(
+      index: IvfPqIndex,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val assigned = Similarity
+      .cellRanks(Similarity.quantizedBase(batch, idCol, vecCol), broadcast(index.centroids), 1)
+      .select(col("__id").as("__nid"), col("__cid"))
+    val codes = Similarity
+      .pqEncode(batch, idCol, vecCol, index.codebooks, index.dim, index.pqM)
+      .select(col("__id").as("__nid"), col("__codes"))
+    assigned.join(codes, Seq("__nid")).select("__cid", "__nid", "__codes")
+  }
+
+  /** Incremental index maintenance: encode `batch` against the persisted
+    * index's frozen centroids/codebooks ([[encodeAgainst]]) and APPEND
+    * the rows to the cell-partitioned `codes/` layout — new files land
+    * inside the touched cells' partitions only; existing files, the
+    * centroids, codebooks, and the fit-time `occupancy/` snapshot are
+    * untouched. Probing the appended index is identical to probing a
+    * fresh fit-free index built from corpus ∪ batch under the same
+    * frozen fit (oracle-gated by `llm_ann_index_append`).
+    *
+    * Caller contract: batch ids must be disjoint from already-indexed
+    * ids (append never dedups — an id indexed twice is returned twice by
+    * probes, like any multi-writer parquet sink). Staleness — how far
+    * cell occupancy has drifted from the fit — is priced by
+    * [[staleness]]; refit when the drift ledger says the frozen
+    * centroids no longer describe the data.
+    */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit =
+    encodeAgainst(load(spark, dir), batch, idCol, vecCol)
+      .write
+      .mode("append")
+      .partitionBy("__cid")
+      .parquet(s"$dir/codes")
+
+  /** Staleness ledger: per-cell occupancy NOW (one codes-only scan) vs
+    * the fit-time `occupancy/` snapshot. `added` > 0 marks cells grown by
+    * [[append]]s since the fit; a cell whose occupancy has multiplied is
+    * the refit signal (its probe cost grows linearly with occupancy, and
+    * the frozen centroid that used to describe it may no longer). Cells
+    * that gained their FIRST rows post-fit appear with fit_n = 0.
+    */
+  def staleness(spark: SparkSession, dir: String): DataFrame = {
+    val fit = spark.read
+      .parquet(s"$dir/occupancy")
+      .select(col("__cid").cast("int").as("cell"), col("fit_n"))
+    val now = spark.read
+      .parquet(s"$dir/codes")
+      .groupBy(col("__cid").cast("int").as("cell"))
+      .agg(count(lit(1)).as("now_n"))
+    fit
+      .join(now, Seq("cell"), "full_outer")
+      .select(
+        col("cell"),
+        coalesce(col("fit_n"), lit(0L)).as("fit_n"),
+        coalesce(col("now_n"), lit(0L)).as("now_n"),
+        (coalesce(col("now_n"), lit(0L)) - coalesce(col("fit_n"), lit(0L))).as("added")
+      )
   }
 
   /** Load a persisted index. The returned DataFrames are lazy parquet
@@ -185,10 +279,13 @@ object AnnIndex {
   }
 
   /** [[probeIvfPq]] for SMALL query batches — the online-serving shape:
-    * collect the batch's probed cell ids on the driver (≤ |batch|·nprobe
-    * ints, bounded by `maxProbedCells` so a corpus-sized batch can't
-    * sneak a driver collect in) and filter the codes scan with a LITERAL
-    * cell-id IN list. Because [[save]] partitions the codes by `__cid`,
+    * collect the batch's probed cell ids on the driver and filter the
+    * codes scan with a LITERAL cell-id IN list. The collect itself is
+    * bounded by the DISTINCT probed-cell count (≤ index.cells, never the
+    * batch size); `maxProbedCells` caps the resulting IN-list size — the
+    * guard fires AFTER the cell-rank pass and collect have run (both
+    * bounded by cell count), so it protects plan quality (a huge literal
+    * IN list defeats the pruning win), not driver memory. Because [[save]] partitions the codes by `__cid`,
     * the filter becomes STATIC partition pruning at planning time: the
     * scan touches only the probed cells' files — for a 10-vector batch at
     * nprobe = 2 over 1,024 cells, at most 20/1,024 of a ~3 TB index —
@@ -209,6 +306,11 @@ object AnnIndex {
       excludeSelf: Boolean = false,
       maxProbedCells: Int = 4096
   ): DataFrame = {
+    require(
+      rerank <= k || rerankFrom.nonEmpty,
+      "rerank > k needs rerankFrom (id, vector) to fetch originals from — " +
+        "a small online batch is almost never a valid rerank vector source"
+    )
     val probed = Similarity
       .cellRanks(
         Similarity.quantizedBase(queries, idCol, vecCol),

@@ -90,6 +90,18 @@ object Bpe {
 
   /** Learn `numMerges` BPE merge rules over the corpus' whitespace words.
     *
+    * '''Production schedules: use [[learnLocal]].''' This engine-loop form
+    * launches one tiny Spark job per merge step (~0.16 s/merge of pure
+    * scheduler overhead measured at sf0.01 — ≈1.4 h of scheduling for a
+    * 32k-merge vocab; bench_results/round12_bpe_merges.md), because the
+    * pair-count table it iterates on is vocab-sized, not corpus-sized.
+    * [[learnLocal]] runs the SAME rule derivation (bit-identical merge
+    * tables, spec-pinned) with ONE distributed corpus pass and a
+    * driver-local incremental merge loop: 2.19 s vs 16.63 s at 200 merges,
+    * seconds-to-minutes at 32k. Keep `learn` for tiny schedules or as the
+    * all-engine cross-check; reach for `learnLocal` whenever merge count
+    * is production-sized.
+    *
     * `minWordCount` prunes the hapax tail of the word table before
     * learning (at scale you always prune; the registered oracle query
     * keeps 1 so encode has no OOV and DuckDB replays bit-for-bit).

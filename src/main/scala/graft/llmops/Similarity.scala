@@ -203,6 +203,21 @@ object Similarity {
   private def resolveCells(base: DataFrame, cells: Int): Int =
     if (cells > 0) cells else suggestedCells(base.count())
 
+  /** Knob sentinel: `maxCell = AutoMaxCell` (−1) asks [[semDedup]] to size
+    * the skew cap from the data: 4·⌈n/cells⌉ — four times the MEAN cell
+    * occupancy (integer ceiling, no floating point — the [[suggestedCells]]
+    * /auto-LSH boundary-exactness contract). Balanced-within-4× cells fit
+    * one block (identical results to the exact rule); a degenerate cell's
+    * pair work is bounded at cap² per block. 0 opts out (exact baseline).
+    */
+  val AutoMaxCell: Int = -1
+
+  /** The [[AutoMaxCell]] rule, exposed for its oracle replay and spec. */
+  def autoMaxCell(n: Long, cells: Int): Int = {
+    require(n > 0 && cells > 0, "autoMaxCell needs positive n and cells")
+    (4L * ((n + cells - 1) / cells)).toInt
+  }
+
   /** Sign-bit signature under `planes`: bit p = (v · plane_p) > 0. */
   def planeSignature(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
@@ -725,7 +740,7 @@ object Similarity {
     * were fit in); the pair cosine is exact on the ORIGINAL vectors —
     * both consistent with the IVF family.
     *
-    * SKEW CAP (`maxCell > 0`): AutoCells bounds EXPECTED within-cell pair
+    * SKEW CAP (`maxCell`): AutoCells bounds EXPECTED within-cell pair
     * work at ~n·√n, but a skewed corpus can still blow one cell — a
     * degenerate centroid that catches a constant fraction of the corpus
     * makes that cell's pair join quadratic regardless of the cell count
@@ -738,8 +753,21 @@ object Similarity {
     * is chosen to make that rare: near-duplicate vectors have near-equal
     * centroid similarity, so they land in the same block unless they
     * straddle a boundary. The rank window is per-CELL (one task sorts one
-    * cell, O(P log P)) — never a global sort. `maxCell = 0` (default)
-    * keeps the exact within-cell semantics.
+    * cell, O(P log P)) — never a global sort.
+    *
+    * The cap is ON BY DEFAULT ([[AutoMaxCell]]): `maxCell` auto-sizes to
+    * 4·⌈n/cells⌉ — four times the MEAN cell occupancy, so on a corpus
+    * whose cells stay within 4× of balanced every cell is a single block
+    * and the result is IDENTICAL to the exact rule, while a degenerate
+    * cell (the measured failure mode: 57.3 s → 1.65 s at one 32k-row
+    * cell, bench_results/round12_shuffle_notes.md) gets blocked. Recall
+    * price of blocking under worst-case skew was driver-verified at
+    * 96.0–96.6% per-doc fate agreement (`llm_semdedup_cap_ledger`). Pass
+    * an explicit `maxCell` to pin the cap, or `maxCell = 0` to opt OUT —
+    * the exact-rule form is a BASELINE for oracles and ledgers; at a
+    * fixed cell count its per-cell pair work is unbounded under skew, so
+    * never register it on a 100×-scale path (the same baseline-only
+    * status as brute-force ANN).
     */
   def semDedup(
       df: DataFrame,
@@ -750,9 +778,14 @@ object Similarity {
       iters: Int = 2,
       seed: Long = 42L,
       fitSamplePercent: Int = 100,
-      maxCell: Int = 0
+      maxCell: Int = AutoMaxCell
   ): DataFrame = {
-    val resolvedCells = resolveCells(df, cells)
+    // at most ONE count job feeds both auto knobs
+    val n: Long =
+      if (cells == AutoCells || maxCell == AutoMaxCell) df.count() else -1L
+    val resolvedCells = if (cells > 0) cells else suggestedCells(n)
+    val resolvedMaxCell =
+      if (maxCell == AutoMaxCell) autoMaxCell(n, resolvedCells) else maxCell
     val base = df.select(
       col(idCol).as("__id"),
       col(vecCol).as("__v"),
@@ -771,12 +804,12 @@ object Similarity {
     // skew cap: block key = rank within cell / maxCell (similarity-ordered
     // blocking; see scaladoc). Uncapped, every cell is one block.
     val blocked =
-      if (maxCell <= 0) asg.withColumn("__blk", lit(0L))
+      if (resolvedMaxCell <= 0) asg.withColumn("__blk", lit(0L))
       else {
         val wRank = Window.partitionBy("__cid").orderBy(col("__csim").desc, col("__id"))
         asg.withColumn(
           "__blk",
-          floor((row_number().over(wRank) - lit(1)).cast("double") / lit(maxCell.toDouble)).cast("long")
+          floor((row_number().over(wRank) - lit(1)).cast("double") / lit(resolvedMaxCell.toDouble)).cast("long")
         )
       }
     val dropped = blocked

@@ -657,6 +657,14 @@ object LlmQueries {
       * work at maxCell² per block.
       */
     def semDedupCappedCtes(tau: Double, iters: Int, maxCell: Int): String =
+      semDedupCappedCtesSql(tau, iters, maxCell.toString)
+
+    /** [[semDedupCappedCtes]] with the cap as a SQL expression — the
+      * [[Similarity.AutoMaxCell]] replay passes the data-derived
+      * 4·⌈n/cells⌉ integer rule as a scalar subquery, the same
+      * no-floating-point contract as the auto-cells `snc` CTE.
+      */
+    def semDedupCappedCtesSql(tau: Double, iters: Int, maxCell: String): String =
       s"""sasg AS (SELECT qb.id, qb.v, c.cid, list_cosine_similarity(qb.qv, c.cv) AS csim
          |  FROM qb CROSS JOIN k$iters c
          |  QUALIFY row_number() OVER (PARTITION BY qb.id
@@ -719,21 +727,31 @@ object LlmQueries {
       * encode + reconstruction `prv` (codewords concatenated in subspace
       * order).
       */
-    def pqCtes(dim: Int, m: Int, ks: Int, pqIters: Int, seed: Long): String = {
+    def pqCtes(dim: Int, m: Int, ks: Int, pqIters: Int, seed: Long, fitSrc: String = "qb"): String = {
       val sub = dim / m
       val l2 = "list_sum(list_transform(range(len(sv)), i -> (sv[i+1] - c.cv[i+1]) * (sv[i+1] - c.cv[i+1])))"
+      // fit vs encode split (the append replay): the PQ FIT (init + Lloyd
+      // rounds) sees only `fitSrc`'s subvectors, while the encode CTEs
+      // `pe`/`prv` keep reading the FULL `psub` — exactly how
+      // AnnIndex.fitIvfPq scopes the fit and AnnIndex.encodeAgainst
+      // encodes arrivals against the frozen codebooks. With the default
+      // fitSrc the generated SQL is byte-identical to the pre-split form.
+      val fitSub = if (fitSrc == "qb") "psub" else "psubf"
       val subCte =
         s"""psub AS (SELECT id, mm.m AS m, qv[mm.m*$sub+1 : mm.m*$sub+$sub] AS sv
            |  FROM qb, (SELECT unnest(range($m)) AS m) mm)""".stripMargin
+      val fitSubCte =
+        if (fitSrc == "qb") ""
+        else s""",\npsubf AS (SELECT psub.* FROM psub JOIN $fitSrc f ON psub.id = f.id)"""
       val init =
         s"""pq0 AS (SELECT m, rn - 1 AS cid, sv AS cv FROM (
            |  SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY
            |    CAST(concat('0x', substr(md5(concat_ws(':', '$seed', CAST(m AS VARCHAR), CAST(id AS VARCHAR))), 1, 8)) AS UBIGINT),
            |    id) AS rn
-           |  FROM psub) WHERE rn <= $ks)""".stripMargin
+           |  FROM $fitSub) WHERE rn <= $ks)""".stripMargin
       val iterCtes = (1 to pqIters).map { j =>
-        s"""pa$j AS (SELECT psub.id, psub.m, psub.sv, c.cid FROM psub JOIN pq${j - 1} c ON psub.m = c.m
-           |  QUALIFY row_number() OVER (PARTITION BY psub.id, psub.m
+        s"""pa$j AS (SELECT $fitSub.id, $fitSub.m, $fitSub.sv, c.cid FROM $fitSub JOIN pq${j - 1} c ON $fitSub.m = c.m
+           |  QUALIFY row_number() OVER (PARTITION BY $fitSub.id, $fitSub.m
            |    ORDER BY $l2 ASC, c.cid) = 1),
            |pu$j AS (SELECT a.m, a.cid, u.i AS dim, sum(a.sv[u.i + 1]) / count(*) AS mn
            |        FROM pa$j a, unnest(range(len(a.sv))) AS u(i) GROUP BY 1, 2, 3),
@@ -745,7 +763,7 @@ object LlmQueries {
            |    ORDER BY $l2 ASC, c.cid) = 1),
            |prv AS (SELECT pe.id, flatten(list(c.cv ORDER BY pe.m)) AS rv
            |        FROM pe JOIN pq$pqIters c ON pe.m = c.m AND pe.cid = c.cid GROUP BY pe.id)""".stripMargin
-      (Seq(subCte, init) ++ iterCtes :+ enc).mkString(",\n")
+      (Seq(subCte + fitSubCte, init) ++ iterCtes :+ enc).mkString(",\n")
     }
 
     /** `pqtop` CTE: the [[Similarity.ivfPqTopK]] probe replay — nprobe
@@ -2090,6 +2108,81 @@ object LlmQueries {
           .select("qid", "nid", "rank")
       }
     ),
+    // Incremental index maintenance (round 13): fit the IVF-PQ index on
+    // 80% of the fixture (the stored corpus), SAVE it, then APPEND the
+    // remaining 20% (the arriving batch) encoded against the FROZEN
+    // centroids/codebooks — new code files land inside the touched cells'
+    // partitions; nothing refits. The probe then runs over corpus ∪ batch
+    // against the appended index. The oracle replays the same split: the
+    // coarse k-means AND the PQ codebooks fit ONLY on the corpus slice
+    // (kmeansFitCtes/pqCtes with fitSrc = qbc), while assignment, encode,
+    // probe, ADC, and exact re-rank cover the full set — a hash match
+    // proves append ≡ encode-under-frozen-fit, i.e. a production ingest
+    // stream can grow the index without refitting and probe results are
+    // exactly what a fresh encode of the union under the same fit gives.
+    QueryDef(
+      "llm_ann_index_append",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |qbc AS (SELECT * FROM qb WHERE id % 5 <> 0),
+           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, src = "qbc")},
+           |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, fitSrc = "qbc")},
+           |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50)}
+           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr""".stripMargin
+      },
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val dir = tmpDir("llm_ann_index_append")
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        AnnIndex.append(spark, dir, batch, "vec_id", "v")
+        val appended = AnnIndex.load(spark, dir)
+        AnnIndex
+          .probeIvfPq(appended, fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid", "rank")
+      }
+    ),
+    // Staleness ledger for the appended index: per-cell occupancy NOW vs
+    // the fit-time occupancy/ snapshot — fit_n (corpus rows the cell held
+    // at save), now_n (after the append), added (the drift). The refit
+    // signal at production scale: a cell whose occupancy multiplied is
+    // probing ever-larger candidate lists under a centroid fit that never
+    // saw its new mass. The oracle replays BOTH sides from the shared
+    // frozen assignment: fit counts over the corpus slice, now counts
+    // over the union — full-outer semantics included (a cell gaining its
+    // FIRST rows post-fit shows fit_n = 0).
+    QueryDef(
+      "llm_ann_index_staleness",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |qbc AS (SELECT * FROM qb WHERE id % 5 <> 0),
+           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, src = "qbc")},
+           |asga AS (SELECT qb.id, c.cid, (qb.id % 5 <> 0) AS infit FROM qb CROSS JOIN k2 c
+           |  QUALIFY row_number() OVER (PARTITION BY qb.id
+           |    ORDER BY list_cosine_similarity(qb.qv, c.cv) DESC, c.cid) = 1)
+           |SELECT CAST(cid AS INTEGER) AS cell,
+           |       CAST(sum(CASE WHEN infit THEN 1 ELSE 0 END) AS BIGINT) AS fit_n,
+           |       CAST(count(*) AS BIGINT) AS now_n,
+           |       CAST(sum(CASE WHEN infit THEN 0 ELSE 1 END) AS BIGINT) AS added
+           |FROM asga GROUP BY 1""".stripMargin
+      },
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val dir = tmpDir("llm_ann_index_staleness")
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        AnnIndex.append(spark, dir, batch, "vec_id", "v")
+        AnnIndex.staleness(spark, dir)
+      }
+    ),
     // Recall ledger pricing PQ loss: ADC-ONLY top-5 (no re-rank, same
     // m/ks as the headline) vs the exact re-rank top-5 over the SAME
     // coarse candidates (ivfTopKKmeans at identical cells/nprobe/seed) —
@@ -2237,7 +2330,11 @@ object LlmQueries {
            |FROM sasg s WHERE s.id NOT IN (SELECT id FROM sdrop)""".stripMargin
       },
       (spark, sf) =>
-        Similarity.semDedup(clusteredFixture(spark, sf), "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L)
+        // maxCell = 0: the EXACT within-cell rule — the baseline the cap
+        // ledger prices against. The operator default is the auto skew cap
+        // (AutoMaxCell; exercised by llm_semdedup_default); this uncapped
+        // form is baseline-only at scale, like brute ANN.
+        Similarity.semDedup(clusteredFixture(spark, sf), "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L, maxCell = 0)
     ),
     // SemDeDup with the AutoCells default — the production knob: cells =
     // ⌈√n⌉ via suggestedCells (23 at sf0.01's 500 fixture rows, 45 at
@@ -2263,7 +2360,8 @@ object LlmQueries {
         val fx = clusteredFixture(spark, sf)
         val n = fx.count()
         require(n <= 64L * 64L, s"auto-SemDeDup oracle cell search capped at 64 (n <= 4096); n=$n")
-        Similarity.semDedup(fx, "vec_id", "v", tau = 0.95, iters = 2, seed = 42L)
+        // maxCell = 0: exact rule; this query gates the AutoCells sizing
+        Similarity.semDedup(fx, "vec_id", "v", tau = 0.95, iters = 2, seed = 42L, maxCell = 0)
       }
     ),
     // Cap-cost ledger: what the maxCell=24 blocking COSTS on the
@@ -2304,7 +2402,7 @@ object LlmQueries {
       (spark, sf) => {
         val fx = clusteredFixture(spark, sf).localCheckpoint(true)
         val exact = Similarity
-          .semDedup(fx, "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L)
+          .semDedup(fx, "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L, maxCell = 0)
           .select(col("vec_id"))
         val capped = Similarity
           .semDedup(fx, "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L, maxCell = 24)
@@ -2350,6 +2448,29 @@ object LlmQueries {
       (spark, sf) =>
         Similarity
           .semDedup(clusteredFixture(spark, sf), "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L, maxCell = 24)
+    ),
+    // SemDeDup under the OPERATOR DEFAULT knobs (round 13): maxCell left
+    // at AutoMaxCell, so the skew cap auto-sizes to 4·⌈n/cells⌉ — four
+    // times the mean cell occupancy. The oracle replays the sizing rule
+    // itself as an integer scalar subquery feeding the blocked survivor
+    // chain: a hash match certifies that (a) the auto rule computes the
+    // documented cap and (b) on this fixture's balanced-within-4× cells
+    // every cell is one block, i.e. the default is result-identical to
+    // the exact rule while still bounding a degenerate cell's pair work.
+    QueryDef(
+      "llm_semdedup_default",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
+           |${semDedupCappedCtesSql(tau = 0.95, iters = 2, maxCell = "(SELECT 4 * ((count(*) + 7) // 8) FROM qb)")}
+           |SELECT s.id AS vec_id, CAST(s.cid AS BIGINT) AS cell, s.csim AS centroid_sim
+           |FROM sasg s WHERE s.id NOT IN (SELECT id FROM sdrop)""".stripMargin
+      },
+      (spark, sf) =>
+        Similarity
+          .semDedup(clusteredFixture(spark, sf), "vec_id", "v", tau = 0.95, cells = 8, iters = 2, seed = 42L)
     ),
     // Deep-key LSH top-5 on the clustered fixture — the key width REAL
     // corpora would run: the round-8 knob grid (round8_lsh_knobs.md)

@@ -796,6 +796,50 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     )
   }
 
+  test("AnnIndex.append: frozen-fit encode grows the index in place, staleness ledger balances") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 60).map { i =>
+      val center = i % 3
+      val v = Array.tabulate(8)(j => (center * 5).toFloat + rnd.nextFloat() * 0.1f)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val corpus = df.filter($"vec_id" % 5 =!= 0) // 48 rows
+    val batch = df.filter($"vec_id" % 5 === 0)  // 12 rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_annappend").toString
+    val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    AnnIndex.save(idx, dir)
+    AnnIndex.append(spark, dir, batch, "vec_id", "v")
+    val appended = AnnIndex.load(spark, dir)
+
+    // append ≡ encode-under-frozen-fit: a row's (cell, codes) is a pure
+    // function of (vector, frozen centroids, frozen codebooks), so the
+    // appended index must equal encoding corpus ∪ batch in one pass
+    def rows(codes: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Seq[Int])] =
+      codes
+        .select($"__cid".cast("int"), $"__nid".cast("long"), $"__codes".cast("array<int>"))
+        .as[(Int, Long, Seq[Int])]
+        .collect()
+        .toSeq
+        .sortBy(r => (r._1, r._2))
+    assert(rows(appended.codes) == rows(AnnIndex.encodeAgainst(appended, df, "vec_id", "v")))
+
+    // probing the appended index answers for BOTH slices (every id is a qid)
+    val probed = AnnIndex
+      .probeIvfPq(appended, df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+    assert(probed.select("qid").distinct().count() == 60)
+
+    // staleness ledger balances: Σ fit_n = corpus, Σ now_n = union, Σ added = batch
+    val led = AnnIndex.staleness(spark, dir).as[(Int, Long, Long, Long)].collect()
+    assert(led.map(_._2).sum == 48 && led.map(_._3).sum == 60 && led.map(_._4).sum == 12)
+    assert(led.forall(r => r._3 == r._2 + r._4))
+
+    // disjoint-id misuse is visible, not silent: appending an already-
+    // indexed id yields duplicate index rows (documented caller contract)
+    AnnIndex.append(spark, dir, batch.limit(1), "vec_id", "v")
+    assert(AnnIndex.load(spark, dir).codes.count() == 61)
+  }
+
   test("softDedup weights each duplicate group to one document of mass") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val out = Dedup
@@ -1343,6 +1387,34 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(uncapped.subsetOf(surv(2)))
     // singleton blocks: no same-block pair exists, everything survives
     assert(surv(1) == data.map(_._1).toSet)
+  }
+
+  test("semDedup AutoMaxCell: 4×-mean integer rule, and the default equals the exact rule on balanced cells") {
+    // the documented integer rule: 4 · ⌈n/cells⌉, ceiling exact at the
+    // boundary (no floating point)
+    assert(Similarity.autoMaxCell(500L, 8) == 252)   // ceil(500/8)=63
+    assert(Similarity.autoMaxCell(64L, 8) == 32)     // exact division
+    assert(Similarity.autoMaxCell(65L, 8) == 36)     // one row over → next block
+    assert(Similarity.autoMaxCell(1L, 8) == 4)
+    // DEFAULT knobs = auto cap: on a fixture whose cells stay within 4× of
+    // balanced, every cell is one block → bit-identical to the exact rule
+    val data = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Seq(0.95f, 0.312f, 0.0f, 0.0f),
+      4L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),
+      5L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),
+      6L -> Seq(0.0f, 0.312f, 0.95f, 0.0f)
+    )
+    val rows = data.toDF("vec_id", "v")
+    val byDefault = Similarity
+      .semDedup(rows, "vec_id", "v", tau = 0.9, cells = 2, iters = 2, seed = 42L)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity
+      .semDedup(rows, "vec_id", "v", tau = 0.9, cells = 2, iters = 2, seed = 42L, maxCell = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(byDefault == exact)
+    assert(exact.size < data.size) // non-vacuous: the dedup dropped something
   }
 
   test("tfidfTopTerms ranks rare-but-frequent terms first") {
