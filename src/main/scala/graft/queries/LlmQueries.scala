@@ -135,14 +135,32 @@ object LlmQueries {
     * (Similarity.* then launch no probe jobs); [[embeddingsDimChecked]]
     * guarantees the data matches.
     */
-  private val EmbDim: Int = AnnOracles.Dim
+  private[queries] val EmbDim: Int = AnnOracles.Dim
+
+  /** The llm_ann_index_pruned oracle — the FULL IVF-PQ fit + probe replay
+    * restricted to the small batch's qids (every qid's result row depends
+    * only on its own vector and the frozen index, which is exactly the
+    * per-query independence being claimed). Shared verbatim with the t12
+    * streamed-probe gate: the stream scores the same batch against the
+    * same persisted index, so batch equivalence means hash-matching the
+    * same replay.
+    */
+  private[queries] def indexPrunedOracleSql: String = {
+    import AnnOracles._
+    s"""WITH $clusteredCte,
+       |$kmeansQuantCte,
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L)},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50)}
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr WHERE qid % 97 = 0""".stripMargin
+  }
 
   /** The clustered ANN fixture (Spark side of [[AnnOracles.clusteredCte]]):
     * v = center[md5(vec_id) % 8] + 0.25 · embedding, with the 8 gaussian
     * centers as plan literals shared with the SQL generator. The zip_with
     * HOF is fixture construction, not an operator hot path.
     */
-  private def clusteredFixture(
+  private[queries] def clusteredFixture(
       spark: org.apache.spark.sql.SparkSession,
       sf: String
   ): org.apache.spark.sql.DataFrame = {
@@ -2087,15 +2105,7 @@ object LlmQueries {
     // semantics being claimed.
     QueryDef(
       "llm_ann_index_pruned",
-      Some {
-        import AnnOracles._
-        s"""WITH $clusteredCte,
-           |$kmeansQuantCte,
-           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
-           |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L)},
-           |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50)}
-           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr WHERE qid % 97 = 0""".stripMargin
-      },
+      Some(indexPrunedOracleSql),
       (spark, sf) => {
         val fx = clusteredFixture(spark, sf).localCheckpoint(true)
         val dir = tmpDir("llm_ann_index_pruned")

@@ -515,6 +515,59 @@ object StreamingQueries {
           .awaitTermination()
         spark.read.parquet(out).dropDuplicates("doc_id")
       }
+    ),
+    // ANN serving at ingest (round 13): the persisted IVF-PQ index is
+    // FROZEN (fit + saved batch-side); an arriving query-vector stream is
+    // scored against it micro-batch by micro-batch via foreachBatch +
+    // probeIvfPqPruned — each batch's probed cell ids become a literal IN
+    // filter, so every micro-batch statically prunes the cell-partitioned
+    // codes scan to its own probed cells' files (the online-serving shape;
+    // spec-asserted on the streamed plan in StreamingSpec). A qid's result
+    // rows depend only on its own vector and the frozen index, so
+    // micro-batch boundaries cannot change any row and the streamed sink
+    // must equal the batch probe of the same qids exactly — the oracle is
+    // the SAME full fit+probe replay llm_ann_index_pruned gates against.
+    // Replayed batches after a crash append identical rows, removed by
+    // the (qid, nid) dedup at read — effectively-once without state.
+    QueryDef(
+      "t12_stream_ann_probe_batch_eq",
+      Some(LlmQueries.indexPrunedOracleSql),
+      (spark, sf) => {
+        import graft.llmops.AnnIndex
+        val in = tmpDir("t12_in")
+        val out = tmpDir("t12_out")
+        val ckpt = tmpDir("t12_ckpt")
+        val fx = LlmQueries.clusteredFixture(spark, sf).localCheckpoint(true)
+        val dir = tmpDir("t12_idx")
+        val idx = AnnIndex.fitIvfPq(fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = LlmQueries.EmbDim)
+        AnnIndex.save(idx, dir)
+        val loaded = AnnIndex.load(spark, dir) // frozen: lazy parquet scans, shared across micro-batches
+        // three files -> three micro-batches under maxFilesPerTrigger=1
+        fx.filter(col("vec_id") % 97 === 0)
+          .repartition(3)
+          .write
+          .mode("overwrite")
+          .parquet(in)
+        spark.readStream
+          .schema(s"vec_id LONG, v ARRAY<DOUBLE>")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            AnnIndex
+              .probeIvfPqPruned(loaded, batch, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+              .select("qid", "nid", "rank")
+              .write
+              .mode("append")
+              .parquet(out)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out).dropDuplicates("qid", "nid")
+      }
     )
   )
 

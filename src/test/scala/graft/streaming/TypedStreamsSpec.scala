@@ -103,4 +103,60 @@ class TypedStreamsSpec extends AnyFunSuite with SparkTestSession {
       assert(spark.read.parquet(s"$out/sink").count() > 0)
     } finally q.stop()
   }
+
+  test("streamed ANN probe: each micro-batch statically prunes the index scan to its probed cells") {
+    import graft.llmops.AnnIndex
+    import org.apache.spark.sql.functions.col
+    // 3 well-separated clusters so cell assignment is stable; index frozen
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft-t12spec-idx").toString
+    AnnIndex.save(AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8), dir)
+    val loaded = AnnIndex.load(spark, dir)
+    // stream 2 micro-batches of queries from ONE cluster each
+    val in = Files.createTempDirectory("graft-t12spec-in").toString
+    val out = Files.createTempDirectory("graft-t12spec-out").toString
+    df.filter(col("vec_id") % 3 === 0).limit(2).write.parquet(s"$in/b0")
+    df.filter(col("vec_id") % 3 === 1).limit(2).write.parquet(s"$in/b1")
+    val plans = scala.collection.mutable.ListBuffer.empty[String]
+    spark.readStream
+      .schema("vec_id LONG, v ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val probe = AnnIndex
+          .probeIvfPqPruned(loaded, batch, "vec_id", "v", k = 3, nprobe = 1)
+          .select("qid", "nid", "rank")
+        probe.write.mode("append").parquet(out)
+        plans.synchronized { plans += probe.queryExecution.executedPlan.toString }
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("graft-t12spec-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    assert(plans.size >= 2, s"expected >= 2 micro-batches, got ${plans.size}")
+    // every micro-batch's codes scan carries a static __cid IN partition
+    // filter — the streamed probe reads only the probed cells' files
+    plans.foreach { p =>
+      // a 1-cell batch's IN list constant-folds to equality — both forms
+      // are the same static pruning
+      assert(
+        "PartitionFilters: \\[[^\\]]*__cid[^\\]]*(IN|=)".r.findFirstIn(p).nonEmpty,
+        s"streamed probe plan lacks a static __cid partition filter:\n$p"
+      )
+    }
+    // and the streamed sink equals the one-shot batch probe of the same qids
+    val streamed = spark.read.parquet(out)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val qids = streamed.map(_._1).distinct.sorted
+    val direct = AnnIndex
+      .probeIvfPqPruned(loaded, df.filter(col("vec_id").isin(qids: _*)), "vec_id", "v", k = 3, nprobe = 1)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(streamed == direct)
+  }
 }
