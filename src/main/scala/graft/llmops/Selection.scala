@@ -364,6 +364,129 @@ object Selection {
       )
   }
 
+  // Multiclass NB (round 13) — the language-ID shape: C classes instead
+  // of a positive/negative pair, same quantized integer-LLR discipline
+  // (flog2 Laplace weights — cross-engine hash-exact where float log
+  // likelihoods would be at the mercy of libm ULPs). The weight table is
+  // DENSE over vocab × classes (an unseen (feature, class) pair carries
+  // the Laplace floor flog2(1) − flog2(T_c + V)), so scoring is ONE
+  // vocab join producing C rows per in-vocab occurrence. Scale: weights
+  // are (vocab · C)-sized, priors C rows (broadcast); the corpus is read
+  // once at fit and the batch shuffles only on (id, class) aggregates.
+
+  /** A fitted multiclass NB model: dense per-(feature, class) weights and
+    * the C-row priors table (class prior + per-class OOV weight). Frozen
+    * at fit like [[NbModel]] — same lifecycle caveats and [[NbModel.release]]
+    * semantics.
+    */
+  final case class NbMultiModel(weights: DataFrame, priors: DataFrame) {
+
+    /** Eagerly drop the model's cached blocks (see [[NbModel.release]]). */
+    def release(): Unit = {
+      weights.unpersist(blocking = false)
+      priors.unpersist(blocking = false)
+    }
+  }
+
+  /** Train the multiclass NB model on `corpus`: label per row from
+    * `labelCol`, feature multiset per row from the `feats` array column
+    * (token n-grams, char n-grams — [[TextStats.charNgrams]] for
+    * language ID). One corpus pass, two vocab-sized aggregations, one
+    * (vocab × C) dense-weight projection.
+    *
+    * Per-class weight: w(f, c) = flog2(count(f, c) + 1) − flog2(T_c + V)
+    * (Laplace-smoothed multinomial with the shared train vocabulary V);
+    * prior(c) = flog2(n_c + 1); OOV weight per class = −flog2(T_c + V)
+    * (the floor mass every class gives a feature absent from the train
+    * vocab — applied at scoring as n_oov · oovw, one scalar multiply).
+    */
+  def nbFitMulti(
+      corpus: DataFrame,
+      labelCol: String,
+      feats: Column,
+      reliable: Boolean = false
+  ): NbMultiModel = {
+    def freeze(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val occ = corpus.select(col(labelCol).as("__lab"), explode(feats).as("__tok"))
+    val counts = occ.groupBy("__tok", "__lab").agg(count(lit(1)).as("__c"))
+    val labTotals = occ.groupBy("__lab").agg(count(lit(1)).as("__t"))
+    val vdf = occ.agg(countDistinct(col("__tok")).as("__v")) // 1-row scalar
+    val weights = freeze(
+      occ
+        .select("__tok")
+        .distinct()
+        .crossJoin(broadcast(labTotals)) // C rows: vocab × classes dense grid
+        .join(counts, Seq("__tok", "__lab"), "left")
+        .crossJoin(vdf)
+        .select(
+          col("__tok"),
+          col("__lab"),
+          (flog2(coalesce(col("__c"), lit(0L)) + 1L) - flog2(col("__t") + col("__v"))).as("__w")
+        )
+    )
+    val priors = freeze(
+      corpus
+        .groupBy(col(labelCol).as("__lab"))
+        .agg(count(lit(1)).as("__n"))
+        .join(labTotals, Seq("__lab"))
+        .crossJoin(vdf)
+        .select(
+          col("__lab"),
+          flog2(col("__n") + 1L).as("__prior"),
+          (lit(0L) - flog2(col("__t") + col("__v"))).as("__oovw")
+        )
+    )
+    NbMultiModel(weights, priors)
+  }
+
+  /** Score a batch under a fitted multiclass model and return each row's
+    * argmax class: (idCol, nb_lang, nb_score, n_feats). Ties break on the
+    * smallest class label (deterministic, SQL-replayable). Rows with an
+    * EMPTY feature array produce no output (no evidence, no verdict) —
+    * mirror the convention on the oracle side. Per-micro-batch safe: a
+    * row's score depends only on its own features and the frozen model.
+    */
+  def nbScoreMulti(
+      batch: DataFrame,
+      model: NbMultiModel,
+      idCol: String,
+      feats: Column
+  ): DataFrame = {
+    val occ = batch.select(col(idCol).as("__id"), explode(feats).as("__tok"))
+    val known = occ
+      .join(model.weights, Seq("__tok")) // C rows per in-vocab occurrence
+      .groupBy("__id", "__lab")
+      .agg(sum("__w").as("__known"), count(lit(1)).as("__nk"))
+    val tot = occ.groupBy("__id").agg(count(lit(1)).as("__nf"))
+    val scored = tot
+      .crossJoin(broadcast(model.priors)) // C rows per doc
+      .join(known, Seq("__id", "__lab"), "left")
+      .select(
+        col("__id"),
+        col("__lab"),
+        col("__nf"),
+        (coalesce(col("__known"), lit(0L)) +
+          (col("__nf") - coalesce(col("__nk"), lit(0L))) * col("__oovw") +
+          col("__prior")).as("__score")
+      )
+    scored
+      .groupBy("__id")
+      .agg(
+        min_by(
+          struct(col("__lab"), col("__score")),
+          struct((-col("__score")).as("s"), col("__lab").as("l"))
+        ).as("__best"),
+        first(col("__nf")).as("n_feats")
+      )
+      .select(
+        col("__id").as(idCol),
+        col("__best.__lab").as("nb_lang"),
+        col("__best.__score").as("nb_score"),
+        col("n_feats")
+      )
+  }
+
   /** Train-then-score in one call: [[nbFit]] on the labeled corpus,
     * [[nbScore]] on the batch. See those for the per-piece shapes.
     */

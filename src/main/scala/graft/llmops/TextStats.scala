@@ -74,6 +74,26 @@ object TextStats {
     when(best === 0, lit("und")).otherwise(argmax)
   }
 
+  /** Character n-grams of each token, boundary-padded (`^tok$`) so word
+    * edges carry signal — the language-ID feature space (char-n-gram
+    * profiles à la Cavnar–Trenkle): suffix/prefix morphology lands in the
+    * padded edge grams. Empty tokens are filtered: a non-empty token's
+    * padded form has length ≥ 3, so the position sequence is never empty
+    * at the default n = 3 (an unguarded `sequence(1, len-2)` on a
+    * 2-char padded empty token would count DOWN — Spark infers step −1).
+    * Per-row codegen'd HOFs, zero shuffle.
+    */
+  def charNgrams(toks: Column, n: Int = 3): Column =
+    flatten(
+      transform(
+        filter(toks, t => length(t) > 0),
+        { t =>
+          val p = concat(lit("^"), t, lit("$"))
+          transform(sequence(lit(1), length(p) - (n - 1)), i => p.substr(i, lit(n)))
+        }
+      )
+    )
+
   /** Composite quality score in [0,1]: longer docs with diverse tokens and
     * some stopword mass score higher. Per-row double arithmetic —
     * deterministic.

@@ -4772,8 +4772,177 @@ object LlmQueries {
       ),
       (spark, sf) =>
         Embeddings.centroidAffinity(table(spark, sf, "embeddings"), col("label") === 3)
+    ),
+    // Char-n-gram NB language ID (round 13) — the production replacement
+    // for the stopword-argmax heuristic. The corpus `lang` labels sit on
+    // near-identical English-ish text, so a deterministic multilingual
+    // fixture gives each language REAL character statistics: every token
+    // gains a language-flavored suffix chosen by md5(token) mod 3 from a
+    // per-language list ('en' keeps ~1/3 of tokens bare, so the stopword
+    // baseline still sees English function words there — non-degenerate).
+    // Train = doc_id % 5 <> 0, held-out = the rest. The model is
+    // Selection.nbFitMulti over boundary-padded char trigrams
+    // (TextStats.charNgrams): dense (vocab × 5) integer Laplace weights,
+    // priors, per-class OOV mass — and the oracle replays the ENTIRE
+    // pipeline in SQL: fixture transform, trigram explode, fit counts,
+    // dense weights, priors, held-out scoring with OOV correction,
+    // argmax with lexicographic tie-break, plus the stopword baseline's
+    // prediction per doc. All-integer scores — hash-exact cross-engine.
+    QueryDef(
+      "llm_lang_id_nb",
+      Some(s"""WITH $langIdCtes
+              |SELECT doc_id, lang, nb_lang, nb_score, stop_lang FROM perdoc""".stripMargin),
+      (spark, sf) => langIdPerDoc(spark, sf)
+    ),
+    // The beats-the-baseline ledger as driver-verified data: held-out
+    // accuracy of the char-n-gram NB vs the stopword argmax on the same
+    // fixture slice (the spec asserts nb_correct > stop_correct; the
+    // expected regime is NB ≈ all docs right — suffix trigrams are
+    // near-perfect class evidence — vs the baseline capped at the 'en'
+    // share, since only bare English function words survive the
+    // transform). Same CTE chain as llm_lang_id_nb, rolled up.
+    QueryDef(
+      "llm_lang_id_ledger",
+      Some(s"""WITH $langIdCtes
+              |SELECT CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(CASE WHEN nb_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS nb_correct,
+              |  CAST(sum(CASE WHEN stop_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS stop_correct
+              |FROM perdoc""".stripMargin),
+      (spark, sf) =>
+        langIdPerDoc(spark, sf).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("nb_lang") === col("lang"), 1L).otherwise(0L)).as("nb_correct"),
+          sum(when(col("stop_lang") === col("lang"), 1L).otherwise(0L)).as("stop_correct")
+        )
     )
   )
+
+  /** Per-language suffix lists for the language-ID fixture (3 options per
+    * language, picked per token by md5(token) mod 3 — deterministic and
+    * SQL-replayable). 'en' includes the empty suffix so a third of
+    * English tokens keep their bare form (the stopword baseline's only
+    * surviving signal); the others are morphology-flavored so char
+    * trigrams separate classes the way real orthography does.
+    */
+  private val langSuffixes: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("", "s", "ing"),
+    "de" -> Seq("ung", "keit", "sch"),
+    "fr" -> Seq("eux", "tion", "ois"),
+    "es" -> Seq("ción", "idad", "amos"),
+    "zh" -> Seq("的", "了", "在")
+  )
+
+  /** The language-flavored token array for one document (Spark side of the
+    * `ft` CTE): non-empty whitespace tokens, each suffixed per its doc's
+    * lang. Per-row HOFs — zero shuffle, codegen'd.
+    */
+  private def langFlavoredToks: org.apache.spark.sql.Column = {
+    val sfxMap = map(langSuffixes.flatMap { case (l, s) => Seq(lit(l), array(s.map(lit): _*)) }: _*)
+    val sfx = element_at(sfxMap, col("lang"))
+    transform(
+      filter(TextStats.tokens(col("text")), t => length(t) > 0),
+      t =>
+        concat(
+          t,
+          element_at(sfx, (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 3).cast("int") + 1)
+        )
+    )
+  }
+
+  /** The full language-ID pipeline, shared by both registered queries:
+    * fixture transform → char-trigram features → multiclass NB fit on the
+    * train split → held-out scoring → stopword-baseline prediction on the
+    * SAME transformed text. Output: (doc_id, lang, nb_lang, nb_score,
+    * stop_lang) for every feature-bearing held-out doc.
+    */
+  private def langIdPerDoc(
+      spark: org.apache.spark.sql.SparkSession,
+      sf: String
+  ): org.apache.spark.sql.DataFrame = {
+    val base = table(spark, sf, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        langFlavoredToks.as("__ftoks")
+      )
+      .withColumn("__feats", TextStats.charNgrams(col("__ftoks"), 3))
+      .localCheckpoint(true) // feeds fit, scoring, and the baseline
+    val train = base.filter(col("doc_id") % 5 =!= 0)
+    val held = base.filter(col("doc_id") % 5 === 0)
+    val model = Selection.nbFitMulti(train, "lang", col("__feats"))
+    val nb = Selection.nbScoreMulti(held, model, "doc_id", col("__feats"))
+    held
+      .select(
+        col("doc_id"),
+        col("lang"),
+        TextStats.langId(array_join(col("__ftoks"), " ")).as("stop_lang")
+      )
+      .join(nb.select("doc_id", "nb_lang", "nb_score"), Seq("doc_id"))
+      .select("doc_id", "lang", "nb_lang", "nb_score", "stop_lang")
+  }
+
+  /** DuckDB replay of [[langIdPerDoc]], ending in
+    * `perdoc(doc_id, lang, nb_lang, nb_score, stop_lang)`. flog2 is
+    * `length(bin(x)) - 1` (the t11 idiom — Spark's conv-based floor-log2
+    * twin); the stopword lists are shared with [[TextStats.stopwords]].
+    */
+  private def langIdCtes: String = {
+    def sqlList(xs: Seq[String]): String =
+      xs.map(x => s"'${x}'").mkString("[", ", ", "]")
+    val sfxRows = langSuffixes
+      .map { case (l, s) => s"('$l', ${sqlList(s)})" }
+      .mkString(",\n  ")
+    val swRows = TextStats.stopwords.zipWithIndex
+      .map { case ((l, ws), i) => s"('$l', ${i + 1}, ${sqlList(ws)})" }
+      .mkString(",\n  ")
+    s"""sfx(slang, s) AS (VALUES
+       |  $sfxRows),
+       |ft AS (SELECT d.doc_id, d.lang,
+       |         list_transform(list_filter(string_split(d.text, ' '), t -> t <> ''),
+       |           t -> t || s[CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT) % 3 AS INTEGER) + 1]) AS toks
+       |       FROM documents d JOIN sfx ON sfx.slang = d.lang),
+       |tg AS (SELECT doc_id, lang, unnest(flatten(list_transform(toks,
+       |         t -> list_transform(range(1, length('^' || t || '$$') - 1),
+       |                i -> substr('^' || t || '$$', CAST(i AS INTEGER), 3))))) AS g
+       |       FROM ft),
+       |tr AS (SELECT * FROM tg WHERE doc_id % 5 <> 0),
+       |hd AS (SELECT * FROM tg WHERE doc_id % 5 = 0),
+       |cnt AS (SELECT g, lang, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+       |labt AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM tr GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM tr),
+       |voc AS (SELECT DISTINCT g FROM tr),
+       |dw AS (SELECT voc.g, labt.lang,
+       |         (length(bin(coalesce(cnt.c, 0) + 1)) - 1) - (length(bin(labt.t + vv.v)) - 1) AS w
+       |       FROM voc CROSS JOIN labt CROSS JOIN vv
+       |       LEFT JOIN cnt ON cnt.g = voc.g AND cnt.lang = labt.lang),
+       |pr0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+       |pr AS (SELECT pr0.lang, (length(bin(nl + 1)) - 1) AS prior,
+       |         0 - (length(bin(labt.t + vv.v)) - 1) AS oovw
+       |       FROM pr0 JOIN labt USING (lang) CROSS JOIN vv),
+       |hknown AS (SELECT hd.doc_id, dw.lang AS plang, CAST(sum(dw.w) AS BIGINT) AS known,
+       |             CAST(count(*) AS BIGINT) AS nk
+       |           FROM hd JOIN dw ON dw.g = hd.g GROUP BY 1, 2),
+       |hn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM hd GROUP BY 1),
+       |sc AS (SELECT hn.doc_id, pr.lang AS plang,
+       |         coalesce(hk.known, 0) + (hn.nf - coalesce(hk.nk, 0)) * pr.oovw + pr.prior AS score
+       |       FROM hn CROSS JOIN pr
+       |       LEFT JOIN hknown hk ON hk.doc_id = hn.doc_id AND hk.plang = pr.lang),
+       |nbp AS (SELECT doc_id, plang AS nb_lang, CAST(score AS BIGINT) AS nb_score
+       |        FROM sc QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) = 1),
+       |sw(wlang, wpri, ws) AS (VALUES
+       |  $swRows),
+       |hits AS (SELECT ft.doc_id, sw.wlang, sw.wpri,
+       |           len(list_filter(list_distinct(ft.toks), t -> list_contains(sw.ws, t))) AS h
+       |         FROM ft CROSS JOIN sw WHERE ft.doc_id % 5 = 0),
+       |sp AS (SELECT doc_id, wlang, h,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, wpri) AS rn,
+       |         max(h) OVER (PARTITION BY doc_id) AS mh
+       |       FROM hits),
+       |stp AS (SELECT doc_id, CASE WHEN mh = 0 THEN 'und' ELSE wlang END AS stop_lang FROM sp WHERE rn = 1),
+       |perdoc AS (SELECT f.doc_id, f.lang, n.nb_lang, n.nb_score, s.stop_lang
+       |           FROM (SELECT DISTINCT doc_id, lang FROM ft WHERE doc_id % 5 = 0) f
+       |           JOIN nbp n USING (doc_id) JOIN stp s USING (doc_id))""".stripMargin
+  }
 
   /** Merge-step count for the registered BPE queries: enough steps that
     * multi-level merges (merged symbols merging again) are exercised, small

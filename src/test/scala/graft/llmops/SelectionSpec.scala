@@ -167,6 +167,80 @@ class SelectionSpec extends AnyFunSuite with SparkTestSession {
     assert(got(12L) == ((3L, 3L, prior + 3 * oovW, prior + 3 * oovW > 0)), "all-OOV doc scores n·oovW + prior")
   }
 
+  test("nbFitMulti/nbScoreMulti match the plain-Scala multiclass reference (incl. OOV and tie-break)") {
+    // class a dominates x STRONGLY (7 of 8 occurrences): the flog2
+    // quantization is coarse (a 3:1 count edge can vanish into the same
+    // integer bucket), so the separation fixture needs a decisive margin
+    val train = Seq(
+      (1L, "a", Seq("x", "x", "x", "x", "x", "x", "x", "y")),
+      (2L, "a", Seq("x", "z")),
+      (3L, "b", Seq("y", "y")),
+      (4L, "b", Seq("y", "z", "z")),
+      (5L, "c", Seq("w", "w", "x"))
+    ).toDF("doc_id", "lab", "feats")
+    val batch = Seq(
+      (10L, Seq("x", "x", "q")), // q is OOV
+      (11L, Seq("y", "z")),
+      (12L, Seq("w")),
+      (13L, Seq("q1", "q2")) // all OOV: priors + OOV mass decide
+    ).toDF("doc_id", "feats")
+    val model = Selection.nbFitMulti(train, "lab", col("feats"))
+    val got = Selection
+      .nbScoreMulti(batch, model, "doc_id", col("feats"))
+      .select("doc_id", "nb_lang", "nb_score", "n_feats")
+      .as[(Long, String, Long, Long)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3, r._4))
+      .toMap
+
+    // plain-Scala reference, reimplemented from the formulas
+    val trainRows = Seq(
+      ("a", Seq("x", "x", "x", "x", "x", "x", "x", "y")), ("a", Seq("x", "z")),
+      ("b", Seq("y", "y")), ("b", Seq("y", "z", "z")),
+      ("c", Seq("w", "w", "x"))
+    )
+    val occ = trainRows.flatMap { case (l, fs) => fs.map(l -> _) }
+    val labs = trainRows.map(_._1).distinct.sorted
+    val vocab = occ.map(_._2).distinct
+    val v = vocab.size.toLong
+    val tC = labs.map(l => l -> occ.count(_._1 == l).toLong).toMap
+    val nC = labs.map(l => l -> trainRows.count(_._1 == l).toLong).toMap
+    def w(f: String, l: String): Long =
+      flog2(occ.count(o => o._1 == l && o._2 == f).toLong + 1L) - flog2(tC(l) + v)
+    def score(fs: Seq[String], l: String): Long = {
+      val inv = fs.filter(vocab.contains)
+      flog2(nC(l) + 1L) + inv.map(w(_, l)).sum + (fs.size - inv.size) * (0L - flog2(tC(l) + v))
+    }
+    def predict(fs: Seq[String]): (String, Long, Long) = {
+      val best = labs.map(l => (l, score(fs, l))).minBy { case (l, s) => (-s, l) }
+      (best._1, best._2, fs.size.toLong)
+    }
+    val batches = Map(
+      10L -> Seq("x", "x", "q"), 11L -> Seq("y", "z"),
+      12L -> Seq("w"), 13L -> Seq("q1", "q2"))
+    batches.foreach { case (id, fs) =>
+      assert(got(id) == predict(fs), s"doc $id: got ${got(id)} want ${predict(fs)}")
+    }
+    // non-vacuous: the three in-vocab docs separate into three classes
+    assert(Seq(10L, 11L, 12L).map(got(_)._1) == Seq("a", "b", "c"))
+    model.release()
+  }
+
+  test("llm_lang_id_ledger: the char-trigram NB beats the stopword baseline on the held-out slice") {
+    // the driver-verified ledger (sf0.001): NB should be at/near perfect —
+    // suffix trigrams are near-perfect class evidence — while the stopword
+    // argmax is capped at the share of 'en' docs (only bare English
+    // function words survive the fixture transform)
+    val led = graft.SparkEntry
+      .queries("llm_lang_id_ledger")(spark, "/root/testdata/sf0.001")
+      .select("n", "nb_correct", "stop_correct")
+      .as[(Long, Long, Long)]
+      .head()
+    assert(led._2 > led._3, s"NB must beat the baseline: $led")
+    assert(led._2 >= (led._1 * 9) / 10, s"NB should be near-perfect on the fixture: $led")
+    assert(led._3 > 0, s"baseline must not be degenerate (some 'en' docs detected): $led")
+  }
+
   test("winnowPairs detects a planted excerpt with full coverage and honors the guarantee length") {
     // doc 11 = 12-token excerpt of doc 10; doc 12 shares a run of exactly
     // w+k-1 = 6 tokens with doc 10 (guaranteed >= 1 shared fingerprint);
