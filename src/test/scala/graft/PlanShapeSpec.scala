@@ -6,8 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * round*_plan_audit.txt) turned into a permanent gate: every
   * scale-critical registered query must plan WITHOUT BroadcastNestedLoopJoin
   * or CartesianProduct. The deliberate exceptions stay out of this list and
-  * stay documented instead: the three 1-row scalar-total cross joins
-  * (llm_source_mix / llm_tfidf / llm_distinct_sketch), the brute-force
+  * stay documented instead: the 1-row scalar-total cross joins
+  * (llm_source_mix / llm_tfidf / llm_distinct_sketch, and the NB family's
+  * vocab-count scalar in llm_lang_id_nb / llm_lang_id_ledger — a
+  * single-aggregate-row broadcast is O(n·1) at any scale), the brute-force
   * baselines and recall ledgers (O(n²) BY DESIGN), sink/stream queries whose
   * construction executes side effects, and multimodal (mapPartitions codecs).
   *
@@ -50,10 +52,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_ivf_pq",
     "llm_ann_index_lifecycle",
     "llm_ann_index_pruned",
+    "llm_ann_index_append",
+    "llm_ann_index_staleness",
     "llm_ann_lsh_clustered",
     "llm_semdedup",
     "llm_semdedup_capped",
     "llm_semdedup_cap_ledger",
+    "llm_semdedup_default",
     "llm_cosine_neardup",
     "llm_cosine_neardup_auto",
     "llm_cosine_xtable",
@@ -94,6 +99,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"CartesianProduct in $name")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"BroadcastNestedLoopJoin in $name")
+    }
+
+  // the NB language-ID pair carries the documented 1-row vocab-count
+  // scalar cross joins (nbFitMulti's |V| constant — a single-aggregate-row
+  // broadcast, O(n·1) at any scale), so the blanket BNLJ assertion above
+  // doesn't apply; a CartesianProduct (BOTH sides unbroadcast) would still
+  // be a genuine scale bug and stays gated here.
+  for (name <- Seq("llm_lang_id_nb", "llm_lang_id_ledger"))
+    test(s"plan shape: $name is cartesian-free (scalar BNLJ exempt)") {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"CartesianProduct in $name")
     }
 
   test("vocab family plans contain no unpartitioned (global single-task) Window") {
