@@ -155,6 +155,26 @@ object LlmQueries {
        |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr WHERE qid % 97 = 0""".stripMargin
   }
 
+  /** The llm_ann_index_append oracle — fit (coarse k-means AND PQ
+    * codebooks) ONLY on the 80% corpus slice, then assignment, encode,
+    * probe, ADC, and exact re-rank over the FULL set: exactly
+    * encode-under-frozen-fit, which is what [[graft.llmops.AnnIndex.append]]
+    * does to an arriving batch. Shared verbatim with the t13
+    * streamed-append gate: append is append-only file writes of per-row
+    * pure encodings, so micro-batch boundaries cannot change any index
+    * row and the streamed appends must hash-match the same replay.
+    */
+  private[queries] def indexAppendOracleSql: String = {
+    import AnnOracles._
+    s"""WITH $clusteredCte,
+       |$kmeansQuantCte,
+       |qbc AS (SELECT * FROM qb WHERE id % 5 <> 0),
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, src = "qbc")},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, fitSrc = "qbc")},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50)}
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr""".stripMargin
+  }
+
   /** The clustered ANN fixture (Spark side of [[AnnOracles.clusteredCte]]):
     * v = center[md5(vec_id) % 8] + 0.25 · embedding, with the 8 gaussian
     * centers as plan literals shared with the SQL generator. The zip_with
@@ -2132,16 +2152,7 @@ object LlmQueries {
     // exactly what a fresh encode of the union under the same fit gives.
     QueryDef(
       "llm_ann_index_append",
-      Some {
-        import AnnOracles._
-        s"""WITH $clusteredCte,
-           |$kmeansQuantCte,
-           |qbc AS (SELECT * FROM qb WHERE id % 5 <> 0),
-           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, src = "qbc")},
-           |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, fitSrc = "qbc")},
-           |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50)}
-           |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr""".stripMargin
-      },
+      Some(indexAppendOracleSql),
       (spark, sf) => {
         val fx = clusteredFixture(spark, sf).localCheckpoint(true)
         val corpus = fx.filter(col("vec_id") % 5 =!= 0)

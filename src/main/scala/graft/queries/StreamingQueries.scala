@@ -568,6 +568,54 @@ object StreamingQueries {
           .awaitTermination()
         spark.read.parquet(out).dropDuplicates("qid", "nid")
       }
+    ),
+    // Index MAINTENANCE at ingest (round 13): t12's read side has a write
+    // side — the persisted index GROWS micro-batch by micro-batch via
+    // foreachBatch + AnnIndex.append (encode against the frozen
+    // centroids/codebooks, append-only file writes into the touched
+    // cells' partitions; nothing refits). A row's encoding is a pure
+    // function of (vector, frozen fit) and appends are order-independent
+    // inserts, so micro-batch boundaries cannot change any index row and
+    // probing the streamed-appended index must equal probing the batch
+    // append exactly — the oracle is the SAME frozen-fit replay
+    // llm_ann_index_append gates against. Exactly-once for the
+    // side-effecting append comes from the streaming checkpoint
+    // (AvailableNow batch tracking), per AnnIndex.append's caller
+    // contract — unlike t10's idempotent-merge sketch, a replayed append
+    // would double-insert, which is why the contract and the checkpoint
+    // are stated rather than assumed.
+    QueryDef(
+      "t13_stream_index_append_batch_eq",
+      Some(LlmQueries.indexAppendOracleSql),
+      (spark, sf) => {
+        import graft.llmops.AnnIndex
+        val in = tmpDir("t13_in")
+        val ckpt = tmpDir("t13_ckpt")
+        val dir = tmpDir("t13_idx")
+        val fx = LlmQueries.clusteredFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = LlmQueries.EmbDim)
+        AnnIndex.save(idx, dir)
+        // three files -> three arriving batches under maxFilesPerTrigger=1
+        batch.repartition(3).write.mode("overwrite").parquet(in)
+        spark.readStream
+          .schema("vec_id LONG, v ARRAY<DOUBLE>")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            AnnIndex.append(spark, dir, b, "vec_id", "v")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        AnnIndex
+          .probeIvfPq(AnnIndex.load(spark, dir), fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid", "rank")
+      }
     )
   )
 

@@ -159,4 +159,47 @@ class TypedStreamsSpec extends AnyFunSuite with SparkTestSession {
       .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
     assert(streamed == direct)
   }
+
+  test("streamed index append: probe of the streamed-appended index is bit-identical to the one-shot batch append") {
+    import graft.llmops.AnnIndex
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val corpus = df.filter(col("vec_id") % 5 =!= 0)
+    val batch = df.filter(col("vec_id") % 5 === 0).localCheckpoint(true)
+    val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    val dirA = Files.createTempDirectory("graft-t13spec-a").toString
+    val dirB = Files.createTempDirectory("graft-t13spec-b").toString
+    AnnIndex.save(idx, dirA)
+    AnnIndex.save(idx, dirB)
+    AnnIndex.append(spark, dirA, batch, "vec_id", "v") // one-shot batch append
+    // the same batch as >= 2 micro-batch appends
+    val in = Files.createTempDirectory("graft-t13spec-in").toString
+    batch.filter(col("vec_id") % 2 === 0).write.parquet(s"$in/b0")
+    batch.filter(col("vec_id") % 2 =!= 0).write.parquet(s"$in/b1")
+    spark.readStream
+      .schema("vec_id LONG, v ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnIndex.append(spark, dirB, b, "vec_id", "v")
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("graft-t13spec-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    def probed(dir: String): Seq[(Long, Long, Long)] = AnnIndex
+      .probeIvfPq(AnnIndex.load(spark, dir), df, "vec_id", "v", k = 3, nprobe = 2, excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    assert(probed(dirB) == probed(dirA))
+    // the staleness ledger accounts for exactly the appended rows
+    import org.apache.spark.sql.functions.sum
+    val added = AnnIndex.staleness(spark, dirB).agg(sum("added")).as[Long].head()
+    assert(added == batch.count())
+  }
 }
