@@ -183,6 +183,41 @@ object AnnIndex {
       .partitionBy("__cid")
       .parquet(s"$dir/codes")
 
+  /** Compact the `codes/` layout: every [[append]] lands one parquet
+    * file per micro-batch per touched cell, so a long-lived index under
+    * streaming ingest accumulates small files and probe cost grows with
+    * FILE count while row count stands still. One codes-only pass
+    * rewrites each cell partition into a single file (hash repartition
+    * on `__cid`: all of a cell's rows land in one task → one file per
+    * cell). Logically the identity — probing a compacted index is
+    * bit-identical to probing the fragmented one (spec- and
+    * oracle-gated) — and NOT a refit: centroids, codebooks, meta, and
+    * the fit-time `occupancy/` snapshot are untouched, so [[staleness]]
+    * reads the same drift before and after (spec-asserted invariant).
+    *
+    * Write-then-swap via the Hadoop FileSystem API (tmp dir → delete old
+    * → rename), the same sequence a cluster deployment runs on HDFS; on
+    * object stores without atomic rename, front the swap with a manifest
+    * the way any parquet compactor does. Readers loaded BEFORE the swap
+    * hold lazy scans of the old files and must re-[[load]] — same
+    * contract as any non-transactional parquet rewrite.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/.codes_compacting")
+    spark.read
+      .parquet(codesPath.toString)
+      .select("__cid", "__nid", "__codes")
+      .repartition(col("__cid"))
+      .write
+      .mode("overwrite")
+      .partitionBy("__cid")
+      .parquet(tmpPath.toString)
+    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(codesPath, true)
+    require(fs.rename(tmpPath, codesPath), s"compact: rename $tmpPath -> $codesPath failed")
+  }
+
   /** Staleness ledger: per-cell occupancy NOW (one codes-only scan) vs
     * the fit-time `occupancy/` snapshot. `added` > 0 marks cells grown by
     * [[append]]s since the fit; a cell whose occupancy has multiplied is

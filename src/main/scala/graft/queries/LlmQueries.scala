@@ -2204,6 +2204,36 @@ object LlmQueries {
         AnnIndex.staleness(spark, dir)
       }
     ),
+    // Index compaction (round 13, completing the maintenance loop): three
+    // separate appends fragment the touched cells' partitions (one file
+    // per append per cell — the streaming-ingest failure mode at scale:
+    // probe cost grows with FILE count while rows stand still), then
+    // compact() rewrites each cell into a single file via a
+    // write-then-swap. Compaction is logically the identity, so the probe
+    // over the compacted index must hash-match the SAME frozen-fit replay
+    // llm_ann_index_append gates against — the oracle knows nothing about
+    // files, which is exactly the point: physical layout changed, answers
+    // didn't. The spec additionally pins the file counts (fragmented > 1
+    // per touched cell, compacted == 1) and staleness invariance.
+    QueryDef(
+      "llm_ann_index_compact",
+      Some(indexAppendOracleSql),
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val dir = tmpDir("llm_ann_index_compact")
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        (0 until 3).foreach { i =>
+          AnnIndex.append(spark, dir, batch.filter(col("vec_id") % 3 === i), "vec_id", "v")
+        }
+        AnnIndex.compact(spark, dir)
+        AnnIndex
+          .probeIvfPq(AnnIndex.load(spark, dir), fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid", "rank")
+      }
+    ),
     // Recall ledger pricing PQ loss: ADC-ONLY top-5 (no re-rank, same
     // m/ks as the headline) vs the exact re-rank top-5 over the SAME
     // coarse candidates (ivfTopKKmeans at identical cells/nprobe/seed) —

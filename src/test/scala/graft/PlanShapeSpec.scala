@@ -54,6 +54,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_index_pruned",
     "llm_ann_index_append",
     "llm_ann_index_staleness",
+    "llm_ann_index_compact",
     "llm_ann_lsh_clustered",
     "llm_semdedup",
     "llm_semdedup_capped",

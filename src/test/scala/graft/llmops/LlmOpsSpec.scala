@@ -840,6 +840,41 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(AnnIndex.load(spark, dir).codes.count() == 61)
   }
 
+  test("AnnIndex.compact: one file per cell, probe bit-identical, staleness invariant") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val corpus = df.filter($"vec_id" % 5 =!= 0)
+    val batch = df.filter($"vec_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anncompact").toString
+    val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    AnnIndex.save(idx, dir)
+    (0 until 3).foreach(i => AnnIndex.append(spark, dir, batch.filter($"vec_id" % 3 === i), "vec_id", "v"))
+
+    def filesPerCell: Map[String, Int] = {
+      val root = new java.io.File(s"$dir/codes")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__cid=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    def probed: Seq[(Long, Long, Long)] = AnnIndex
+      .probeIvfPq(AnnIndex.load(spark, dir), df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    def drift: Seq[(Int, Long, Long, Long)] =
+      AnnIndex.staleness(spark, dir).as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    // three appends fragmented at least one cell beyond one file
+    assert(filesPerCell.values.max > 1, s"appends did not fragment: $filesPerCell")
+    val (probeBefore, driftBefore) = (probed, drift)
+    AnnIndex.compact(spark, dir)
+    // physical: exactly one file per cell; logical: identity
+    assert(filesPerCell.values.forall(_ == 1), s"compact left multi-file cells: $filesPerCell")
+    assert(probed == probeBefore)
+    assert(drift == driftBefore) // compaction is not a refit: ledger unchanged
+  }
+
   test("softDedup weights each duplicate group to one document of mass") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val out = Dedup
