@@ -1,33 +1,53 @@
 package graft.llmops
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF-PQ index lifecycle — the production shape of
-  * [[Similarity.ivfPqTopK]]: fit ONCE over the corpus, write the three
-  * index tables to storage, `load` in any later session (batch or the
-  * scoring side of a stream), and `probe` arbitrary query batches without
-  * ever re-reading corpus vectors. [[Similarity.ivfPqTopK]] is the fused
+  * [[Similarity.ivfPqTopK]]: fit ONCE over the corpus, write the index
+  * tables to storage, `load` in any later session (batch or the scoring
+  * side of a stream), and `probe` arbitrary query batches without ever
+  * re-reading corpus vectors. [[Similarity.ivfPqTopK]] is the fused
   * self-probe special case; fit + probe here share its exact building
   * blocks ([[Similarity.cellRanks]] / [[Similarity.pqAdcRank]]), so a
   * save → load → probe round-trip over the same corpus returns
   * bit-identical (qid, nid, rank) rows — spec- and oracle-gated.
   *
-  * On-disk layout under `dir`:
+  * On-disk layout under `dir` (format v3):
   *   - `meta/`       one row: (version, dim, cells, pq_m, pq_ks, seed)
   *   - `centroids/`  coarse k-means centroids (`__cid`, `__cv`) — cells rows
   *   - `codebooks/`  PQ codewords (`__m`, `__cid`, `__cv`) — ≤ m·ks rows
-  *   - `codes/`      the corpus index (`__nid`, `__codes`), PARTITIONED BY
-  *                   `__cid`: m small ints per vector (m bytes at
-  *                   ks ≤ 256) — the ~30× compression vs float32 that
-  *                   makes a 100 TB corpus a ~3 TB index — laid out so a
-  *                   probe of `nprobe` cells prunes to `nprobe/cells` of
-  *                   the index files. A small online query batch can
-  *                   collect its probed cell list and filter
-  *                   `__cid IN (...)` for static partition pruning; the
-  *                   registered batch query keeps the join form (dynamic
-  *                   pruning / AQE territory) because its query side is
-  *                   corpus-sized.
+  *   - `occupancy/`  fit-time per-cell code counts (the [[staleness]] anchor)
+  *   - `codes_v<N>/` VERSIONED corpus index generations. Exactly one is
+  *     current: the highest N carrying a root `_SUCCESS` marker (the
+  *     parquet job-commit file — the generation's commit record, no extra
+  *     pointer file to keep atomic). Each generation holds index rows
+  *     (`__nid`, `__codes`) laid out as
+  *     `__batch=<id>/__cid=<cell>/part-*.parquet`:
+  *       - `__batch` — the ingest generation: −1 for the rows written by
+  *         [[save]] (and for everything [[compact]] rewrites), the
+  *         caller's batch id for every [[append]]. The level exists so a
+  *         REPLAYED append (at-least-once streaming delivery) overwrites
+  *         its own directory instead of double-inserting — see [[append]].
+  *       - `__cid` — m small ints per vector (m bytes at ks ≤ 256): the
+  *         ~30× compression vs float32 that makes a 100 TB corpus a ~3 TB
+  *         index, partition-laid-out so a probe of `nprobe` cells prunes
+  *         to `nprobe/cells` of the index files. A small online query
+  *         batch can collect its probed cell list and filter
+  *         `__cid IN (...)` for static partition pruning; the registered
+  *         batch query keeps the join form (dynamic pruning / AQE
+  *         territory) because its query side is corpus-sized.
+  *
+  * Version discipline: readers [[load]] the current generation and hold
+  * lazy scans of THAT directory only; [[compact]] writes a NEW generation
+  * and never mutates or unlinks the one open readers hold (crash-safe by
+  * construction: an incomplete generation has no `_SUCCESS` and is never
+  * selected). [[vacuum]] reclaims superseded generations once no reader
+  * needs them. [[delete]] is the one in-place mutation (it rewrites only
+  * the touched `(__batch, __cid)` partitions of the current generation);
+  * run it quiesced or re-[[load]] readers after — same contract as any
+  * non-transactional parquet rewrite.
   *
   * Everything persisted is engine-portable parquet: doubles round-trip
   * bit-exact, so a loaded index probes identically to the in-memory fit.
@@ -35,8 +55,9 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** A fitted (or loaded) IVF-PQ index. The DataFrames are lazy — after
-    * [[load]] they are plain parquet scans; after [[fitIvfPq]] they are
-    * snapshotted fit outputs.
+    * [[load]] they are plain parquet scans pinned to the generation that
+    * was current at load time; after [[fitIvfPq]] they are snapshotted
+    * fit outputs.
     */
   final case class IvfPqIndex(
       dim: Int,
@@ -49,10 +70,55 @@ object AnnIndex {
       codes: DataFrame
   )
 
-  /** v2 (round 13) adds `occupancy/` — the fit-time per-cell code counts
-    * that anchor the [[staleness]] ledger after [[append]]s.
+  /** v3 (round 14) replaces the single mutable `codes/` directory with
+    * committed `codes_v<N>/` generations carrying a `__batch` partition
+    * level — the layout that makes [[append]] replay-idempotent and
+    * [[compact]] crash-safe. v2 (round 13) added `occupancy/`.
     */
-  private val FormatVersion = 2
+  private val FormatVersion = 3
+
+  /** The `__batch` partition value for fit-time ([[save]]) and
+    * [[compact]]-rewritten rows; [[append]] batch ids must be ≥ 0.
+    */
+  private[llmops] val FitBatchId = -1
+
+  private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val CodesVersionRe = "codes_v(\\d+)".r
+
+  /** All code generations under `dir`, committed or not, as (N, path). */
+  private[llmops] def codesVersions(spark: SparkSession, dir: String): Seq[(Int, Path)] = {
+    val root = new Path(dir)
+    val fs = hadoopFs(spark, dir)
+    if (!fs.exists(root)) Seq.empty
+    else
+      fs.listStatus(root)
+        .toSeq
+        .filter(_.isDirectory)
+        .flatMap(st =>
+          st.getPath.getName match {
+            case CodesVersionRe(n) => Some(n.toInt -> st.getPath)
+            case _                 => None
+          }
+        )
+        .sortBy(_._1)
+  }
+
+  /** The CURRENT code generation: the highest-numbered `codes_v<N>` whose
+    * root `_SUCCESS` job-commit marker exists. An interrupted [[compact]]
+    * leaves an uncommitted (markerless) higher generation behind, which is
+    * skipped here — readers keep resolving the last committed one.
+    */
+  private[llmops] def currentCodesPath(spark: SparkSession, dir: String): Path = {
+    val fs = hadoopFs(spark, dir)
+    val committed = codesVersions(spark, dir).filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+    require(
+      committed.nonEmpty,
+      s"$dir holds no committed codes_v<N> generation — not a saved AnnIndex (or pre-v3 layout)"
+    )
+    committed.last._2
+  }
 
   /** Fit the index: coarse k-means ([[Similarity.kmeansCentroids]]) +
     * per-subspace PQ codebooks ([[Similarity.pqCodebooks]]), then ONE
@@ -100,11 +166,14 @@ object AnnIndex {
     )
   }
 
-  /** Persist the index under `dir` (overwrite). Codes are partitioned by
-    * cell id — the probe-side pruning layout documented on the object.
-    * Also snapshots `occupancy/` (per-cell code counts counted from the
-    * WRITTEN files — the physical truth, one cheap codes-only scan): the
-    * fit-time reference [[staleness]] diffs against after [[append]]s.
+  /** Persist the index under `dir` (overwrite — any previous generations
+    * under `dir` are removed and a fresh `codes_v1` written, its root
+    * `_SUCCESS` the commit point). Codes land under the fit layer
+    * `__batch=-1`, partitioned by cell id — the probe-side pruning layout
+    * documented on the object. Also snapshots `occupancy/` (per-cell code
+    * counts counted from the WRITTEN files — the physical truth, one
+    * cheap codes-only scan): the fit-time reference [[staleness]] diffs
+    * against after [[append]]s.
     */
   def save(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.centroids.sparkSession
@@ -117,9 +186,16 @@ object AnnIndex {
       .parquet(s"$dir/meta")
     index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     index.codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    index.codes.write.mode("overwrite").partitionBy("__cid").parquet(s"$dir/codes")
+    val fs = hadoopFs(spark, dir)
+    codesVersions(spark, dir).foreach { case (_, p) => fs.delete(p, true) } // save = full overwrite
+    index.codes
+      .withColumn("__batch", lit(FitBatchId))
+      .write
+      .mode("overwrite")
+      .partitionBy("__batch", "__cid")
+      .parquet(s"$dir/codes_v1")
     spark.read
-      .parquet(s"$dir/codes")
+      .parquet(s"$dir/codes_v1")
       .groupBy(col("__cid").cast("int").as("__cid"))
       .agg(count(lit(1)).as("fit_n"))
       .coalesce(1)
@@ -155,82 +231,188 @@ object AnnIndex {
   }
 
   /** Incremental index maintenance: encode `batch` against the persisted
-    * index's frozen centroids/codebooks ([[encodeAgainst]]) and APPEND
-    * the rows to the cell-partitioned `codes/` layout — new files land
-    * inside the touched cells' partitions only; existing files, the
-    * centroids, codebooks, and the fit-time `occupancy/` snapshot are
-    * untouched. Probing the appended index is identical to probing a
-    * fresh fit-free index built from corpus ∪ batch under the same
-    * frozen fit (oracle-gated by `llm_ann_index_append`).
+    * index's frozen centroids/codebooks ([[encodeAgainst]]) and write the
+    * rows into the current generation's `__batch=<batchId>` layer — new
+    * files land inside that layer's touched-cell partitions only;
+    * existing layers, the centroids, codebooks, and the fit-time
+    * `occupancy/` snapshot are untouched. Probing the appended index is
+    * identical to probing a fresh index built from corpus ∪ batch under
+    * the same frozen fit (oracle-gated by `llm_ann_index_append`).
     *
-    * Caller contract: batch ids must be disjoint from already-indexed
-    * ids (append never dedups — an id indexed twice is returned twice by
-    * probes, like any multi-writer parquet sink). Staleness — how far
-    * cell occupancy has drifted from the fit — is priced by
-    * [[staleness]]; refit when the drift ledger says the frozen
-    * centroids no longer describe the data.
+    * IDEMPOTENT under replay: the write targets the deterministic
+    * per-batch directory `__batch=<batchId>/` in OVERWRITE mode, so
+    * re-delivering a batch (foreachBatch is at-least-once — a crash
+    * between this write and the streaming checkpoint commit replays the
+    * batch) overwrites the layer with identical rows instead of
+    * double-inserting. Callers owe only what any idempotent sink is owed:
+    * a stable batch id per logical batch (Structured Streaming's
+    * foreachBatch id), distinct ids across DIFFERENT logical batches, and
+    * batch ids ≥ 0 (negative layers belong to [[save]]/[[compact]]).
+    * Appends and [[compact]] must not interleave: compact collapses the
+    * batch layers into the new generation's fit layer, so a replay of a
+    * PRE-compact batch into the post-compact generation would re-insert
+    * it — quiesce ingest across a compaction, the standard compactor
+    * contract.
+    *
+    * Id discipline: batch ids must also be disjoint from already-indexed
+    * row ids (append never dedups — a row id indexed by two DIFFERENT
+    * batches is returned twice by probes, like any multi-writer parquet
+    * sink). Staleness — how far cell occupancy has drifted from the fit —
+    * is priced by [[staleness]]; refit when the drift ledger says the
+    * frozen centroids no longer describe the data.
     */
   def append(
       spark: SparkSession,
       dir: String,
       batch: DataFrame,
       idCol: String,
-      vecCol: String
-  ): Unit =
+      vecCol: String,
+      batchId: Long
+  ): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId; negative layers are reserved for the fit/compact rows)")
+    val cur = currentCodesPath(spark, dir)
     encodeAgainst(load(spark, dir), batch, idCol, vecCol)
       .write
-      .mode("append")
+      .mode("overwrite") // replay-idempotence: the batch layer replaces itself
       .partitionBy("__cid")
-      .parquet(s"$dir/codes")
-
-  /** Compact the `codes/` layout: every [[append]] lands one parquet
-    * file per micro-batch per touched cell, so a long-lived index under
-    * streaming ingest accumulates small files and probe cost grows with
-    * FILE count while row count stands still. One codes-only pass
-    * rewrites each cell partition into a single file (hash repartition
-    * on `__cid`: all of a cell's rows land in one task → one file per
-    * cell). Logically the identity — probing a compacted index is
-    * bit-identical to probing the fragmented one (spec- and
-    * oracle-gated) — and NOT a refit: centroids, codebooks, meta, and
-    * the fit-time `occupancy/` snapshot are untouched, so [[staleness]]
-    * reads the same drift before and after (spec-asserted invariant).
-    *
-    * Write-then-swap via the Hadoop FileSystem API (tmp dir → delete old
-    * → rename), the same sequence a cluster deployment runs on HDFS; on
-    * object stores without atomic rename, front the swap with a manifest
-    * the way any parquet compactor does. Readers loaded BEFORE the swap
-    * hold lazy scans of the old files and must re-[[load]] — same
-    * contract as any non-transactional parquet rewrite.
-    */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/.codes_compacting")
-    spark.read
-      .parquet(codesPath.toString)
-      .select("__cid", "__nid", "__codes")
-      .repartition(col("__cid"))
-      .write
-      .mode("overwrite")
-      .partitionBy("__cid")
-      .parquet(tmpPath.toString)
-    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(codesPath, true)
-    require(fs.rename(tmpPath, codesPath), s"compact: rename $tmpPath -> $codesPath failed")
+      .parquet(s"$cur/__batch=$batchId")
   }
 
-  /** Staleness ledger: per-cell occupancy NOW (one codes-only scan) vs
-    * the fit-time `occupancy/` snapshot. `added` > 0 marks cells grown by
-    * [[append]]s since the fit; a cell whose occupancy has multiplied is
-    * the refit signal (its probe cost grows linearly with occupancy, and
-    * the frozen centroid that used to describe it may no longer). Cells
-    * that gained their FIRST rows post-fit appear with fit_n = 0.
+  /** Compact the codes layout: every [[append]] lands one parquet file
+    * per micro-batch per touched cell, so a long-lived index under
+    * streaming ingest accumulates small files and probe cost grows with
+    * FILE count while row count stands still. One codes-only pass reads
+    * the current generation and writes a NEW `codes_v<N+1>` generation
+    * with every batch layer collapsed into the fit layer and each cell in
+    * a single file (hash repartition on `__cid`: all of a cell's rows
+    * land in one task → one file per cell). Logically the identity —
+    * probing a compacted index is bit-identical to probing the fragmented
+    * one (spec- and oracle-gated) — and NOT a refit: centroids,
+    * codebooks, meta, and the fit-time `occupancy/` snapshot are
+    * untouched, so [[staleness]] reads the same drift before and after
+    * (spec-asserted invariant).
+    *
+    * Crash-safe and reader-safe by construction: the new generation's
+    * root `_SUCCESS` marker IS the commit — a crash mid-write leaves an
+    * uncommitted directory that [[load]] never selects (and the next
+    * compact numbers past), and the superseded generation is NOT removed,
+    * so readers loaded before the swap keep probing their pinned files;
+    * no step here renames or deletes anything, which also makes the
+    * sequence object-store-safe (no atomic-rename dependency). New
+    * [[load]]s resolve the new generation; [[vacuum]] reclaims old ones
+    * when no reader needs them. Do not run concurrently with [[append]]s
+    * (see append's quiesce contract).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val cur = currentCodesPath(spark, dir)
+    val next = codesVersions(spark, dir).map(_._1).max + 1
+    spark.read
+      .parquet(cur.toString)
+      .select("__cid", "__nid", "__codes") // drops the __batch layer column
+      .withColumn("__batch", lit(FitBatchId))
+      .repartition(col("__cid"))
+      .write
+      .mode("overwrite") // absorbs an uncommitted leftover of the same number
+      .partitionBy("__batch", "__cid")
+      .parquet(s"$dir/codes_v$next")
+  }
+
+  /** Reclaim superseded code generations: delete every `codes_v<N>`
+    * except the current one (including uncommitted leftovers of crashed
+    * compactions). Run when no reader still holds a pre-[[compact]]
+    * handle — the generation a reader loaded stays readable until
+    * vacuumed, which is the whole point of the versioned layout.
+    */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val cur = currentCodesPath(spark, dir)
+    val fs = hadoopFs(spark, dir)
+    codesVersions(spark, dir).foreach { case (_, p) => if (p != cur) fs.delete(p, true) }
+  }
+
+  /** Remove rows from the index by id — the decontamination /
+    * right-to-be-forgotten path an append-only index cannot serve. One
+    * codes-only pass finds the `(__batch, __cid)` partitions holding any
+    * of `ids` and rewrites ONLY those (anti-join on `__nid`), via dynamic
+    * partition overwrite into the current generation; partitions left
+    * empty are unlinked. Untouched partitions' files are never rewritten
+    * — at 100 TB deleting D documents costs O(partitions-holding-D), not
+    * an index rewrite (use [[compact]]-then-[[vacuum]] if a delete is so
+    * large that rewriting everything is cheaper).
+    *
+    * The fit-time `occupancy/` snapshot is deliberately untouched:
+    * [[staleness]] prices removals the same way it prices appends —
+    * `now_n < fit_n` and `added` goes negative for cells that shrank
+    * (spec-asserted).
+    *
+    * In-place mutation: probes planned BEFORE a delete may hold the
+    * rewritten files' names — re-[[load]] after, or run deletes quiesced
+    * (the same contract as any non-transactional parquet rewrite, and the
+    * one place the versioned layout does not shield readers; a delete
+    * IS observable mutation, unlike compaction). Idempotent: re-running
+    * with the same ids rewrites already-clean partitions to themselves.
+    */
+  def delete(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String
+  ): Unit = {
+    val cur = currentCodesPath(spark, dir).toString
+    // snapshot the id set: it feeds the partition discovery AND the
+    // anti-join, and must not be re-derived mid-delete
+    val del = ids.select(col(idCol).as("__nid")).distinct().localCheckpoint(true)
+    val codes = spark.read.parquet(cur) // partition cols __batch, __cid ride along
+    val touched = codes
+      .join(del, Seq("__nid"), "left_semi")
+      .select(col("__batch").cast("long").as("__batch"), col("__cid").cast("int").as("__cid"))
+      .distinct()
+      .localCheckpoint(true) // bounded by the partition count, read 3×
+    val touchedKeys = touched.collect().map(r => (r.getLong(0), r.getInt(1)))
+    if (touchedKeys.isEmpty) return // nothing indexed under these ids
+    // survivors of the touched partitions, materialized BEFORE the
+    // overwrite (localCheckpoint breaks the read-your-own-output lineage
+    // the in-place rewrite would otherwise trip on)
+    val kept = codes
+      .join(broadcast(touched), Seq("__batch", "__cid"), "left_semi")
+      .join(del, Seq("__nid"), "left_anti")
+      .select("__batch", "__cid", "__nid", "__codes")
+      .localCheckpoint(true)
+    val keptKeys = kept
+      .select(col("__batch").cast("long"), col("__cid").cast("int"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSet
+    if (keptKeys.nonEmpty)
+      kept.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // only the partitions present in `kept`
+        .partitionBy("__batch", "__cid")
+        .parquet(cur)
+    // dynamic overwrite cannot express an emptied partition (no rows to
+    // write for it) — unlink those directly
+    val fs = hadoopFs(spark, dir)
+    touchedKeys.filterNot(keptKeys).foreach { case (b, c) =>
+      fs.delete(new Path(s"$cur/__batch=$b/__cid=$c"), true)
+    }
+  }
+
+  /** Staleness ledger: per-cell occupancy NOW (one codes-only scan of the
+    * current generation) vs the fit-time `occupancy/` snapshot.
+    * `added` > 0 marks cells grown by [[append]]s since the fit (and
+    * < 0 cells shrunk by [[delete]]s); a cell whose occupancy has
+    * multiplied is the refit signal (its probe cost grows linearly with
+    * occupancy, and the frozen centroid that used to describe it may no
+    * longer — `llm_ann_index_drift_recall` prices the answer-quality side
+    * of that drift). Cells that gained their FIRST rows post-fit appear
+    * with fit_n = 0.
     */
   def staleness(spark: SparkSession, dir: String): DataFrame = {
     val fit = spark.read
       .parquet(s"$dir/occupancy")
       .select(col("__cid").cast("int").as("cell"), col("fit_n"))
     val now = spark.read
-      .parquet(s"$dir/codes")
+      .parquet(currentCodesPath(spark, dir).toString)
       .groupBy(col("__cid").cast("int").as("cell"))
       .agg(count(lit(1)).as("now_n"))
     fit
@@ -244,8 +426,10 @@ object AnnIndex {
   }
 
   /** Load a persisted index. The returned DataFrames are lazy parquet
-    * scans — nothing is read until a probe runs, and a probe touching
-    * `nprobe` cells reads only those code partitions.
+    * scans pinned to the generation that is current NOW — nothing is read
+    * until a probe runs, a probe touching `nprobe` cells reads only those
+    * code partitions, and a [[compact]] committed after this load does
+    * not move the handle (re-load to pick up the new generation).
     */
   def load(spark: SparkSession, dir: String): IvfPqIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
@@ -260,8 +444,11 @@ object AnnIndex {
       centroids = spark.read.parquet(s"$dir/centroids"),
       codebooks = spark.read.parquet(s"$dir/codebooks"),
       // partition-discovered __cid comes back as INT (written from int
-      // cids); select the documented column order explicitly
-      codes = spark.read.parquet(s"$dir/codes").select("__cid", "__nid", "__codes")
+      // cids); select the documented column order explicitly, dropping
+      // the __batch ingest-layer column (probe semantics are layer-blind)
+      codes = spark.read
+        .parquet(currentCodesPath(spark, dir).toString)
+        .select("__cid", "__nid", "__codes")
     )
   }
 

@@ -2160,7 +2160,7 @@ object LlmQueries {
         val dir = tmpDir("llm_ann_index_append")
         val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
         AnnIndex.save(idx, dir)
-        AnnIndex.append(spark, dir, batch, "vec_id", "v")
+        AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
         val appended = AnnIndex.load(spark, dir)
         AnnIndex
           .probeIvfPq(appended, fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
@@ -2200,7 +2200,7 @@ object LlmQueries {
         val dir = tmpDir("llm_ann_index_staleness")
         val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
         AnnIndex.save(idx, dir)
-        AnnIndex.append(spark, dir, batch, "vec_id", "v")
+        AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
         AnnIndex.staleness(spark, dir)
       }
     ),
@@ -2226,7 +2226,7 @@ object LlmQueries {
         val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
         AnnIndex.save(idx, dir)
         (0 until 3).foreach { i =>
-          AnnIndex.append(spark, dir, batch.filter(col("vec_id") % 3 === i), "vec_id", "v")
+          AnnIndex.append(spark, dir, batch.filter(col("vec_id") % 3 === i), "vec_id", "v", batchId = i.toLong)
         }
         AnnIndex.compact(spark, dir)
         AnnIndex

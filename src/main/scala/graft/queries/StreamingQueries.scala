@@ -578,12 +578,14 @@ object StreamingQueries {
     // inserts, so micro-batch boundaries cannot change any index row and
     // probing the streamed-appended index must equal probing the batch
     // append exactly — the oracle is the SAME frozen-fit replay
-    // llm_ann_index_append gates against. Exactly-once for the
-    // side-effecting append comes from the streaming checkpoint
-    // (AvailableNow batch tracking), per AnnIndex.append's caller
-    // contract — unlike t10's idempotent-merge sketch, a replayed append
-    // would double-insert, which is why the contract and the checkpoint
-    // are stated rather than assumed.
+    // llm_ann_index_append gates against. Delivery is AT-LEAST-ONCE
+    // (foreachBatch can replay a batch whose side effect completed but
+    // whose checkpoint commit didn't land); effectively-once comes from
+    // append's own idempotence — the foreachBatch batch id is passed
+    // through, and append writes that batch's deterministic
+    // __batch=<id>/ layer in overwrite mode, so a replay overwrites
+    // itself with identical rows instead of double-inserting (the write-
+    // side analogue of t12's dedup-at-read).
     QueryDef(
       "t13_stream_index_append_batch_eq",
       Some(LlmQueries.indexAppendOracleSql),
@@ -604,8 +606,8 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", "1")
           .parquet(in)
           .writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            AnnIndex.append(spark, dir, b, "vec_id", "v")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            AnnIndex.append(spark, dir, b, "vec_id", "v", batchId = id)
             ()
           }
           .option("checkpointLocation", ckpt)

@@ -751,9 +751,14 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       .collect()
       .sortBy(r => (r._1, r._3))
     assert(probed.toSeq == fused.toSeq, "persisted-index probe must reproduce the fused operator exactly")
-    // the on-disk codes are laid out one directory per cell (partition pruning unit)
-    val cellDirs = new java.io.File(s"$dir/codes").listFiles().filter(_.getName.startsWith("__cid="))
-    assert(cellDirs.nonEmpty, "codes must be partitioned by cell id")
+    // the on-disk codes live in a committed generation, fit rows under the
+    // __batch=-1 layer, one directory per cell (the partition pruning unit)
+    val gen = AnnIndex.currentCodesPath(spark, dir)
+    assert(gen.getName == "codes_v1", s"fresh save must commit codes_v1, got $gen")
+    val cellDirs = new java.io.File(gen.toUri.getPath, "__batch=-1")
+      .listFiles()
+      .filter(_.getName.startsWith("__cid="))
+    assert(cellDirs.nonEmpty, "codes must be partitioned by cell id under the fit layer")
 
     // no fit stages on the query path: a probe of the LOADED index (no
     // rerank fetch) must read ONLY the index directory — every file scan
@@ -809,7 +814,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     val dir = java.nio.file.Files.createTempDirectory("graft_annappend").toString
     val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
     AnnIndex.save(idx, dir)
-    AnnIndex.append(spark, dir, batch, "vec_id", "v")
+    AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
     val appended = AnnIndex.load(spark, dir)
 
     // append ≡ encode-under-frozen-fit: a row's (cell, codes) is a pure
@@ -834,10 +839,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(led.map(_._2).sum == 48 && led.map(_._3).sum == 60 && led.map(_._4).sum == 12)
     assert(led.forall(r => r._3 == r._2 + r._4))
 
-    // disjoint-id misuse is visible, not silent: appending an already-
-    // indexed id yields duplicate index rows (documented caller contract)
-    AnnIndex.append(spark, dir, batch.limit(1), "vec_id", "v")
+    // disjoint-id misuse across DIFFERENT batches is visible, not silent:
+    // appending an already-indexed id under a NEW batch id yields duplicate
+    // index rows (documented caller contract)
+    AnnIndex.append(spark, dir, batch.limit(1), "vec_id", "v", batchId = 1L)
     assert(AnnIndex.load(spark, dir).codes.count() == 61)
+
+    // ... while a REPLAY of the same batch id is idempotent: the layer
+    // overwrites itself, row count and probe results unchanged (the
+    // at-least-once foreachBatch crash-replay scenario)
+    AnnIndex.append(spark, dir, batch.limit(1), "vec_id", "v", batchId = 1L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 61)
+    val probedAfterReplay = AnnIndex
+      .probeIvfPq(AnnIndex.load(spark, dir), df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    AnnIndex.append(spark, dir, batch.limit(1), "vec_id", "v", batchId = 1L)
+    val probedAfterReplay2 = AnnIndex
+      .probeIvfPq(AnnIndex.load(spark, dir), df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    assert(probedAfterReplay2 == probedAfterReplay, "replayed append must not change probe results")
+
+    // negative batch ids are reserved for the fit/compact layers
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, dir, batch.limit(1), "vec_id", "v", batchId = -1L)
+    }
   }
 
   test("AnnIndex.compact: one file per cell, probe bit-identical, staleness invariant") {
@@ -851,13 +876,16 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     val dir = java.nio.file.Files.createTempDirectory("graft_anncompact").toString
     val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
     AnnIndex.save(idx, dir)
-    (0 until 3).foreach(i => AnnIndex.append(spark, dir, batch.filter($"vec_id" % 3 === i), "vec_id", "v"))
+    (0 until 3).foreach(i => AnnIndex.append(spark, dir, batch.filter($"vec_id" % 3 === i), "vec_id", "v", batchId = i.toLong))
 
+    // parquet files per cell in the CURRENT generation, summed across the
+    // __batch ingest layers (fragmentation = total files a cell probe opens)
     def filesPerCell: Map[String, Int] = {
-      val root = new java.io.File(s"$dir/codes")
-      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__cid=")).map { d =>
-        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
-      }.toMap
+      val gen = new java.io.File(AnnIndex.currentCodesPath(spark, dir).toUri.getPath)
+      gen.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__batch="))
+        .flatMap(_.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__cid=")))
+        .groupBy(_.getName)
+        .map { case (cell, dirs) => cell -> dirs.map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum }
     }
     def probed: Seq[(Long, Long, Long)] = AnnIndex
       .probeIvfPq(AnnIndex.load(spark, dir), df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
@@ -868,11 +896,106 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     // three appends fragmented at least one cell beyond one file
     assert(filesPerCell.values.max > 1, s"appends did not fragment: $filesPerCell")
     val (probeBefore, driftBefore) = (probed, drift)
+    // a reader loaded BEFORE the compact, pinned to the old generation
+    val preCompactHandle = AnnIndex.load(spark, dir)
     AnnIndex.compact(spark, dir)
-    // physical: exactly one file per cell; logical: identity
+    // the swap is a new committed generation; the old one is retained for
+    // open readers (no delete/rename anywhere in the sequence)
+    assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v2")
+    assert(new java.io.File(s"$dir/codes_v1").exists(), "compact must retain the superseded generation")
+    // physical: exactly one file per cell in one collapsed layer; logical: identity
     assert(filesPerCell.values.forall(_ == 1), s"compact left multi-file cells: $filesPerCell")
     assert(probed == probeBefore)
     assert(drift == driftBefore) // compaction is not a refit: ledger unchanged
+    // the pre-compact handle keeps probing its pinned generation, and
+    // agrees with a post-compact load (compaction is the identity)
+    val viaOld = AnnIndex
+      .probeIvfPq(preCompactHandle, df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    assert(viaOld == probeBefore, "a pre-compact reader must stay consistent across the swap")
+    // vacuum reclaims the superseded generation once readers are done
+    AnnIndex.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/codes_v1").exists(), "vacuum must drop superseded generations")
+    assert(new java.io.File(s"$dir/codes_v2").exists(), "vacuum must keep the current generation")
+    assert(probed == probeBefore)
+  }
+
+  test("AnnIndex.delete: touched partitions rewritten, untouched files untouched, ledger goes negative") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val corpus = df.filter($"vec_id" % 5 =!= 0)
+    val batch = df.filter($"vec_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anndelete").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+
+    val genDir = new java.io.File(AnnIndex.currentCodesPath(spark, dir).toUri.getPath)
+    def leafFiles(): Map[String, Set[String]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(genDir)
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy(f => f.getParentFile.getParentFile.getName + "/" + f.getParentFile.getName)
+        .map { case (k, fs) => k -> fs.map(_.getName).toSet }
+    }
+    // choose victims from the index's OWN cell assignment: one whole cell
+    // to empty (the dynamic-overwrite blind spot the FS unlink covers) and
+    // two rows of another cell for the partial-rewrite path
+    val byCell = AnnIndex.load(spark, dir).codes
+      .select($"__nid".cast("long"), $"__cid".cast("int")).as[(Long, Int)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq.sorted).toMap
+    val victimCell = byCell.keys.min
+    val victims = byCell(victimCell)
+    val otherCell = byCell.keys.filter(_ != victimCell).head
+    assert(byCell(otherCell).size > 2, s"fixture drift: cell $otherCell too small to partial-delete from")
+    val partialIds = byCell(otherCell).take(2)
+
+    // PARTIAL delete: exercises the dynamic-partition-overwrite rewrite of
+    // still-occupied partitions, and must leave the victim cell's
+    // partitions' files untouched on disk
+    val before = leafFiles()
+    AnnIndex.delete(spark, dir, partialIds.toDF("vec_id"), "vec_id")
+    assert(AnnIndex.load(spark, dir).codes.count() == 58)
+    val afterPartial = leafFiles()
+    val victimKeys = before.keySet.filter(_.endsWith(s"/__cid=$victimCell"))
+    assert(victimKeys.nonEmpty)
+    assert(victimKeys.forall(k => afterPartial.get(k) == before.get(k)),
+      "a delete must not rewrite partitions holding none of its ids")
+    assert(afterPartial.keySet == before.keySet, "partial delete must empty no partition here")
+
+    // FULL delete of the victim cell's rows: empties its partitions in
+    // every __batch layer
+    AnnIndex.delete(spark, dir, victims.toDF("vec_id"), "vec_id")
+
+    // logical: the deleted ids are gone from codes and from probe results
+    val left = AnnIndex.load(spark, dir)
+    val gone = (victims ++ partialIds).toSet
+    assert(left.codes.filter($"__nid".isin(gone.toSeq: _*)).count() == 0)
+    assert(left.codes.count() == 58 - victims.size)
+    val probeLeft = AnnIndex
+      .probeIvfPq(left, df, "vec_id", "v", k = 3, nprobe = 3, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("nid").distinct().as[Long].collect()
+    assert(probeLeft.forall(!gone.contains(_)), "probe must never return deleted ids")
+    // physical: the emptied cell's partitions are unlinked; untouched
+    // cells' files are bit-for-bit the same directory entries
+    val after = leafFiles()
+    assert(victimKeys.forall(!after.contains(_)), "emptied partitions must be unlinked")
+    assert(after == afterPartial -- victimKeys, "untouched partitions must not be rewritten")
+    // ledger: deletions price as negative drift against the fit-time
+    // snapshot of the 48 corpus rows (appends added 12, deletes removed
+    // 2 + victims — net is negative because a whole cell went away)
+    val led = AnnIndex.staleness(spark, dir).as[(Int, Long, Long, Long)].collect()
+    assert(led.map(_._4).sum == (58L - victims.size) - 48L, "Σ added must net appends minus deletes")
+    assert(led.exists(_._4 < 0), "a shrunk cell must show negative added")
+    // idempotent: re-running the same delete is a no-op
+    AnnIndex.delete(spark, dir, victims.toDF("vec_id"), "vec_id")
+    assert(AnnIndex.load(spark, dir).codes.count() == 58 - victims.size)
   }
 
   test("softDedup weights each duplicate group to one document of mass") {

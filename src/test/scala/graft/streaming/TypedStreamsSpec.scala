@@ -175,7 +175,7 @@ class TypedStreamsSpec extends AnyFunSuite with SparkTestSession {
     val dirB = Files.createTempDirectory("graft-t13spec-b").toString
     AnnIndex.save(idx, dirA)
     AnnIndex.save(idx, dirB)
-    AnnIndex.append(spark, dirA, batch, "vec_id", "v") // one-shot batch append
+    AnnIndex.append(spark, dirA, batch, "vec_id", "v", batchId = 0L) // one-shot batch append
     // the same batch as >= 2 micro-batch appends
     val in = Files.createTempDirectory("graft-t13spec-in").toString
     batch.filter(col("vec_id") % 2 === 0).write.parquet(s"$in/b0")
@@ -185,8 +185,8 @@ class TypedStreamsSpec extends AnyFunSuite with SparkTestSession {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$in/*")
       .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        AnnIndex.append(spark, dirB, b, "vec_id", "v")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        AnnIndex.append(spark, dirB, b, "vec_id", "v", batchId = id)
         ()
       }
       .option("checkpointLocation", Files.createTempDirectory("graft-t13spec-ckpt").toString)
