@@ -199,6 +199,81 @@ object LlmQueries {
     )
   }
 
+  /** Drift-recall fixture (Spark side of [[AnnOracles.driftedCte]]): same
+    * shape as [[clusteredFixture]], but rows arriving AFTER the fit
+    * (vec_id % 5 = 0, the append slice) draw their cluster centers from
+    * [[AnnOracles.driftCenters]] — the frozen centroids never saw where
+    * the new mass sits, which is exactly the degradation the
+    * `llm_ann_index_drift_recall` ledger prices.
+    */
+  private[queries] def driftedFixture(
+      spark: org.apache.spark.sql.SparkSession,
+      sf: String
+  ): org.apache.spark.sql.DataFrame = {
+    import AnnOracles.{driftCenters, fixtureCenters, FixtureClusters, FixtureNoise}
+    val centerArr = array(fixtureCenters.map(cv => array(cv.map(lit): _*)): _*)
+    val driftArr = array(driftCenters.map(cv => array(cv.map(lit): _*)): _*)
+    val cIdx =
+      (conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % FixtureClusters).cast("int")
+    val center = when(col("vec_id") % 5 === 0, element_at(driftArr, cIdx + 1))
+      .otherwise(element_at(centerArr, cIdx + 1))
+    embeddingsDimChecked(spark, sf).select(
+      col("vec_id"),
+      zip_with(center, col("embedding"), (c, x) => c + lit(FixtureNoise) * x.cast("double")).as("v")
+    )
+  }
+
+  /** The llm_ann_index_delete oracle — [[indexAppendOracleSql]]'s
+    * frozen-fit replay with the INDEX side restricted to the surviving
+    * ids (deleted ids still query; they can no longer be answers): the
+    * exact semantics of [[graft.llmops.AnnIndex.delete]] followed by a
+    * probe, without the oracle knowing anything about files or
+    * partitions.
+    */
+  private[queries] def indexDeleteOracleSql: String = {
+    import AnnOracles._
+    s"""WITH $clusteredCte,
+       |$kmeansQuantCte,
+       |qbc AS (SELECT * FROM qb WHERE id % 5 <> 0),
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, src = "qbc")},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, fitSrc = "qbc")},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50, idxFilter = "kpp.id % 7 <> 0")}
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr""".stripMargin
+  }
+
+  /** The llm_ann_index_drift_recall oracle: TWO complete IVF-PQ replays
+    * over the drifted fixture side by side — the `fz` chain fits on the
+    * pre-drift corpus slice and encodes/probes the union (what the
+    * appended-under-frozen-fit index answers), the `rf` chain refits on
+    * the union (what a refit would answer) — folded into a per-query
+    * top-k overlap histogram. The ledger that turns "refit when stale"
+    * into a measured recall loss.
+    */
+  private[queries] def indexDriftRecallOracleSql: String = {
+    import AnnOracles._
+    s"""WITH $driftedCte,
+       |$kmeansQuantCte,
+       |qbc AS (SELECT * FROM qb WHERE id % 5 <> 0),
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, src = "qbc", pfx = "fz")},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, fitSrc = "qbc", pfx = "fz")},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50, pfx = "fz")},
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, pfx = "rf")},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, pfx = "rf")},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50, pfx = "rf")},
+       |h AS (SELECT a.qid, count(*) AS c FROM fzpqrr a JOIN rfpqrr b ON a.qid = b.qid AND a.nid = b.nid GROUP BY 1)
+       |SELECT CAST(coalesce(h.c, 0) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT id AS qid FROM cf) q LEFT JOIN h USING (qid) GROUP BY 1""".stripMargin
+  }
+
+  /** [[indexAppendOracleSql]] restricted to the t14 probe stream's qids —
+    * the streamed-probe-across-compaction gate scores a small query slice
+    * against the appended-then-compacted index, and compaction is the
+    * identity, so the oracle is the same frozen-fit replay on that slice.
+    */
+  private[queries] def indexAppendPrunedOracleSql: String =
+    indexAppendOracleSql + " WHERE qid % 97 = 0"
+
   /** Synthetic re-ingest copy id: doc_id + 100000, guarded per-row so the
     * fixture fails LOUDLY if the corpus ever grows ids into the synthetic
     * range. A silent collision would change fixture semantics identically
@@ -607,6 +682,40 @@ object LlmQueries {
          |                        % $FixtureClusters AS BIGINT))""".stripMargin
     }
 
+    /** Where the ARRIVING batch's clusters sit in the drift-recall
+      * fixture (seed 11) — deliberately different hyperplanes from
+      * [[fixtureCenters]], so rows appended after the fit drift away from
+      * the frozen centroids while the corpus slice stays put.
+      */
+    def driftCenters: Array[Array[Double]] =
+      Similarity.hyperplanes(FixtureClusters, Dim, seed = 11L)
+
+    /** [[clusteredCte]] variant for the drift ledger: corpus rows
+      * (id % 5 <> 0) use the fit-time centers `kc`, batch rows
+      * (id % 5 = 0) the drifted ones `kcd`. Downstream CTEs read the same
+      * `cf` name, so the whole replay machinery applies unchanged.
+      */
+    def driftedCte: String = {
+      val values = fixtureCenters.zipWithIndex
+        .map { case (cv, c) => s"($c, ${planeArray(cv)})" }
+        .mkString(",\n  ")
+      val dvalues = driftCenters.zipWithIndex
+        .map { case (cv, c) => s"($c, ${planeArray(cv)})" }
+        .mkString(",\n  ")
+      s"""kc(c, cv) AS (VALUES
+         |  $values),
+         |kcd(c, cv) AS (VALUES
+         |  $dvalues),
+         |cf AS (SELECT e.vec_id AS id,
+         |         list_transform(range(1, ${Dim + 1}),
+         |           j -> (CASE WHEN e.vec_id % 5 = 0 THEN kcd.cv[j] ELSE kc.cv[j] END)
+         |                + $FixtureNoise * CAST(e.embedding[j] AS DOUBLE)) AS v
+         |       FROM embeddings e
+         |       JOIN kc ON kc.c = CAST(CAST(concat('0x', substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |                        % $FixtureClusters AS BIGINT)
+         |       JOIN kcd ON kcd.c = kc.c)""".stripMargin
+    }
+
     /** `qb` CTE: fixture rows with their int8-quantized (as DOUBLE) vectors
       * — the SQL replay of [[Embeddings.quantizeInt8]] (floor(x·127/s + .5),
       * half-up; all-zero guard).
@@ -635,21 +744,27 @@ object LlmQueries {
       * keep reading the full `qb` — only the fit sees the sample, exactly
       * as [[Similarity.kmeansCentroids]] scopes it).
       */
-    def kmeansFitCtes(cells: Int, iters: Int, seed: Long, src: String = "qb", cellsSql: String = ""): String = {
+    /** `pfx` prefixes every CTE this generator defines (and the
+      * references between them) so TWO independent fit/probe chains can
+      * coexist in one oracle — the drift-recall ledger replays a
+      * frozen-fit chain and a refit chain side by side. With the default
+      * "" the generated SQL is byte-identical to the unprefixed form.
+      */
+    def kmeansFitCtes(cells: Int, iters: Int, seed: Long, src: String = "qb", cellsSql: String = "", pfx: String = ""): String = {
       val gate = if (cellsSql.nonEmpty) cellsSql else cells.toString
       val init =
-        s"""k0 AS (SELECT rn - 1 AS cid, qv AS cv FROM (
+        s"""${pfx}k0 AS (SELECT rn - 1 AS cid, qv AS cv FROM (
            |  SELECT qv, row_number() OVER (ORDER BY
            |    CAST(concat('0x', substr(md5(concat_ws(':', '$seed', CAST(id AS VARCHAR))), 1, 8)) AS UBIGINT),
            |    id) AS rn
            |  FROM $src) WHERE rn <= $gate)""".stripMargin
       val iterCtes = (1 to iters).map { i =>
-        s"""a$i AS (SELECT $src.id, $src.qv, c.cid FROM $src CROSS JOIN k${i - 1} c
+        s"""${pfx}a$i AS (SELECT $src.id, $src.qv, c.cid FROM $src CROSS JOIN ${pfx}k${i - 1} c
            |  QUALIFY row_number() OVER (PARTITION BY $src.id
            |    ORDER BY list_cosine_similarity($src.qv, c.cv) DESC, c.cid) = 1),
-           |u$i AS (SELECT a.cid, u.i AS dim, sum(a.qv[u.i + 1]) / count(*) AS m
-           |        FROM a$i a, unnest(range(len(a.qv))) AS u(i) GROUP BY 1, 2),
-           |k$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cid)""".stripMargin
+           |${pfx}u$i AS (SELECT a.cid, u.i AS dim, sum(a.qv[u.i + 1]) / count(*) AS m
+           |        FROM ${pfx}a$i a, unnest(range(len(a.qv))) AS u(i) GROUP BY 1, 2),
+           |${pfx}k$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM ${pfx}u$i GROUP BY cid)""".stripMargin
       }
       (init +: iterCtes).mkString(",\n")
     }
@@ -765,7 +880,7 @@ object LlmQueries {
       * encode + reconstruction `prv` (codewords concatenated in subspace
       * order).
       */
-    def pqCtes(dim: Int, m: Int, ks: Int, pqIters: Int, seed: Long, fitSrc: String = "qb"): String = {
+    def pqCtes(dim: Int, m: Int, ks: Int, pqIters: Int, seed: Long, fitSrc: String = "qb", pfx: String = ""): String = {
       val sub = dim / m
       val l2 = "list_sum(list_transform(range(len(sv)), i -> (sv[i+1] - c.cv[i+1]) * (sv[i+1] - c.cv[i+1])))"
       // fit vs encode split (the append replay): the PQ FIT (init + Lloyd
@@ -774,33 +889,36 @@ object LlmQueries {
       // AnnIndex.fitIvfPq scopes the fit and AnnIndex.encodeAgainst
       // encodes arrivals against the frozen codebooks. With the default
       // fitSrc the generated SQL is byte-identical to the pre-split form.
-      val fitSub = if (fitSrc == "qb") "psub" else "psubf"
+      // `pfx` as in kmeansFitCtes: namespaces the chain for side-by-side
+      // replays.
+      val psub = s"${pfx}psub"
+      val fitSub = if (fitSrc == "qb") psub else s"${pfx}psubf"
       val subCte =
-        s"""psub AS (SELECT id, mm.m AS m, qv[mm.m*$sub+1 : mm.m*$sub+$sub] AS sv
+        s"""$psub AS (SELECT id, mm.m AS m, qv[mm.m*$sub+1 : mm.m*$sub+$sub] AS sv
            |  FROM qb, (SELECT unnest(range($m)) AS m) mm)""".stripMargin
       val fitSubCte =
         if (fitSrc == "qb") ""
-        else s""",\npsubf AS (SELECT psub.* FROM psub JOIN $fitSrc f ON psub.id = f.id)"""
+        else s""",\n$fitSub AS (SELECT $psub.* FROM $psub JOIN $fitSrc f ON $psub.id = f.id)"""
       val init =
-        s"""pq0 AS (SELECT m, rn - 1 AS cid, sv AS cv FROM (
+        s"""${pfx}pq0 AS (SELECT m, rn - 1 AS cid, sv AS cv FROM (
            |  SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY
            |    CAST(concat('0x', substr(md5(concat_ws(':', '$seed', CAST(m AS VARCHAR), CAST(id AS VARCHAR))), 1, 8)) AS UBIGINT),
            |    id) AS rn
            |  FROM $fitSub) WHERE rn <= $ks)""".stripMargin
       val iterCtes = (1 to pqIters).map { j =>
-        s"""pa$j AS (SELECT $fitSub.id, $fitSub.m, $fitSub.sv, c.cid FROM $fitSub JOIN pq${j - 1} c ON $fitSub.m = c.m
+        s"""${pfx}pa$j AS (SELECT $fitSub.id, $fitSub.m, $fitSub.sv, c.cid FROM $fitSub JOIN ${pfx}pq${j - 1} c ON $fitSub.m = c.m
            |  QUALIFY row_number() OVER (PARTITION BY $fitSub.id, $fitSub.m
            |    ORDER BY $l2 ASC, c.cid) = 1),
-           |pu$j AS (SELECT a.m, a.cid, u.i AS dim, sum(a.sv[u.i + 1]) / count(*) AS mn
-           |        FROM pa$j a, unnest(range(len(a.sv))) AS u(i) GROUP BY 1, 2, 3),
-           |pq$j AS (SELECT m, cid, list(mn ORDER BY dim) AS cv FROM pu$j GROUP BY 1, 2)""".stripMargin
+           |${pfx}pu$j AS (SELECT a.m, a.cid, u.i AS dim, sum(a.sv[u.i + 1]) / count(*) AS mn
+           |        FROM ${pfx}pa$j a, unnest(range(len(a.sv))) AS u(i) GROUP BY 1, 2, 3),
+           |${pfx}pq$j AS (SELECT m, cid, list(mn ORDER BY dim) AS cv FROM ${pfx}pu$j GROUP BY 1, 2)""".stripMargin
       }
       val enc =
-        s"""pe AS (SELECT psub.id, psub.m, c.cid FROM psub JOIN pq$pqIters c ON psub.m = c.m
-           |  QUALIFY row_number() OVER (PARTITION BY psub.id, psub.m
+        s"""${pfx}pe AS (SELECT $psub.id, $psub.m, c.cid FROM $psub JOIN ${pfx}pq$pqIters c ON $psub.m = c.m
+           |  QUALIFY row_number() OVER (PARTITION BY $psub.id, $psub.m
            |    ORDER BY $l2 ASC, c.cid) = 1),
-           |prv AS (SELECT pe.id, flatten(list(c.cv ORDER BY pe.m)) AS rv
-           |        FROM pe JOIN pq$pqIters c ON pe.m = c.m AND pe.cid = c.cid GROUP BY pe.id)""".stripMargin
+           |${pfx}prv AS (SELECT pe.id, flatten(list(c.cv ORDER BY pe.m)) AS rv
+           |        FROM ${pfx}pe pe JOIN ${pfx}pq$pqIters c ON pe.m = c.m AND pe.cid = c.cid GROUP BY pe.id)""".stripMargin
       (Seq(subCte + fitSubCte, init) ++ iterCtes :+ enc).mkString(",\n")
     }
 
@@ -813,29 +931,34 @@ object LlmQueries {
       * ADC top-`rerank` shortlist against the ORIGINAL `cf` vectors —
       * the fetch-and-rerank replay.
       */
-    def pqIvfTopCte(k: Int, nprobe: Int, iters: Int, rerank: Int = 0): String = {
+    /** `idxFilter` restricts the INDEX side (`kpidx`, rows referenced as
+      * `kpp.id`) — the delete replay excludes removed ids from the index
+      * while every id still queries. `pfx` as in [[kmeansFitCtes]].
+      */
+    def pqIvfTopCte(k: Int, nprobe: Int, iters: Int, rerank: Int = 0, pfx: String = "", idxFilter: String = ""): String = {
       val shortlist = math.max(k, rerank)
+      val idxPred = if (idxFilter.isEmpty) "" else s" AND ($idxFilter)"
       val adc =
-        s"""kpp AS (SELECT qb.id, qb.qv, c.cid,
+        s"""${pfx}kpp AS (SELECT qb.id, qb.qv, c.cid,
            |         row_number() OVER (PARTITION BY qb.id
            |           ORDER BY list_cosine_similarity(qb.qv, c.cv) DESC, c.cid) AS crank
-           |       FROM qb CROSS JOIN k$iters c QUALIFY crank <= $nprobe),
-           |kpidx AS (SELECT kpp.cid, kpp.id AS nid, prv.rv FROM kpp JOIN prv ON prv.id = kpp.id WHERE crank = 1),
-           |kpq AS (SELECT cid, id AS qid, qv FROM kpp),
-           |pqtop AS (SELECT qid, nid, rnk FROM (
+           |       FROM qb CROSS JOIN ${pfx}k$iters c QUALIFY crank <= $nprobe),
+           |${pfx}kpidx AS (SELECT kpp.cid, kpp.id AS nid, prv.rv FROM ${pfx}kpp kpp JOIN ${pfx}prv prv ON prv.id = kpp.id WHERE crank = 1$idxPred),
+           |${pfx}kpq AS (SELECT cid, id AS qid, qv FROM ${pfx}kpp),
+           |${pfx}pqtop AS (SELECT qid, nid, rnk FROM (
            |  SELECT kpq.qid, kpidx.nid,
            |    row_number() OVER (PARTITION BY kpq.qid
            |      ORDER BY list_cosine_similarity(kpq.qv, kpidx.rv) DESC, kpidx.nid) AS rnk
-           |  FROM kpq JOIN kpidx ON kpq.cid = kpidx.cid AND kpq.qid <> kpidx.nid)
+           |  FROM ${pfx}kpq kpq JOIN ${pfx}kpidx kpidx ON kpq.cid = kpidx.cid AND kpq.qid <> kpidx.nid)
            |  WHERE rnk <= $shortlist)""".stripMargin
       if (rerank <= k) adc
       else
         adc + ",\n" +
-          s"""pqrr AS (SELECT qid, nid, rnk FROM (
+          s"""${pfx}pqrr AS (SELECT qid, nid, rnk FROM (
              |  SELECT p.qid, p.nid,
              |    row_number() OVER (PARTITION BY p.qid
              |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, p.nid) AS rnk
-             |  FROM pqtop p JOIN cf q ON q.id = p.qid JOIN cf n ON n.id = p.nid)
+             |  FROM ${pfx}pqtop p JOIN cf q ON q.id = p.qid JOIN cf n ON n.id = p.nid)
              |  WHERE rnk <= $k)""".stripMargin
     }
   }
