@@ -14,15 +14,17 @@ import org.apache.spark.sql.functions._
   * save → load → probe round-trip over the same corpus returns
   * bit-identical (qid, nid, rank) rows — spec- and oracle-gated.
   *
-  * On-disk layout under `dir` (format v3):
+  * On-disk layout under `dir` (format v4):
   *   - `meta/`       one row: (version, dim, cells, pq_m, pq_ks, seed)
   *   - `centroids/`  coarse k-means centroids (`__cid`, `__cv`) — cells rows
   *   - `codebooks/`  PQ codewords (`__m`, `__cid`, `__cv`) — ≤ m·ks rows
   *   - `occupancy/`  fit-time per-cell code counts (the [[staleness]] anchor)
   *   - `codes_v<N>/` VERSIONED corpus index generations. Exactly one is
-  *     current: the highest N carrying a root `_SUCCESS` marker (the
-  *     parquet job-commit file — the generation's commit record, no extra
-  *     pointer file to keep atomic). Each generation holds index rows
+  *     current: the highest N carrying BOTH the parquet job's root
+  *     `_SUCCESS` and an `_ABSORBED_<hwm>` marker (written last — the
+  *     generation's commit record, which doubles as the [[append]]
+  *     high-water mark a post-compact replay no-ops against). Each
+  *     generation holds index rows
   *     (`__nid`, `__codes`) laid out as
   *     `__batch=<id>/__cid=<cell>/part-*.parquet`:
   *       - `__batch` — the ingest generation: −1 for the rows written by
@@ -70,12 +72,22 @@ object AnnIndex {
       codes: DataFrame
   )
 
-  /** v3 (round 14) replaces the single mutable `codes/` directory with
-    * committed `codes_v<N>/` generations carrying a `__batch` partition
-    * level — the layout that makes [[append]] replay-idempotent and
-    * [[compact]] crash-safe. v2 (round 13) added `occupancy/`.
+  /** v4 (round 15) adds two commit refinements to the v3 generation
+    * layout: (a) a generation is committed only when it carries BOTH the
+    * parquet job's root `_SUCCESS` and an `_ABSORBED_<hwm>` high-water
+    * marker recording the largest [[append]] batch id folded into its fit
+    * layer (−1 when none) — [[append]] no-ops for batch ids at or below
+    * it, so a streaming replay of a PRE-compact batch cannot double-insert
+    * into the post-compact generation; (b) every reader resolves only
+    * COMMITTED `__batch` layers (the fit layer rides the root `_SUCCESS`;
+    * an append layer must hold its own `_SUCCESS`), so a crashed append's
+    * partial files are invisible until the replay lands. v3 (round 14)
+    * replaced the single mutable `codes/` directory with committed
+    * `codes_v<N>/` generations carrying a `__batch` partition level — the
+    * layout that makes [[append]] replay-idempotent and [[compact]]
+    * crash-safe. v2 (round 13) added `occupancy/`.
     */
-  private val FormatVersion = 3
+  private val FormatVersion = 4
 
   /** The `__batch` partition value for fit-time ([[save]]) and
     * [[compact]]-rewritten rows; [[append]] batch ids must be ≥ 0.
@@ -105,19 +117,77 @@ object AnnIndex {
         .sortBy(_._1)
   }
 
+  private val AbsorbedMarkerRe = "_ABSORBED_(-?\\d+)".r
+
+  /** The generation's append high-water mark: the largest batch id its fit
+    * layer has absorbed (via [[compact]]), [[FitBatchId]] for a fresh
+    * [[save]]. Recorded as an `_ABSORBED_<n>` marker file — underscore-
+    * prefixed, so parquet readers ignore it — whose presence doubles as
+    * the generation's commit record (see [[currentCodesPath]]).
+    */
+  private[llmops] def absorbedHwm(spark: SparkSession, gen: Path): Long = {
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(gen)
+      .iterator
+      .map(_.getPath.getName)
+      .collectFirst { case AbsorbedMarkerRe(n) => n.toLong }
+      .getOrElse(FitBatchId.toLong)
+  }
+
+  private def writeAbsorbedMarker(spark: SparkSession, gen: Path, hwm: Long): Unit = {
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(gen, s"_ABSORBED_$hwm"), true).close()
+  }
+
   /** The CURRENT code generation: the highest-numbered `codes_v<N>` whose
-    * root `_SUCCESS` job-commit marker exists. An interrupted [[compact]]
-    * leaves an uncommitted (markerless) higher generation behind, which is
-    * skipped here — readers keep resolving the last committed one.
+    * root `_SUCCESS` job-commit marker AND `_ABSORBED_<hwm>` high-water
+    * marker both exist (the marker, written last, is the true commit
+    * point). An interrupted [[compact]] leaves an uncommitted (markerless)
+    * higher generation behind, which is skipped here — readers keep
+    * resolving the last committed one.
     */
   private[llmops] def currentCodesPath(spark: SparkSession, dir: String): Path = {
     val fs = hadoopFs(spark, dir)
-    val committed = codesVersions(spark, dir).filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+    val committed = codesVersions(spark, dir).filter { case (_, p) =>
+      fs.exists(new Path(p, "_SUCCESS")) &&
+      fs.listStatus(p).exists(st => AbsorbedMarkerRe.pattern.matcher(st.getPath.getName).matches())
+    }
     require(
       committed.nonEmpty,
-      s"$dir holds no committed codes_v<N> generation — not a saved AnnIndex (or pre-v3 layout)"
+      s"$dir holds no committed codes_v<N> generation (root _SUCCESS + _ABSORBED_<hwm> marker) — " +
+        "not a saved AnnIndex, or a pre-v4 layout"
     )
     committed.last._2
+  }
+
+  /** The generation's COMMITTED `__batch` layers: the fit layer (its
+    * commit record is the generation root `_SUCCESS` that
+    * [[currentCodesPath]] already required) plus every append layer
+    * carrying its own `_SUCCESS` (each [[append]] is its own parquet job
+    * rooted at the layer directory). A crashed append's partial layer has
+    * no marker and is skipped — invisible to every reader until the
+    * at-least-once replay lands and commits it.
+    */
+  private[llmops] def committedLayerPaths(spark: SparkSession, gen: Path): Seq[Path] = {
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(gen)
+      .toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("__batch="))
+      .filter(p => p.getName == s"__batch=$FitBatchId" || fs.exists(new Path(p, "_SUCCESS")))
+      .sortBy(_.getName)
+  }
+
+  /** Scan of the generation's committed index rows, partition columns
+    * (`__batch`, `__cid`) preserved via `basePath` — the one read shape
+    * every consumer ([[load]], [[staleness]], [[compact]], [[delete]])
+    * shares, so none of them can see a half-written append layer.
+    */
+  private def committedCodes(spark: SparkSession, gen: Path): DataFrame = {
+    val layers = committedLayerPaths(spark, gen)
+    require(layers.nonEmpty, s"$gen holds no committed __batch layer — corrupt generation")
+    spark.read.option("basePath", gen.toString).parquet(layers.map(_.toString): _*)
   }
 
   /** Fit the index: coarse k-means ([[Similarity.kmeansCentroids]]) +
@@ -194,6 +264,11 @@ object AnnIndex {
       .mode("overwrite")
       .partitionBy("__batch", "__cid")
       .parquet(s"$dir/codes_v1")
+    // the high-water marker is the generation's commit record (written
+    // LAST: a crash before this line leaves codes_v1 uncommitted and the
+    // dir is simply not a saved index yet); a fresh fit has absorbed no
+    // append batches
+    writeAbsorbedMarker(spark, new Path(s"$dir/codes_v1"), FitBatchId.toLong)
     spark.read
       .parquet(s"$dir/codes_v1")
       .groupBy(col("__cid").cast("int").as("__cid"))
@@ -240,19 +315,32 @@ object AnnIndex {
     * the same frozen fit (oracle-gated by `llm_ann_index_append`).
     *
     * IDEMPOTENT under replay: the write targets the deterministic
-    * per-batch directory `__batch=<batchId>/` in OVERWRITE mode, so
-    * re-delivering a batch (foreachBatch is at-least-once — a crash
-    * between this write and the streaming checkpoint commit replays the
-    * batch) overwrites the layer with identical rows instead of
-    * double-inserting. Callers owe only what any idempotent sink is owed:
-    * a stable batch id per logical batch (Structured Streaming's
-    * foreachBatch id), distinct ids across DIFFERENT logical batches, and
-    * batch ids ≥ 0 (negative layers belong to [[save]]/[[compact]]).
-    * Appends and [[compact]] must not interleave: compact collapses the
-    * batch layers into the new generation's fit layer, so a replay of a
-    * PRE-compact batch into the post-compact generation would re-insert
-    * it — quiesce ingest across a compaction, the standard compactor
-    * contract.
+    * per-batch directory `__batch=<batchId>/`, so re-delivering a batch
+    * (foreachBatch is at-least-once — a crash between this write and the
+    * streaming checkpoint commit replays the batch) re-lands on its own
+    * layer instead of double-inserting. Three replay shapes, all handled:
+    *   - layer absent (crash before any write): written normally;
+    *   - layer present but UNCOMMITTED (crash mid-write — no layer
+    *     `_SUCCESS`; readers never saw it, see [[committedLayerPaths]]):
+    *     overwritten;
+    *   - layer present and COMMITTED: the existing layer's content
+    *     fingerprint (row count + order-free row hash) is compared against
+    *     the arriving encode — identical means an exact replay and append
+    *     NO-OPS (one batch-sized layer scan, zero writes); different means
+    *     batch-id REUSE with different data, and append FAILS LOUDLY
+    *     instead of silently replacing rows that probes may already have
+    *     answered from.
+    *   - batchId at or below the current generation's [[absorbedHwm]]:
+    *     NO-OP — a [[compact]] already folded this batch into the fit
+    *     layer, so a post-compact streaming restart replaying pre-compact
+    *     batches cannot double-insert them.
+    *
+    * Callers owe only what any idempotent sink is owed: a stable batch id
+    * per logical batch (Structured Streaming's foreachBatch id), distinct
+    * ids across DIFFERENT logical batches, and batch ids ≥ 0 (negative
+    * layers belong to [[save]]/[[compact]]). Do not run appends
+    * CONCURRENTLY with a [[compact]] (the hwm protects replays that
+    * arrive after the compact committed, not writes in flight during it).
     *
     * Id discipline: batch ids must also be disjoint from already-indexed
     * row ids (append never dedups — a row id indexed by two DIFFERENT
@@ -271,11 +359,48 @@ object AnnIndex {
   ): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId; negative layers are reserved for the fit/compact rows)")
     val cur = currentCodesPath(spark, dir)
+    if (batchId <= absorbedHwm(spark, cur)) return // already folded into the fit layer by a compact
+    val layer = new Path(cur, s"__batch=$batchId")
+    val fs = hadoopFs(spark, dir)
+    if (fs.exists(new Path(layer, "_SUCCESS"))) {
+      // committed layer already holds this batch id — replay or misuse?
+      val existing = contentFingerprint(spark.read.parquet(layer.toString))
+      val arriving = contentFingerprint(encodeAgainst(load(spark, dir), batch, idCol, vecCol))
+      if (existing == arriving) return // exact replay of a committed batch
+      throw new IllegalStateException(
+        s"append batchId=$batchId is already committed with DIFFERENT content " +
+          s"(existing (rows, hash) = $existing, arriving = $arriving) — batch ids must be " +
+          "stable per logical batch and distinct across different batches; overwriting would " +
+          "silently lose the earlier batch's rows"
+      )
+    }
     encodeAgainst(load(spark, dir), batch, idCol, vecCol)
       .write
-      .mode("overwrite") // replay-idempotence: the batch layer replaces itself
+      .mode("overwrite") // absorbs an uncommitted partial layer of the same id
       .partitionBy("__cid")
-      .parquet(s"$cur/__batch=$batchId")
+      .parquet(layer.toString)
+  }
+
+  /** Order-free content fingerprint of index-shaped rows: (row count,
+    * Σ xxhash64(cell, id, codes)) in one aggregate pass. The sum runs in
+    * decimal(38,0) so it cannot overflow under ANSI arithmetic at any
+    * realistic batch size; collisions need an adversarial 64-bit-hash-sum
+    * match, far beyond the accidental batch-id-reuse misuse this guards.
+    */
+  private def contentFingerprint(codes: DataFrame): (Long, String) = {
+    val r = codes
+      .select(
+        count(lit(1)).as("n"),
+        coalesce(
+          sum(
+            xxhash64(col("__cid").cast("int"), col("__nid"), col("__codes").cast("array<int>"))
+              .cast("decimal(38,0)")
+          ),
+          lit(0).cast("decimal(38,0)")
+        ).as("h")
+      )
+      .head()
+    (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
   }
 
   /** Compact the codes layout: every [[append]] lands one parquet file
@@ -300,14 +425,21 @@ object AnnIndex {
     * no step here renames or deletes anything, which also makes the
     * sequence object-store-safe (no atomic-rename dependency). New
     * [[load]]s resolve the new generation; [[vacuum]] reclaims old ones
-    * when no reader needs them. Do not run concurrently with [[append]]s
-    * (see append's quiesce contract).
+    * when no reader needs them. Only COMMITTED layers are absorbed (a
+    * crashed append's partial layer was never readable and stays that
+    * way), and the new generation's `_ABSORBED_<hwm>` marker — its commit
+    * record, written last — records the largest batch id folded in, so a
+    * post-compact replay of any absorbed batch no-ops in [[append]]
+    * instead of double-inserting. Do not run concurrently with in-flight
+    * [[append]]s (the hwm covers replays after the compact commits, not
+    * writes racing it).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
     val cur = currentCodesPath(spark, dir)
     val next = codesVersions(spark, dir).map(_._1).max + 1
-    spark.read
-      .parquet(cur.toString)
+    val hwm = (absorbedHwm(spark, cur) +:
+      committedLayerPaths(spark, cur).map(_.getName.stripPrefix("__batch=").toLong)).max
+    committedCodes(spark, cur)
       .select("__cid", "__nid", "__codes") // drops the __batch layer column
       .withColumn("__batch", lit(FitBatchId))
       .repartition(col("__cid"))
@@ -315,6 +447,7 @@ object AnnIndex {
       .mode("overwrite") // absorbs an uncommitted leftover of the same number
       .partitionBy("__batch", "__cid")
       .parquet(s"$dir/codes_v$next")
+    writeAbsorbedMarker(spark, new Path(s"$dir/codes_v$next"), hwm)
   }
 
   /** Reclaim superseded code generations: delete every `codes_v<N>`
@@ -357,11 +490,12 @@ object AnnIndex {
       ids: DataFrame,
       idCol: String
   ): Unit = {
-    val cur = currentCodesPath(spark, dir).toString
+    val curPath = currentCodesPath(spark, dir)
+    val cur = curPath.toString
     // snapshot the id set: it feeds the partition discovery AND the
     // anti-join, and must not be re-derived mid-delete
     val del = ids.select(col(idCol).as("__nid")).distinct().localCheckpoint(true)
-    val codes = spark.read.parquet(cur) // partition cols __batch, __cid ride along
+    val codes = committedCodes(spark, curPath) // partition cols __batch, __cid ride along
     val touched = codes
       .join(del, Seq("__nid"), "left_semi")
       .select(col("__batch").cast("long").as("__batch"), col("__cid").cast("int").as("__cid"))
@@ -383,6 +517,29 @@ object AnnIndex {
       .collect()
       .map(r => (r.getLong(0), r.getInt(1)))
       .toSet
+    // a delete must not EMPTY the index: the generation would become an
+    // unreadable parquet dir (no files to infer a schema from) and every
+    // later load/staleness would fail with an unrelated error. Detected
+    // from the fs listing (no extra scan) BEFORE any mutation — deleting
+    // the whole index means the fit no longer describes anything; refit
+    // instead.
+    if (keptKeys.isEmpty) {
+      val fsCheck = hadoopFs(spark, dir)
+      val touchedSet = touchedKeys.toSet
+      val allDataKeys = committedLayerPaths(spark, curPath).flatMap { layer =>
+        val b = layer.getName.stripPrefix("__batch=").toLong
+        fsCheck
+          .listStatus(layer)
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("__cid=") => (b, n.stripPrefix("__cid=").toInt) }
+      }
+      if (allDataKeys.forall(touchedSet))
+        throw new IllegalStateException(
+          s"delete would remove EVERY row of the index at $dir — an emptied generation is not " +
+            "representable (and the frozen fit would describe nothing); refit instead of deleting all"
+        )
+    }
     if (keptKeys.nonEmpty)
       kept.write
         .mode("overwrite")
@@ -411,8 +568,7 @@ object AnnIndex {
     val fit = spark.read
       .parquet(s"$dir/occupancy")
       .select(col("__cid").cast("int").as("cell"), col("fit_n"))
-    val now = spark.read
-      .parquet(currentCodesPath(spark, dir).toString)
+    val now = committedCodes(spark, currentCodesPath(spark, dir))
       .groupBy(col("__cid").cast("int").as("cell"))
       .agg(count(lit(1)).as("now_n"))
     fit
@@ -445,9 +601,9 @@ object AnnIndex {
       codebooks = spark.read.parquet(s"$dir/codebooks"),
       // partition-discovered __cid comes back as INT (written from int
       // cids); select the documented column order explicitly, dropping
-      // the __batch ingest-layer column (probe semantics are layer-blind)
-      codes = spark.read
-        .parquet(currentCodesPath(spark, dir).toString)
+      // the __batch ingest-layer column (probe semantics are layer-blind);
+      // only COMMITTED layers resolve — a half-written append is invisible
+      codes = committedCodes(spark, currentCodesPath(spark, dir))
         .select("__cid", "__nid", "__codes")
     )
   }

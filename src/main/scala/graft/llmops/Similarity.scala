@@ -780,9 +780,12 @@ object Similarity {
       fitSamplePercent: Int = 100,
       maxCell: Int = AutoMaxCell
   ): DataFrame = {
-    // at most ONE count job feeds both auto knobs
+    // at most ONE count job feeds both auto knobs; any cells <= 0 resolves
+    // as auto (matching resolveCells' "explicit when > 0" rule), so a
+    // non-sentinel non-positive value can't reach suggestedCells with the
+    // skipped count's -1 and throw its unrelated row-count message
     val n: Long =
-      if (cells == AutoCells || maxCell == AutoMaxCell) df.count() else -1L
+      if (cells <= 0 || maxCell == AutoMaxCell) df.count() else -1L
     val resolvedCells = if (cells > 0) cells else suggestedCells(n)
     val resolvedMaxCell =
       if (maxCell == AutoMaxCell) autoMaxCell(n, resolvedCells) else maxCell

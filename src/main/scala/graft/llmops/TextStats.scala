@@ -77,16 +77,19 @@ object TextStats {
   /** Character n-grams of each token, boundary-padded (`^tok$`) so word
     * edges carry signal — the language-ID feature space (char-n-gram
     * profiles à la Cavnar–Trenkle): suffix/prefix morphology lands in the
-    * padded edge grams. Empty tokens are filtered: a non-empty token's
-    * padded form has length ≥ 3, so the position sequence is never empty
-    * at the default n = 3 (an unguarded `sequence(1, len-2)` on a
-    * 2-char padded empty token would count DOWN — Spark infers step −1).
-    * Per-row codegen'd HOFs, zero shuffle.
+    * padded edge grams. Tokens too short to yield one full gram are
+    * filtered: a token's padded form has length `len + 2`, so it carries
+    * an n-gram only when `len ≥ n − 2` — an unguarded
+    * `sequence(1, len + 2 − (n − 1))` on a shorter token gets
+    * stop < start, Spark infers step −1, and substr positions COUNT DOWN,
+    * emitting bogus short grams (at the default n = 3 the guard reduces
+    * to dropping empty tokens; at n ≥ 4 it is what keeps 1-char tokens
+    * from poisoning the profile). Per-row codegen'd HOFs, zero shuffle.
     */
   def charNgrams(toks: Column, n: Int = 3): Column =
     flatten(
       transform(
-        filter(toks, t => length(t) > 0),
+        filter(toks, t => length(t) >= n - 2),
         { t =>
           val p = concat(lit("^"), t, lit("$"))
           transform(sequence(lit(1), length(p) - (n - 1)), i => p.substr(i, lit(n)))

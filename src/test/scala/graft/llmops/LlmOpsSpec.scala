@@ -998,6 +998,80 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(AnnIndex.load(spark, dir).codes.count() == 58 - victims.size)
   }
 
+  test("AnnIndex v4 commit discipline: id reuse fails, partial layers invisible, compact hwm kills replays, delete-all refused") {
+    val rnd = new scala.util.Random(37)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val corpus = df.filter($"vec_id" % 5 =!= 0) // 48 rows
+    val batch = df.filter($"vec_id" % 5 === 0)  // 12 rows
+    val b0 = batch.filter($"vec_id" % 2 === 0)  // 6 rows
+    val b1 = batch.filter($"vec_id" % 2 =!= 0)  // 6 rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_annv4").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    AnnIndex.append(spark, dir, b0, "vec_id", "v", batchId = 0L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 54)
+
+    // (a) batch-id REUSE with DIFFERENT content fails loudly — the silent
+    // alternative would replace b0's committed rows with b1's
+    val reuse = intercept[IllegalStateException] {
+      AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 0L)
+    }
+    assert(reuse.getMessage.contains("DIFFERENT content"))
+    assert(AnnIndex.load(spark, dir).codes.count() == 54, "failed reuse must not mutate the index")
+    // ... while an exact replay of the committed batch stays a no-op
+    AnnIndex.append(spark, dir, b0, "vec_id", "v", batchId = 0L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 54)
+
+    // (b) a PARTIAL append layer (crash mid-write: no layer _SUCCESS) is
+    // invisible to load AND staleness until the replay commits it
+    AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 1L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 60)
+    val gen = new java.io.File(AnnIndex.currentCodesPath(spark, dir).toUri.getPath)
+    val layerCommit = new java.io.File(gen, "__batch=1/_SUCCESS")
+    assert(layerCommit.exists, "an append layer must carry its own job-commit marker")
+    assert(layerCommit.delete())
+    assert(AnnIndex.load(spark, dir).codes.count() == 54, "uncommitted layer must be invisible to load")
+    assert(
+      AnnIndex.staleness(spark, dir).agg(sum($"now_n")).as[Long].head() == 54,
+      "uncommitted layer must be invisible to staleness"
+    )
+    AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 1L) // replay lands + commits
+    assert(AnnIndex.load(spark, dir).codes.count() == 60)
+
+    def probed: Seq[(Long, Long, Long)] = AnnIndex
+      .probeIvfPq(AnnIndex.load(spark, dir), df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    val beforeCompact = probed
+
+    // (c) compact records the absorbed high-water mark: a streaming
+    // restart replaying PRE-compact batches into the post-compact
+    // generation no-ops instead of double-inserting (the r14 ADVICE gap)
+    AnnIndex.compact(spark, dir)
+    AnnIndex.append(spark, dir, b0, "vec_id", "v", batchId = 0L)
+    AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 1L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 60, "pre-compact replays must no-op on the hwm")
+    assert(probed == beforeCompact, "absorbed replays must not change probe results")
+    // a genuinely NEW batch id still appends past the hwm
+    val extra = Seq((1000L, Seq.fill(8)(1.0f))).toDF("vec_id", "v")
+    AnnIndex.append(spark, dir, extra, "vec_id", "v", batchId = 2L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 61)
+
+    // (d) a delete that would EMPTY the index is refused before any
+    // mutation — an emptied generation is unreadable parquet and the
+    // frozen fit describes nothing
+    val everyId = AnnIndex.load(spark, dir).codes.select($"__nid".cast("long")).as[Long].collect().toSeq
+    val emptied = intercept[IllegalStateException] {
+      AnnIndex.delete(spark, dir, everyId.toDF("vec_id"), "vec_id")
+    }
+    assert(emptied.getMessage.contains("EVERY row"))
+    assert(AnnIndex.load(spark, dir).codes.count() == 61, "refused delete must leave the index intact")
+  }
+
   test("softDedup weights each duplicate group to one document of mass") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val out = Dedup
@@ -1573,6 +1647,44 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       .select("vec_id").as[Long].collect().toSet
     assert(byDefault == exact)
     assert(exact.size < data.size) // non-vacuous: the dedup dropped something
+  }
+
+  test("semDedup: a non-sentinel non-positive cells resolves as auto, even with an explicit maxCell") {
+    // the r14 ADVICE edge: cells = -2 with explicit maxCell used to skip
+    // the count (n = -1) and die in suggestedCells' unrelated
+    // "needs a positive row count" require — now any cells <= 0 counts
+    // and resolves via the auto rule, matching resolveCells' semantics
+    val data = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Seq(0.95f, 0.312f, 0.0f, 0.0f),
+      4L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),
+      5L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),
+      6L -> Seq(0.0f, 0.312f, 0.95f, 0.0f)
+    )
+    val rows = data.toDF("vec_id", "v")
+    def survivors(cells: Int): Set[Long] = Similarity
+      .semDedup(rows, "vec_id", "v", tau = 0.9, cells = cells, iters = 2, seed = 42L, maxCell = 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors(-2) == survivors(Similarity.AutoCells))
+  }
+
+  test("charNgrams n >= 4 filters tokens too short to carry one full gram (no count-down substrings)") {
+    // the r14 ADVICE edge: a 1-char token's padded form is 3 chars, so at
+    // n = 4 an unguarded sequence(1, len-3) gets stop < start, Spark
+    // infers step -1, and substr positions count DOWN — bogus short grams
+    val grams = Seq("a bc def ghij").toDF("text")
+      .select(TextStats.charNgrams(TextStats.tokens($"text"), 4).as("g"))
+      .as[Seq[String]].head()
+    assert(grams.forall(_.length == 4), s"every 4-gram must be exactly 4 chars, got: $grams")
+    assert(!grams.exists(_.contains("^a$")), "a 1-char token must be filtered at n = 4")
+    assert(grams.contains("^bc$")) // 2-char token: exactly one padded gram
+    assert(grams.contains("^def") && grams.contains("def$"))
+    // the default n = 3 keeps its established behavior (empty-token filter)
+    val g3 = Seq("a ").toDF("text")
+      .select(TextStats.charNgrams(TextStats.tokens($"text"), 3).as("g"))
+      .as[Seq[String]].head()
+    assert(g3 == Seq("^a$"))
   }
 
   test("tfidfTopTerms ranks rare-but-frequent terms first") {
