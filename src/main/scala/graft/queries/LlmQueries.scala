@@ -2357,6 +2357,68 @@ object LlmQueries {
           .select("qid", "nid", "rank")
       }
     ),
+    // Index deletion (round 15, the decontamination / right-to-be-forgotten
+    // path): fit on the 80% corpus, save, append the 20% batch under the
+    // frozen fit, then DELETE every id ≡ 0 (mod 7) — partition-local
+    // rewrites of only the touched (__batch, __cid) partitions, nothing
+    // refits. The probe then runs the FULL fixture as queries (deleted ids
+    // still query; they can no longer be answers). The oracle is the same
+    // frozen-fit replay as llm_ann_index_append with the INDEX side
+    // restricted to the survivors — it knows nothing about files or
+    // partitions, which is the point: delete must be indistinguishable
+    // from an index that never contained those rows.
+    QueryDef(
+      "llm_ann_index_delete",
+      Some(indexDeleteOracleSql),
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val dir = tmpDir("llm_ann_index_delete")
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+        AnnIndex.delete(spark, dir, fx.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+        AnnIndex
+          .probeIvfPq(AnnIndex.load(spark, dir), fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid", "rank")
+      }
+    ),
+    // Recall-after-drift ledger (round 15): the staleness ledger says WHEN
+    // cell occupancy moved; this one prices what the drift COSTS IN
+    // ANSWERS — the refit threshold as data, not judgment. The drifted
+    // fixture's append slice (vec_id ≡ 0 mod 5) draws from centers the
+    // frozen fit never saw; the ledger is the per-query top-5 overlap
+    // histogram between (a) the appended-under-frozen-fit persisted index
+    // and (b) a full refit on the union (ivfPqTopK at identical knobs).
+    // The oracle replays BOTH complete IVF-PQ chains side by side (fz/rf
+    // prefixes) and folds the same histogram. Verification-only at bench:
+    // it deliberately runs the index lifecycle AND a second full fit.
+    QueryDef(
+      "llm_ann_index_drift_recall",
+      Some(indexDriftRecallOracleSql),
+      (spark, sf) => {
+        val fx = driftedFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val dir = tmpDir("llm_ann_index_drift_recall")
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+        val frozen = AnnIndex
+          .probeIvfPq(AnnIndex.load(spark, dir), fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid")
+        val refit = Similarity
+          .ivfPqTopK(fx, "vec_id", "v", k = 5, cells = 8, nprobe = 2, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, rerank = 50, dim = EmbDim)
+          .select("qid", "nid")
+        val hits = frozen.join(refit, Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("__c"))
+        fx.select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(coalesce(col("__c"), lit(0L)).as("hits"))
+          .groupBy("hits")
+          .agg(count(lit(1)).as("n"))
+      }
+    ),
     // Recall ledger pricing PQ loss: ADC-ONLY top-5 (no re-rank, same
     // m/ks as the headline) vs the exact re-rank top-5 over the SAME
     // coarse candidates (ivfTopKKmeans at identical cells/nprobe/seed) —

@@ -618,6 +618,73 @@ object StreamingQueries {
           .probeIvfPq(AnnIndex.load(spark, dir), fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
           .select("qid", "nid", "rank")
       }
+    ),
+    // Probe ACROSS a compaction (round 15): the full maintenance loop under
+    // serving — the index is fit on the 80% corpus, three appends fragment
+    // it (the streaming-ingest state t13 leaves behind), then the t12-style
+    // probe stream serves micro-batch by micro-batch while a compact() AND
+    // vacuum() run BETWEEN micro-batches (inside the second foreachBatch,
+    // before its re-load): batch 0 probes the fragmented three-layer
+    // index, batches 1-2 probe the compacted-and-vacuumed single-file-per-
+    // cell generation. Compaction and vacuum are physically destructive
+    // (new generation; superseded one reclaimed) but logically the
+    // identity, so every micro-batch's rows — whichever side of the swap
+    // it ran on — must agree with ONE frozen-fit batch replay: the oracle
+    // is the same append replay llm_ann_index_append gates against,
+    // restricted to the probe stream's qids. Each micro-batch re-loads the
+    // index, so no reader is pinned to the vacuumed generation (the
+    // vacuum contract); replayed batches append identical rows, removed
+    // by the (qid, nid) dedup at read.
+    QueryDef(
+      "t14_stream_probe_across_compact_batch_eq",
+      Some(LlmQueries.indexAppendPrunedOracleSql),
+      (spark, sf) => {
+        import graft.llmops.AnnIndex
+        val in = tmpDir("t14_in")
+        val out = tmpDir("t14_out")
+        val ckpt = tmpDir("t14_ckpt")
+        val dir = tmpDir("t14_idx")
+        val fx = LlmQueries.clusteredFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = LlmQueries.EmbDim)
+        AnnIndex.save(idx, dir)
+        // three appends fragment the touched cells (one file per append per
+        // cell) — ingest is quiesced before the serve+compact phase starts
+        (0 until 3).foreach { i =>
+          AnnIndex.append(spark, dir, batch.filter(col("vec_id") % 3 === i), "vec_id", "v", batchId = i.toLong)
+        }
+        // three files -> three micro-batches under maxFilesPerTrigger=1
+        fx.filter(col("vec_id") % 97 === 0)
+          .repartition(3)
+          .write
+          .mode("overwrite")
+          .parquet(in)
+        spark.readStream
+          .schema("vec_id LONG, v ARRAY<DOUBLE>")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (id == 1L) {
+              AnnIndex.compact(spark, dir) // new committed generation
+              AnnIndex.vacuum(spark, dir) // reclaim the superseded one — no pinned readers here
+            }
+            val loaded = AnnIndex.load(spark, dir) // re-load per batch: current generation
+            AnnIndex
+              .probeIvfPqPruned(loaded, b, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+              .select("qid", "nid", "rank")
+              .write
+              .mode("append")
+              .parquet(out)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out).dropDuplicates("qid", "nid")
+      }
     )
   )
 

@@ -55,6 +55,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_index_append",
     "llm_ann_index_staleness",
     "llm_ann_index_compact",
+    "llm_ann_index_delete",
+    "llm_ann_index_drift_recall",
     "llm_ann_lsh_clustered",
     "llm_semdedup",
     "llm_semdedup_capped",
