@@ -62,10 +62,17 @@ object TextStats {
     size(array_intersect(tokens(text), array(words.map(lit): _*))).cast("long")
   }
 
-  /** Predicted language: argmax of stopword hits with a deterministic
+  /** BASELINE-ONLY language ID — superseded as the production path by the
+    * char-n-gram NB classifier ([[graft.llmops.Selection.nbFitMulti]] /
+    * `nbScoreMulti` over [[charNgrams]], SURVEY §2.3 L85): on the held-out
+    * ledger the NB path scores 100/100 vs 34/100 for this heuristic
+    * (`llm_lang_id_ledger`). Kept as the zero-training comparison row that
+    * ledger prices, and for contexts with no fit corpus at all.
+    *
+    * Predicted language: argmax of stopword hits with a deterministic
     * tie-break (list order above — 'en' wins ties); documents with zero
-    * hits in every language are labeled `und` (unknown). Heuristic
-    * language ID à la n-gram profiles, one codegen'd CASE chain.
+    * hits in every language are labeled `und` (unknown). One codegen'd
+    * CASE chain.
     */
   def langId(text: Column): Column = {
     val hits = stopwords.map { case (lang, _) => lang -> stopwordHits(text, lang) }
