@@ -47,6 +47,9 @@ object native {
 
   def arrayCosine(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def arrayL2Sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayL2Sq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 private[functions] object GenUtil {
@@ -224,6 +227,26 @@ final case class ArrayDot(left: Expression, right: Expression) extends ArrayNume
     NativeMath.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], codeA, codeB)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance: Σ (aᵢ − bᵢ)², every difference/square/sum in
+  * double, accumulated left-to-right — bit-identical to the HOF
+  * formulation it replaces (association order preserved). The PQ
+  * assignment/encode inner loop (Similarity.pqCodebooks/pqEncode):
+  * evaluated n·m·ks times per fit pass, the single hottest scalar in the
+  * persisted-index family.
+  */
+final case class ArrayL2Sq(left: Expression, right: Expression) extends ArrayNumericBinary {
+
+  override def prettyName: String = "array_l2sq"
+
+  override protected def kernel: String = "l2sq"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    NativeMath.l2sq(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], codeA, codeB)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayL2Sq =
     copy(left = newLeft, right = newRight)
 }
 

@@ -70,6 +70,24 @@ object NativeMath {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Squared L2 distance, every difference/square/sum in double,
+    * accumulated left-to-right; null on length mismatch or any null
+    * element — same tri-state contract as [[dot]].
+    */
+  def l2sq(a: ArrayData, b: ArrayData, ca: Int, cb: Int): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = get(a, i, ca) - get(b, i, cb)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)

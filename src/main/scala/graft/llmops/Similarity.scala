@@ -933,9 +933,21 @@ object Similarity {
     * so comparisons are reduction-order-independent and bit-identical
     * across engines — the reason PQ assignment runs in the QUANTIZED
     * space (same rationale as the k-means family's quantized fit).
+    * Native codegen'd expression (round 15): this is the PQ fit/encode
+    * inner loop, evaluated n·m·ks times per assignment pass — the HOF
+    * form ([[l2sqHof]], kept as the spec's bit-identity reference) paid
+    * an interpreted lambda + a materialized zip array per comparison.
     */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    graft.functions.native.arrayL2Sq(a, b)
+
+  /** HOF reference formulation of [[l2sq]] (spec-only). */
+  private[llmops] def l2sqHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
 
   /** Per-subspace PQ codebooks: split each int8-quantized vector into `m`
     * contiguous subvectors of `dim / m` dims and run deterministic

@@ -102,6 +102,42 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     rows.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("l2sq: native expression is bit-identical to the HOF reference, incl. null on length mismatch") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(-1.0, 0.5, 2.0)),
+      (2L, Seq(0.1, -0.2, 0.3), Seq(0.4, 0.5, -0.6)),
+      (3L, Seq(7.0, 11.0, 13.0), Seq(7.0, 11.0, 13.0))
+    ).toDF("a", "va", "vb")
+    val rows = vecs
+      .select(
+        graft.functions.native.arrayL2Sq(col("va"), col("vb")).as("native"),
+        Similarity.l2sqHof(col("va"), col("vb")).as("hof")
+      )
+      .as[(Double, Double)]
+      .collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+    // float element type widens to double identically on both paths
+    val fvecs = Seq((1L, Seq(1.5f, -2.25f), Seq(0.5f, 4.0f))).toDF("a", "va", "vb")
+    val frow = fvecs
+      .select(
+        graft.functions.native.arrayL2Sq(col("va"), col("vb")).as("native"),
+        Similarity.l2sqHof(col("va"), col("vb")).as("hof")
+      )
+      .as[(Double, Double)]
+      .head()
+    assert(frow._1 == frow._2)
+    // length mismatch is null on both paths (never a silent common-prefix sum)
+    val mism = Seq((1L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "va", "vb")
+    val mrow = mism
+      .select(
+        graft.functions.native.arrayL2Sq(col("va"), col("vb")).as("native"),
+        Similarity.l2sqHof(col("va"), col("vb")).as("hof")
+      )
+      .collect()
+      .head
+    assert(mrow.isNullAt(0) && mrow.isNullAt(1))
+  }
+
   test("bruteTopK ranks by cosine with deterministic ties") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)),
