@@ -274,6 +274,31 @@ object LlmQueries {
   private[queries] def indexAppendPrunedOracleSql: String =
     indexAppendOracleSql + " WHERE qid % 97 = 0"
 
+  /** The t15 streamed-delete oracle: the probe stream serves the SAME
+    * `% 97` query set in every micro-batch while `delete(ids % 7 == 0)`
+    * lands between batch 0 and batch 1 — batch 0 answers from the full
+    * appended index, batches 1–2 from the survivors, so the stream's
+    * deduped output is exactly the SET UNION of the two replays (the
+    * same (qid, nid) may carry a different rank on each side, hence
+    * rank participates in the dedup key). Both chains share ONE frozen
+    * fit — `svk2`/`svprv` are aliases of the fit chain, not a refit:
+    * the delete contract is that centroids/codebooks stay frozen.
+    */
+  private[queries] def indexDeleteUnionPrunedOracleSql: String = {
+    import AnnOracles._
+    s"""WITH $clusteredCte,
+       |$kmeansQuantCte,
+       |qbc AS (SELECT * FROM qb WHERE id % 5 <> 0),
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, src = "qbc")},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, fitSrc = "qbc")},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50)},
+       |svk2 AS (SELECT * FROM k2), svprv AS (SELECT * FROM prv),
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50, pfx = "sv", idxFilter = "kpp.id % 7 <> 0")}
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr WHERE qid % 97 = 0
+       |UNION
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM svpqrr WHERE qid % 97 = 0""".stripMargin
+  }
+
   /** Synthetic re-ingest copy id: doc_id + 100000, guarded per-row so the
     * fixture fails LOUDLY if the corpus ever grows ids into the synthetic
     * range. A silent collision would change fixture semantics identically

@@ -685,6 +685,65 @@ object StreamingQueries {
           .awaitTermination()
         spark.read.parquet(out).dropDuplicates("qid", "nid")
       }
+    ),
+    // Probe ACROSS a delete (round 15): t14's sibling for the one index
+    // mutation that CHANGES answers. Every micro-batch serves the SAME
+    // query set (three identical input files), and delete(ids % 7 == 0)
+    // lands between batch 0 and batch 1 — so batch 0 answers from the
+    // full appended index and batches 1-2 from the survivors, both
+    // at-query-time-correct. The deduped output is therefore exactly the
+    // SET UNION of the two frozen-fit replays, which is what the oracle
+    // computes (rank participates in the dedup key: the same (qid, nid)
+    // can hold a different rank on each side of the delete). Each batch
+    // re-loads the index — delete is in-place mutation, the one place the
+    // versioned layout does not shield a pinned reader (AnnIndex.delete
+    // scaladoc); a replayed batch 1 re-runs the delete, which is
+    // idempotent (already-clean partitions -> zero touched -> no-op).
+    QueryDef(
+      "t15_stream_probe_across_delete_batch_eq",
+      Some(LlmQueries.indexDeleteUnionPrunedOracleSql),
+      (spark, sf) => {
+        import graft.llmops.AnnIndex
+        val in = tmpDir("t15_in")
+        val out = tmpDir("t15_out")
+        val ckpt = tmpDir("t15_ckpt")
+        val dir = tmpDir("t15_idx")
+        val fx = LlmQueries.clusteredFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = LlmQueries.EmbDim)
+        AnnIndex.save(idx, dir)
+        AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+        // THREE IDENTICAL single-file copies of the probe set: file order
+        // is irrelevant (same content), so exactly one micro-batch runs
+        // pre-delete however the source orders them
+        val probeQs = fx.filter(col("vec_id") % 97 === 0).select("vec_id", "v").coalesce(1)
+        (0 until 3).foreach { i =>
+          probeQs.write.mode(if (i == 0) "overwrite" else "append").parquet(in)
+        }
+        spark.readStream
+          .schema("vec_id LONG, v ARRAY<DOUBLE>")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (id == 1L)
+              AnnIndex.delete(spark, dir, fx.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+            val loaded = AnnIndex.load(spark, dir) // re-load per batch: post-delete files
+            AnnIndex
+              .probeIvfPqPruned(loaded, b, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+              .select("qid", "nid", "rank")
+              .write
+              .mode("append")
+              .parquet(out)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out).dropDuplicates("qid", "nid", "rank")
+      }
     )
   )
 
