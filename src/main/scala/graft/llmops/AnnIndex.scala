@@ -56,6 +56,8 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** A fitted (or loaded) IVF-PQ index. The DataFrames are lazy — after
     * [[load]] they are plain parquet scans pinned to the generation that
     * was current at load time; after [[fitIvfPq]] they are snapshotted
@@ -264,11 +266,6 @@ object AnnIndex {
       .mode("overwrite")
       .partitionBy("__batch", "__cid")
       .parquet(s"$dir/codes_v1")
-    // the high-water marker is the generation's commit record (written
-    // LAST: a crash before this line leaves codes_v1 uncommitted and the
-    // dir is simply not a saved index yet); a fresh fit has absorbed no
-    // append batches
-    writeAbsorbedMarker(spark, new Path(s"$dir/codes_v1"), FitBatchId.toLong)
     spark.read
       .parquet(s"$dir/codes_v1")
       .groupBy(col("__cid").cast("int").as("__cid"))
@@ -277,6 +274,13 @@ object AnnIndex {
       .write
       .mode("overwrite")
       .parquet(s"$dir/occupancy")
+    // the high-water marker is the generation's commit record, written
+    // LAST — after occupancy/, so the commit point covers EVERYTHING a
+    // reader needs (a crash anywhere above leaves codes_v1 uncommitted
+    // and the dir is simply not a saved index yet; [[staleness]] can
+    // never see a committed generation with a missing occupancy/); a
+    // fresh fit has absorbed no append batches
+    writeAbsorbedMarker(spark, new Path(s"$dir/codes_v1"), FitBatchId.toLong)
   }
 
   /** Encode a NEW batch against the FROZEN fit — nearest frozen centroid
@@ -326,14 +330,25 @@ object AnnIndex {
     *   - layer present and COMMITTED: the existing layer's content
     *     fingerprint (row count + order-free row hash) is compared against
     *     the arriving encode — identical means an exact replay and append
-    *     NO-OPS (one batch-sized layer scan, zero writes); different means
-    *     batch-id REUSE with different data, and append FAILS LOUDLY
-    *     instead of silently replacing rows that probes may already have
-    *     answered from.
+    *     NO-OPS (one batch-sized layer scan, zero writes). On a mismatch,
+    *     a strict-SUBSET check runs (existing ⊆ arriving — rare path, one
+    *     layer-sized broadcast anti-join): a [[delete]] that removed some
+    *     of this batch's rows AFTER it committed leaves exactly that
+    *     shape, and the late at-least-once replay must NO-OP (re-writing
+    *     would resurrect the deleted rows). Anything else is batch-id
+    *     REUSE with different data, and append FAILS LOUDLY instead of
+    *     silently replacing rows that probes may already have answered
+    *     from.
     *   - batchId at or below the current generation's [[absorbedHwm]]:
-    *     NO-OP — a [[compact]] already folded this batch into the fit
-    *     layer, so a post-compact streaming restart replaying pre-compact
-    *     batches cannot double-insert them.
+    *     NO-OP (logged at WARN) — a [[compact]] already folded this batch
+    *     into the fit layer, so a post-compact streaming restart replaying
+    *     pre-compact batches cannot double-insert them. HAZARD: this
+    *     no-op is keyed on the batch id ALONE. A stream restarted with a
+    *     FRESH CHECKPOINT after a compact reuses low batch ids for
+    *     genuinely NEW data, which this path silently drops — when
+    *     resetting a checkpoint against a compacted index, either
+    *     [[vacuum]]+re-[[save]] the index too, or start the new stream's
+    *     batch ids above the logged high-water mark.
     *
     * Callers owe only what any idempotent sink is owed: a stable batch id
     * per logical batch (Structured Streaming's foreachBatch id), distinct
@@ -359,19 +374,49 @@ object AnnIndex {
   ): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId; negative layers are reserved for the fit/compact rows)")
     val cur = currentCodesPath(spark, dir)
-    if (batchId <= absorbedHwm(spark, cur)) return // already folded into the fit layer by a compact
+    val hwm = absorbedHwm(spark, cur)
+    if (batchId <= hwm) {
+      // already folded into the fit layer by a compact — but the no-op is
+      // keyed on the id alone, so a fresh-checkpoint restart reusing low
+      // ids for NEW data lands here too: warn loudly (see scaladoc HAZARD)
+      log.warn(
+        s"append batchId=$batchId <= absorbed high-water mark $hwm at $dir: no-op " +
+          "(batch treated as a post-compact replay; if this stream was restarted with a fresh " +
+          "checkpoint carrying NEW data under reused ids, that data is being dropped -- restart " +
+          s"with batch ids above $hwm or re-save the index)"
+      )
+      return
+    }
     val layer = new Path(cur, s"__batch=$batchId")
     val fs = hadoopFs(spark, dir)
     if (fs.exists(new Path(layer, "_SUCCESS"))) {
       // committed layer already holds this batch id — replay or misuse?
-      val existing = contentFingerprint(spark.read.parquet(layer.toString))
-      val arriving = contentFingerprint(encodeAgainst(load(spark, dir), batch, idCol, vecCol))
+      val arrivingDf = encodeAgainst(load(spark, dir), batch, idCol, vecCol).localCheckpoint(true)
+      val existingDf = spark.read.parquet(layer.toString)
+      val existing = contentFingerprint(existingDf)
+      val arriving = contentFingerprint(arrivingDf)
       if (existing == arriving) return // exact replay of a committed batch
+      // existing ⊂ arriving: a delete() removed some of this batch's rows
+      // AFTER it committed, and this is the at-least-once replay arriving
+      // late — re-writing the full batch would RESURRECT the deleted rows,
+      // so the replay no-ops and the committed survivor layer stands.
+      // Rare path: one layer-sized anti-join against the broadcast batch.
+      def rowKeys(df: DataFrame): DataFrame = df.select(
+        col("__cid").cast("int").as("__kc"),
+        col("__nid").as("__kn"),
+        xxhash64(col("__codes").cast("array<int>")).as("__kh")
+      )
+      val notInArriving = rowKeys(existingDf)
+        .join(broadcast(rowKeys(arrivingDf)), Seq("__kc", "__kn", "__kh"), "left_anti")
+        .limit(1)
+        .count()
+      if (notInArriving == 0L) return // post-delete replay: survivors ⊂ original batch
       throw new IllegalStateException(
         s"append batchId=$batchId is already committed with DIFFERENT content " +
-          s"(existing (rows, hash) = $existing, arriving = $arriving) — batch ids must be " +
-          "stable per logical batch and distinct across different batches; overwriting would " +
-          "silently lose the earlier batch's rows"
+          s"(existing (rows, hash) = $existing, arriving = $arriving, and the existing layer is " +
+          "not a subset of the arriving batch, so this is not a replay-after-delete) — batch ids " +
+          "must be stable per logical batch and distinct across different batches; overwriting " +
+          "would silently lose the earlier batch's rows"
       )
     }
     encodeAgainst(load(spark, dir), batch, idCol, vecCol)
@@ -483,6 +528,12 @@ object AnnIndex {
     * one place the versioned layout does not shield readers; a delete
     * IS observable mutation, unlike compaction). Idempotent: re-running
     * with the same ids rewrites already-clean partitions to themselves.
+    *
+    * Interaction with in-flight [[append]] replays: a delete that removes
+    * rows of an already-committed batch leaves that batch's layer a strict
+    * subset of what a late at-least-once replay re-delivers — [[append]]
+    * detects the subset shape and no-ops instead of resurrecting the
+    * deleted rows, so pending replays need not drain before deleting.
     */
   def delete(
       spark: SparkSession,

@@ -91,12 +91,15 @@ object TextStats {
     * stop < start, Spark infers step −1, and substr positions COUNT DOWN,
     * emitting bogus short grams (at the default n = 3 the guard reduces
     * to dropping empty tokens; at n ≥ 4 it is what keeps 1-char tokens
-    * from poisoning the profile). Per-row codegen'd HOFs, zero shuffle.
+    * from poisoning the profile). The bound is floored at 1 so empty
+    * tokens (split on doubled/leading spaces) stay excluded even at
+    * n ≤ 2, where `n − 2` alone would admit them and emit a bogus `^$`
+    * gram. Per-row codegen'd HOFs, zero shuffle.
     */
   def charNgrams(toks: Column, n: Int = 3): Column =
     flatten(
       transform(
-        filter(toks, t => length(t) >= n - 2),
+        filter(toks, t => length(t) >= math.max(n - 2, 1)),
         { t =>
           val p = concat(lit("^"), t, lit("$"))
           transform(sequence(lit(1), length(p) - (n - 1)), i => p.substr(i, lit(n)))

@@ -1108,6 +1108,42 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(AnnIndex.load(spark, dir).codes.count() == 61, "refused delete must leave the index intact")
   }
 
+  test("AnnIndex append replay-after-delete: a late replay of a partially deleted batch no-ops") {
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val corpus = df.filter($"vec_id" % 5 =!= 0) // 48 rows
+    val batch = df.filter($"vec_id" % 5 === 0)  // 12 rows
+    val b0 = batch.filter($"vec_id" % 2 === 0)  // ids 0,10,20,30,40,50
+    val b1 = batch.filter($"vec_id" % 2 =!= 0)  // ids 5,15,...,55
+    val dir = java.nio.file.Files.createTempDirectory("graft_annreplay").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    AnnIndex.append(spark, dir, b0, "vec_id", "v", batchId = 0L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 54)
+    // delete removes HALF of b0's committed rows — the layer becomes a
+    // strict subset of what the original batch re-delivers on replay
+    AnnIndex.delete(spark, dir, Seq(0L, 10L, 20L).toDF("vec_id"), "vec_id")
+    assert(AnnIndex.load(spark, dir).codes.count() == 51)
+    // the at-least-once replay of batch 0 arrives AFTER the delete: the
+    // r15 ADVICE hazard was a misleading 'batch ids must be stable' throw
+    // (stalling the stream forever); now the subset shape is recognized
+    // and the replay no-ops — re-writing would resurrect the deleted rows
+    AnnIndex.append(spark, dir, b0, "vec_id", "v", batchId = 0L)
+    val after = AnnIndex.load(spark, dir).codes.select($"__nid".cast("long")).as[Long].collect().toSet
+    assert(AnnIndex.load(spark, dir).codes.count() == 51, "post-delete replay must no-op")
+    assert(!after.contains(0L) && !after.contains(10L) && !after.contains(20L), "deleted rows must stay deleted")
+    // genuinely DIFFERENT data under the same id is still misuse, not a replay
+    val reuse = intercept[IllegalStateException] {
+      AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 0L)
+    }
+    assert(reuse.getMessage.contains("not a subset"))
+  }
+
   test("softDedup weights each duplicate group to one document of mass") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val out = Dedup
@@ -1721,6 +1757,16 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       .select(TextStats.charNgrams(TextStats.tokens($"text"), 3).as("g"))
       .as[Seq[String]].head()
     assert(g3 == Seq("^a$"))
+    // the r15 ADVICE edge: at n <= 2 the raw `len >= n - 2` bound would
+    // admit EMPTY tokens (split on doubled/leading spaces) and emit a
+    // bogus '^$' gram — the max(n-2, 1) floor keeps them out at every n
+    for (n <- Seq(1, 2)) {
+      val gs = Seq("a  b").toDF("text") // doubled space -> one empty token
+        .select(TextStats.charNgrams(TextStats.tokens($"text"), n).as("g"))
+        .as[Seq[String]].head()
+      assert(gs.forall(_.length == n), s"n=$n grams must be exactly $n chars, got: $gs")
+      assert(!gs.exists(g => g == "^$" || g.isEmpty), s"empty tokens must stay excluded at n=$n: $gs")
+    }
   }
 
   test("tfidfTopTerms ranks rare-but-frequent terms first") {
