@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions._
   * save → load → probe round-trip over the same corpus returns
   * bit-identical (qid, nid, rank) rows — spec- and oracle-gated.
   *
-  * On-disk layout under `dir` (format v4):
+  * On-disk layout under `dir` (format v5):
   *   - `meta/`       one row: (version, dim, cells, pq_m, pq_ks, seed)
   *   - `centroids/`  coarse k-means centroids (`__cid`, `__cv`) — cells rows
   *   - `codebooks/`  PQ codewords (`__m`, `__cid`, `__cv`) — ≤ m·ks rows
   *   - `occupancy/`  fit-time per-cell code counts (the [[staleness]] anchor)
+  *     These four are the ORIGINAL fit's layers; a generation written by
+  *     [[refit]] carries its own copies INSIDE the generation directory,
+  *     and readers resolve the current generation's when present
+  *     ([[fitRoot]]) — the root's are never mutated after [[save]], so a
+  *     reader pinned to any generation keeps a consistent (fit, codes)
+  *     pair.
   *   - `codes_v<N>/` VERSIONED corpus index generations. Exactly one is
   *     current: the highest N carrying BOTH the parquet job's root
   *     `_SUCCESS` and an `_ABSORBED_<hwm>` marker (written last — the
@@ -74,22 +80,30 @@ object AnnIndex {
       codes: DataFrame
   )
 
-  /** v4 (round 15) adds two commit refinements to the v3 generation
-    * layout: (a) a generation is committed only when it carries BOTH the
-    * parquet job's root `_SUCCESS` and an `_ABSORBED_<hwm>` high-water
-    * marker recording the largest [[append]] batch id folded into its fit
-    * layer (−1 when none) — [[append]] no-ops for batch ids at or below
-    * it, so a streaming replay of a PRE-compact batch cannot double-insert
-    * into the post-compact generation; (b) every reader resolves only
-    * COMMITTED `__batch` layers (the fit layer rides the root `_SUCCESS`;
-    * an append layer must hold its own `_SUCCESS`), so a crashed append's
-    * partial files are invisible until the replay lands. v3 (round 14)
-    * replaced the single mutable `codes/` directory with committed
-    * `codes_v<N>/` generations carrying a `__batch` partition level — the
-    * layout that makes [[append]] replay-idempotent and [[compact]]
-    * crash-safe. v2 (round 13) added `occupancy/`.
+  /** v5 (round 16) makes the FIT layers generation-scoped so [[refit]]
+    * can migrate the index to a fresh quantizer without mutating anything
+    * a pinned reader holds: a generation written by [[refit]] carries its
+    * own `meta/`, `centroids/`, `codebooks/`, and `occupancy/` subdirs,
+    * and every reader resolves the fit layers from the CURRENT generation
+    * when present, falling back to the index root (the original [[save]]'s
+    * fit) otherwise; [[compact]] carries per-generation fit layers forward
+    * into the generation it writes. v4 (round 15) added two commit
+    * refinements to the v3 generation layout: (a) a generation is
+    * committed only when it carries BOTH the parquet job's root `_SUCCESS`
+    * and an `_ABSORBED_<hwm>` high-water marker recording the largest
+    * [[append]] batch id folded into its fit layer (−1 when none) —
+    * [[append]] no-ops for batch ids at or below it, so a streaming replay
+    * of a PRE-compact batch cannot double-insert into the post-compact
+    * generation; (b) every reader resolves only COMMITTED `__batch` layers
+    * (the fit layer rides the root `_SUCCESS`; an append layer must hold
+    * its own `_SUCCESS`), so a crashed append's partial files are
+    * invisible until the replay lands. v3 (round 14) replaced the single
+    * mutable `codes/` directory with committed `codes_v<N>/` generations
+    * carrying a `__batch` partition level — the layout that makes
+    * [[append]] replay-idempotent and [[compact]] crash-safe. v2
+    * (round 13) added `occupancy/`.
     */
-  private val FormatVersion = 4
+  private val FormatVersion = 5
 
   /** The `__batch` partition value for fit-time ([[save]]) and
     * [[compact]]-rewritten rows; [[append]] batch ids must be ≥ 0.
@@ -181,6 +195,17 @@ object AnnIndex {
       .sortBy(_.getName)
   }
 
+  /** Root holding generation `gen`'s FIT layers (`meta/`, `centroids/`,
+    * `codebooks/`, `occupancy/`): the generation directory itself when a
+    * [[refit]] wrote per-generation fit layers into it, else the index
+    * root (the original [[save]]'s fit — generations written by [[save]]
+    * and by [[compact]]-of-an-unrefit-index carry none of their own).
+    */
+  private[llmops] def fitRoot(spark: SparkSession, dir: String, gen: Path): String = {
+    val fs = hadoopFs(spark, dir)
+    if (fs.exists(new Path(gen, "centroids"))) gen.toString else dir
+  }
+
   /** Scan of the generation's committed index rows, partition columns
     * (`__batch`, `__cid`) preserved via `basePath` — the one read shape
     * every consumer ([[load]], [[staleness]], [[compact]], [[delete]])
@@ -249,15 +274,7 @@ object AnnIndex {
     */
   def save(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.centroids.sparkSession
-    import spark.implicits._
-    Seq((FormatVersion, index.dim, index.cells, index.pqM, index.pqKs, index.seed))
-      .toDF("version", "dim", "cells", "pq_m", "pq_ks", "seed")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$dir/meta")
-    index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    index.codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeFitTables(index, dir)
     val fs = hadoopFs(spark, dir)
     codesVersions(spark, dir).foreach { case (_, p) => fs.delete(p, true) } // save = full overwrite
     index.codes
@@ -266,14 +283,7 @@ object AnnIndex {
       .mode("overwrite")
       .partitionBy("__batch", "__cid")
       .parquet(s"$dir/codes_v1")
-    spark.read
-      .parquet(s"$dir/codes_v1")
-      .groupBy(col("__cid").cast("int").as("__cid"))
-      .agg(count(lit(1)).as("fit_n"))
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$dir/occupancy")
+    writeOccupancy(spark, s"$dir/codes_v1", dir)
     // the high-water marker is the generation's commit record, written
     // LAST — after occupancy/, so the commit point covers EVERYTHING a
     // reader needs (a crash anywhere above leaves codes_v1 uncommitted
@@ -282,6 +292,38 @@ object AnnIndex {
     // fresh fit has absorbed no append batches
     writeAbsorbedMarker(spark, new Path(s"$dir/codes_v1"), FitBatchId.toLong)
   }
+
+  /** The fit tables (`meta/`, `centroids/`, `codebooks/`) under `root` —
+    * shared by [[save]] (index root) and [[refit]] (generation-scoped).
+    * All three are tiny (1, `cells`, ≤ m·ks rows) — single-file writes.
+    */
+  private def writeFitTables(index: IvfPqIndex, root: String): Unit = {
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    Seq((FormatVersion, index.dim, index.cells, index.pqM, index.pqKs, index.seed))
+      .toDF("version", "dim", "cells", "pq_m", "pq_ks", "seed")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$root/meta")
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    index.codebooks.coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+  }
+
+  /** Snapshot `occupancy/` under `root`: per-cell code counts counted from
+    * the WRITTEN fit-layer files at `codesPath` (the physical truth, one
+    * cheap codes-only scan) — the fit-time reference [[staleness]] diffs
+    * against after [[append]]s and [[delete]]s.
+    */
+  private def writeOccupancy(spark: SparkSession, codesPath: String, root: String): Unit =
+    spark.read
+      .parquet(codesPath)
+      .groupBy(col("__cid").cast("int").as("__cid"))
+      .agg(count(lit(1)).as("fit_n"))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$root/occupancy")
 
   /** Encode a NEW batch against the FROZEN fit — nearest frozen centroid
     * (cell id) + per-subspace nearest frozen codeword (m code ids) —
@@ -492,7 +534,86 @@ object AnnIndex {
       .mode("overwrite") // absorbs an uncommitted leftover of the same number
       .partitionBy("__batch", "__cid")
       .parquet(s"$dir/codes_v$next")
+    // a generation written by refit() owns its fit layers — carry them
+    // into the compacted generation so readers keep resolving the refit
+    // quantizer (tiny tables, single-file copies); compaction of an
+    // unrefit index keeps falling back to the index root's fit
+    val curFitRoot = fitRoot(spark, dir, cur)
+    if (curFitRoot != dir)
+      Seq("meta", "centroids", "codebooks", "occupancy").foreach { sub =>
+        spark.read
+          .parquet(s"$curFitRoot/$sub")
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .parquet(s"$dir/codes_v$next/$sub")
+      }
     writeAbsorbedMarker(spark, new Path(s"$dir/codes_v$next"), hwm)
+  }
+
+  /** Re-fit the quantizer on the CURRENT corpus and migrate the index to
+    * a fresh generation — the operator the [[staleness]] drift ledger and
+    * the drift-recall histogram point at when the frozen fit no longer
+    * describes the data (and the escape hatch the delete-all refusal
+    * names). Runs [[fitIvfPq]] from scratch over `corpus` (new coarse
+    * centroids, new PQ codebooks, fresh encode of every row) and writes
+    * the result as `codes_v<N+1>` CARRYING ITS OWN FIT LAYERS (`meta/`,
+    * `centroids/`, `codebooks/`, `occupancy/` inside the generation dir —
+    * the v5 layout), under the same commit discipline as [[compact]]: the
+    * `_ABSORBED_<hwm>` marker is written LAST and is the commit point, a
+    * crash anywhere before it leaves an uncommitted generation no reader
+    * selects, the superseded generation (and the index root's original
+    * fit layers) are never mutated, so pinned readers keep probing
+    * exactly what they loaded; [[vacuum]] reclaims old generations later.
+    * The carried hwm covers every committed batch layer, so a post-refit
+    * streaming replay of a pre-refit batch no-ops in [[append]].
+    *
+    * The index stores codes, not vectors, so the caller supplies the
+    * current logical corpus as (id, vector) — rows indexed today but
+    * absent from `corpus` are DROPPED by the refit (this is also the
+    * bulk-delete path for removals too large for [[delete]]'s
+    * partition-local rewrite), and `corpus` rows not yet indexed are
+    * added. Post-refit, a [[load]]+probe is bit-identical to probing a
+    * fresh [[fitIvfPq]] of `corpus` at the same knobs (oracle-gated by
+    * `llm_ann_index_refit`), and [[staleness]] reads zero drift — the
+    * occupancy snapshot is re-anchored to the new fit. Do not run
+    * concurrently with in-flight [[append]]s or another refit/compact
+    * (same single-maintainer contract as [[compact]]).
+    */
+  def refit(
+      spark: SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: Int = 16,
+      iters: Int = 2,
+      seed: Long = 42L,
+      pqM: Int = 4,
+      pqKs: Int = 8,
+      pqIters: Int = 2,
+      dim: Int = Similarity.AutoDim
+  ): Unit = {
+    val cur = currentCodesPath(spark, dir)
+    val hwm = (absorbedHwm(spark, cur) +:
+      committedLayerPaths(spark, cur).map(_.getName.stripPrefix("__batch=").toLong)).max
+    val next = codesVersions(spark, dir).map(_._1).max + 1
+    val gen = s"$dir/codes_v$next"
+    val idx = fitIvfPq(corpus, idCol, vecCol, cells, iters, seed, pqM, pqKs, pqIters, dim)
+    // codes first: the parquet job creates the generation dir (overwrite
+    // absorbs an uncommitted leftover of the same number); single file
+    // per cell, like compact's layout
+    idx.codes
+      .withColumn("__batch", lit(FitBatchId))
+      .repartition(col("__cid"))
+      .write
+      .mode("overwrite")
+      .partitionBy("__batch", "__cid")
+      .parquet(gen)
+    writeFitTables(idx, gen)
+    writeOccupancy(spark, s"$gen/__batch=$FitBatchId", gen)
+    // the commit point — everything above is invisible until this lands
+    writeAbsorbedMarker(spark, new Path(gen), hwm)
   }
 
   /** Reclaim superseded code generations: delete every `codes_v<N>`
@@ -616,10 +737,11 @@ object AnnIndex {
     * with fit_n = 0.
     */
   def staleness(spark: SparkSession, dir: String): DataFrame = {
+    val gen = currentCodesPath(spark, dir)
     val fit = spark.read
-      .parquet(s"$dir/occupancy")
+      .parquet(s"${fitRoot(spark, dir, gen)}/occupancy")
       .select(col("__cid").cast("int").as("cell"), col("fit_n"))
-    val now = committedCodes(spark, currentCodesPath(spark, dir))
+    val now = committedCodes(spark, gen)
       .groupBy(col("__cid").cast("int").as("cell"))
       .agg(count(lit(1)).as("now_n"))
     fit
@@ -632,6 +754,63 @@ object AnnIndex {
       )
   }
 
+  /** Maintenance-decision ledger: the [[staleness]] drift numbers joined
+    * with per-cell LAYER fragmentation and folded through integer
+    * threshold rules into a `compact`/`refit`/`ok` decision per cell —
+    * the operational question ("which maintenance op does this index need
+    * now?") as a queryable DataFrame instead of judgment. One codes-only
+    * scan of the current generation plus the tiny occupancy anchor.
+    *
+    * Per cell: `fit_n` (fit-time occupancy), `now_n` (current), `layers`
+    * (distinct committed `__batch` layers holding the cell's rows — the
+    * logical fragmentation [[append]] leaves behind: probe cost grows
+    * with layer/file count while rows stand still), `added`
+    * (`now_n − fit_n`), and `decision`:
+    *   - `refit` when drift dominates — the cell gained its FIRST rows
+    *     post-fit (`fit_n = 0`, the frozen centroids never saw any of its
+    *     mass), or it grew past the threshold:
+    *     `added · refitDen ≥ fit_n · refitNum` with `added > 0` (integer
+    *     cross-multiplication — no floating-point boundary, same contract
+    *     as every auto-knob rule in this library);
+    *   - `compact` when fragmentation dominates: `layers ≥ minLayers`;
+    *   - `ok` otherwise (cells shrunk by [[delete]] report negative
+    *     `added` and stay `ok` — removals do not invalidate a fit that
+    *     described the remaining mass).
+    * Defaults: refit at ≥ 25% growth (1/4), compact at 2+ layers.
+    */
+  def maintenancePolicy(
+      spark: SparkSession,
+      dir: String,
+      refitNum: Int = 1,
+      refitDen: Int = 4,
+      minLayers: Int = 2
+  ): DataFrame = {
+    require(refitNum > 0 && refitDen > 0, s"refit threshold must be a positive ratio (got $refitNum/$refitDen)")
+    val gen = currentCodesPath(spark, dir)
+    val fit = spark.read
+      .parquet(s"${fitRoot(spark, dir, gen)}/occupancy")
+      .select(col("__cid").cast("int").as("cell"), col("fit_n"))
+    val now = committedCodes(spark, gen)
+      .groupBy(col("__cid").cast("int").as("cell"))
+      .agg(count(lit(1)).as("now_n"), count_distinct(col("__batch")).as("layers"))
+    fit
+      .join(now, Seq("cell"), "full_outer")
+      .select(
+        col("cell"),
+        coalesce(col("fit_n"), lit(0L)).as("fit_n"),
+        coalesce(col("now_n"), lit(0L)).as("now_n"),
+        coalesce(col("layers"), lit(0L)).as("layers")
+      )
+      .withColumn("added", col("now_n") - col("fit_n"))
+      .withColumn(
+        "decision",
+        when(col("fit_n") === 0 && col("now_n") > 0, lit("refit"))
+          .when(col("added") > 0 && col("added") * refitDen >= col("fit_n") * refitNum, lit("refit"))
+          .when(col("layers") >= minLayers, lit("compact"))
+          .otherwise(lit("ok"))
+      )
+  }
+
   /** Load a persisted index. The returned DataFrames are lazy parquet
     * scans pinned to the generation that is current NOW — nothing is read
     * until a probe runs, a probe touching `nprobe` cells reads only those
@@ -639,7 +818,13 @@ object AnnIndex {
     * not move the handle (re-load to pick up the new generation).
     */
   def load(spark: SparkSession, dir: String): IvfPqIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    // the fit layers (meta/centroids/codebooks) resolve from the CURRENT
+    // generation when a refit wrote its own, else from the index root —
+    // so a loaded handle always pairs a generation's codes with the fit
+    // that produced them
+    val gen = currentCodesPath(spark, dir)
+    val root = fitRoot(spark, dir, gen)
+    val meta = spark.read.parquet(s"$root/meta").head()
     val version = meta.getAs[Int]("version")
     require(version == FormatVersion, s"unsupported AnnIndex format version $version")
     IvfPqIndex(
@@ -648,13 +833,13 @@ object AnnIndex {
       pqM = meta.getAs[Int]("pq_m"),
       pqKs = meta.getAs[Int]("pq_ks"),
       seed = meta.getAs[Long]("seed"),
-      centroids = spark.read.parquet(s"$dir/centroids"),
-      codebooks = spark.read.parquet(s"$dir/codebooks"),
+      centroids = spark.read.parquet(s"$root/centroids"),
+      codebooks = spark.read.parquet(s"$root/codebooks"),
       // partition-discovered __cid comes back as INT (written from int
       // cids); select the documented column order explicitly, dropping
       // the __batch ingest-layer column (probe semantics are layer-blind);
       // only COMMITTED layers resolve — a half-written append is invisible
-      codes = committedCodes(spark, currentCodesPath(spark, dir))
+      codes = committedCodes(spark, gen)
         .select("__cid", "__nid", "__codes")
     )
   }
@@ -668,6 +853,20 @@ object AnnIndex {
     * indexed corpus (the [[Similarity.ivfPqTopK]] semantics — with it,
     * fit → save → load → probe over the same corpus is bit-identical to
     * the fused operator).
+    *
+    * `idFilter` is the FILTERED-search predicate (production vector
+    * search is almost always "top-k WHERE lang = 'en' AND source = x"):
+    * a Column over the index row id `__nid`, applied to the codes scan
+    * BEFORE candidate ranking — so every query's k is filled from
+    * matching survivors, where post-filtering a plain top-k would
+    * silently under-fill it. Because it lands directly on the codes
+    * relation, Catalyst pushes it into the parquet scan (and under
+    * [[probeIvfPqPruned]] it composes with the cell-pruning IN filter).
+    * Metadata predicates resolve to an id predicate/id set caller-side;
+    * for a metadata id set too large for an IN list, semi-join the codes
+    * instead: `index.copy(codes = index.codes.join(allowedIds,
+    * col("__nid") === col(idCol), "left_semi"))` — same semantics, the
+    * broadcast-semi-join shape.
     */
   def probeIvfPq(
       index: IvfPqIndex,
@@ -678,7 +877,8 @@ object AnnIndex {
       nprobe: Int = 2,
       rerank: Int = 0,
       rerankFrom: Option[DataFrame] = None,
-      excludeSelf: Boolean = false
+      excludeSelf: Boolean = false,
+      idFilter: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
     require(
       rerank <= k || rerankFrom.nonEmpty,
@@ -694,9 +894,10 @@ object AnnIndex {
     val orig = rerankFrom
       .getOrElse(queries)
       .select(col(idCol).as("__oid"), col(vecCol).as("__ov"))
+    val idxCodes = idFilter.map(index.codes.filter).getOrElse(index.codes)
     Similarity.pqAdcRank(
       probed.select(col("__id").as("__qid"), col("__qv"), col("__cid")),
-      index.codes,
+      idxCodes,
       Similarity.pqCodebookMap(index.codebooks, index.pqKs),
       index.pqM,
       index.pqKs,
@@ -722,6 +923,9 @@ object AnnIndex {
     * (DPP/AQE) and is the right call only when the batch is corpus-sized.
     * Results are identical to [[probeIvfPq]] on the same batch (same
     * building blocks; the filter only removes cells no query probes).
+    * `idFilter` is the filtered-search predicate — see [[probeIvfPq]];
+    * here it composes with the cell IN list on the same scan, so a
+    * filtered online probe still reads only the probed cells' files.
     */
   def probeIvfPqPruned(
       index: IvfPqIndex,
@@ -733,7 +937,8 @@ object AnnIndex {
       rerank: Int = 0,
       rerankFrom: Option[DataFrame] = None,
       excludeSelf: Boolean = false,
-      maxProbedCells: Int = 4096
+      maxProbedCells: Int = 4096,
+      idFilter: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
     require(
       rerank <= k || rerankFrom.nonEmpty,
@@ -753,7 +958,8 @@ object AnnIndex {
       s"batch probes ${probedCells.length} cells > maxProbedCells=$maxProbedCells — " +
         "use probeIvfPq (join form) for corpus-sized batches"
     )
-    val prunedCodes = index.codes.filter(col("__cid").isin(probedCells.toIndexedSeq: _*))
+    val cellPruned = index.codes.filter(col("__cid").isin(probedCells.toIndexedSeq: _*))
+    val prunedCodes = idFilter.map(cellPruned.filter).getOrElse(cellPruned)
     val orig = rerankFrom
       .getOrElse(queries)
       .select(col(idCol).as("__oid"), col(vecCol).as("__ov"))

@@ -299,6 +299,123 @@ object LlmQueries {
        |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM svpqrr WHERE qid % 97 = 0""".stripMargin
   }
 
+  /** The llm_ann_index_refit oracle: ONE fresh-fit replay over the
+    * drifted fixture's FULL corpus — [[graft.llmops.AnnIndex.refit]]'s
+    * whole contract is that the migrated index answers exactly like a
+    * fresh [[graft.llmops.AnnIndex.fitIvfPq]] of the current corpus at
+    * the same knobs, so the frozen fit and the appends the Spark side
+    * runs first are invisible to the oracle by design.
+    */
+  private[queries] def indexRefitOracleSql: String = {
+    import AnnOracles._
+    s"""WITH $driftedCte,
+       |$kmeansQuantCte,
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L)},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50)}
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr""".stripMargin
+  }
+
+  /** The llm_ann_index_refit_recall oracle: the drift-recall ledger
+    * BEFORE and AFTER the refit in one result — phase 'frozen' is the
+    * fz-vs-rf per-query top-k overlap histogram (what serving from the
+    * drifted frozen fit costs in answers), phase 'refit' the rf-vs-rf
+    * self-overlap (the ledger returning to ~1.0 once the index is
+    * migrated — every query at full k overlap, replayed rather than
+    * assumed so a Spark-side regression in the post-refit probe cannot
+    * hide behind a constant).
+    */
+  private[queries] def indexRefitRecallOracleSql: String = {
+    import AnnOracles._
+    s"""WITH $driftedCte,
+       |$kmeansQuantCte,
+       |qbc AS (SELECT * FROM qb WHERE id % 5 <> 0),
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, src = "qbc", pfx = "fz")},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, fitSrc = "qbc", pfx = "fz")},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50, pfx = "fz")},
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, pfx = "rf")},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, pfx = "rf")},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50, pfx = "rf")},
+       |h1 AS (SELECT a.qid, count(*) AS c FROM fzpqrr a JOIN rfpqrr b ON a.qid = b.qid AND a.nid = b.nid GROUP BY 1),
+       |h2 AS (SELECT a.qid, count(*) AS c FROM rfpqrr a JOIN rfpqrr b ON a.qid = b.qid AND a.nid = b.nid GROUP BY 1)
+       |SELECT 'frozen' AS phase, CAST(coalesce(h1.c, 0) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT id AS qid FROM cf) q LEFT JOIN h1 USING (qid) GROUP BY 1, 2
+       |UNION ALL
+       |SELECT 'refit' AS phase, CAST(coalesce(h2.c, 0) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT id AS qid FROM cf) q LEFT JOIN h2 USING (qid) GROUP BY 1, 2""".stripMargin
+  }
+
+  /** The t16 streamed-refit oracle: the probe stream serves the SAME
+    * `% 97` query set in every micro-batch while a full
+    * [[graft.llmops.AnnIndex.refit]] lands between batch 0 and batch 1 —
+    * batch 0 answers from the frozen fit, batches 1–2 from the new one,
+    * so the deduped output is the SET UNION of the frozen-fit replay and
+    * the fresh-fit replay (the t15 pattern with a SECOND fit in place of
+    * the survivor filter; rank participates in the dedup key as there).
+    */
+  private[queries] def indexRefitUnionPrunedOracleSql: String = {
+    import AnnOracles._
+    s"""WITH $driftedCte,
+       |$kmeansQuantCte,
+       |qbc AS (SELECT * FROM qb WHERE id % 5 <> 0),
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, src = "qbc", pfx = "fz")},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, fitSrc = "qbc", pfx = "fz")},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50, pfx = "fz")},
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, pfx = "rf")},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L, pfx = "rf")},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50, pfx = "rf")}
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM fzpqrr WHERE qid % 97 = 0
+       |UNION
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM rfpqrr WHERE qid % 97 = 0""".stripMargin
+  }
+
+  /** The llm_ann_index_filtered oracle — [[indexPrunedOracleSql]] with
+    * the filtered-search predicate on the INDEX side (`kpp.id % 7 = 1`):
+    * every query still probes, only matching rows may answer, and each
+    * query's k fills from matching survivors (the whole point of
+    * filtering BEFORE ranking — a post-filtered top-k would under-fill).
+    */
+  private[queries] def indexFilteredPrunedOracleSql: String = {
+    import AnnOracles._
+    s"""WITH $clusteredCte,
+       |$kmeansQuantCte,
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
+       |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L)},
+       |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50, idxFilter = "kpp.id % 7 = 1")}
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rank FROM pqrr WHERE qid % 97 = 0""".stripMargin
+  }
+
+  /** The llm_ann_index_policy oracle: the maintenance ledger replayed
+    * from the shared frozen assignment — per cell, fit/now occupancy from
+    * the corpus-slice fit, LAYER count from the construction (fit layer
+    * −1 for corpus rows, batch id = id mod 3 for the three appends), and
+    * the same integer threshold rules as plan literals
+    * (refit at added·4 ≥ fit_n, compact at ≥ 2 layers).
+    */
+  private[queries] def indexPolicyOracleSql: String = {
+    import AnnOracles._
+    s"""WITH $clusteredCte,
+       |$kmeansQuantCte,
+       |qbc AS (SELECT * FROM qb WHERE id % 5 <> 0),
+       |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L, src = "qbc")},
+       |asgp AS (SELECT qb.id, c.cid, (qb.id % 5 <> 0) AS infit,
+       |    CASE WHEN qb.id % 5 <> 0 THEN -1 ELSE qb.id % 3 END AS batch
+       |  FROM qb CROSS JOIN k2 c
+       |  QUALIFY row_number() OVER (PARTITION BY qb.id
+       |    ORDER BY list_cosine_similarity(qb.qv, c.cv) DESC, c.cid) = 1),
+       |agg AS (SELECT CAST(cid AS INTEGER) AS cell,
+       |         CAST(sum(CASE WHEN infit THEN 1 ELSE 0 END) AS BIGINT) AS fit_n,
+       |         CAST(count(*) AS BIGINT) AS now_n,
+       |         CAST(count(DISTINCT batch) AS BIGINT) AS layers
+       |       FROM asgp GROUP BY 1)
+       |SELECT cell, fit_n, now_n, layers, now_n - fit_n AS added,
+       |  CASE WHEN fit_n = 0 AND now_n > 0 THEN 'refit'
+       |       WHEN now_n - fit_n > 0 AND (now_n - fit_n) * 4 >= fit_n * 1 THEN 'refit'
+       |       WHEN layers >= 2 THEN 'compact'
+       |       ELSE 'ok' END AS decision
+       |FROM agg""".stripMargin
+  }
+
   /** Synthetic re-ingest copy id: doc_id + 100000, guarded per-row so the
     * fixture fails LOUDLY if the corpus ever grows ids into the synthetic
     * range. A silent collision would change fixture semantics identically
@@ -2442,6 +2559,127 @@ object LlmQueries {
           .select(coalesce(col("__c"), lit(0L)).as("hits"))
           .groupBy("hits")
           .agg(count(lit(1)).as("n"))
+      }
+    ),
+    // Quantizer refit (round 16, closing the index lifecycle): the drift
+    // ledger says WHEN the frozen fit is stale and what it costs — refit
+    // is the operator that ACTS on it. Fit frozen on the 80% corpus, save,
+    // append the drifted 20% under the frozen fit (the degraded state the
+    // drift-recall ledger prices), then REFIT on the union: a whole new
+    // IVF-PQ fit written as the next generation, carrying its own fit
+    // layers, under compact's commit discipline (marker-last, pinned
+    // readers untouched, pre-refit replays no-op on the carried hwm —
+    // all spec-asserted). The probe then runs over the migrated index;
+    // the oracle is ONE fresh-fit replay of the full corpus, because
+    // refit's contract is exactly "answers as if the index had been fit
+    // on today's corpus from scratch" — the frozen fit and the appends
+    // must be invisible in the result.
+    QueryDef(
+      "llm_ann_index_refit",
+      Some(indexRefitOracleSql),
+      (spark, sf) => {
+        val fx = driftedFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val dir = tmpDir("llm_ann_index_refit")
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+        AnnIndex.refit(spark, dir, fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex
+          .probeIvfPq(AnnIndex.load(spark, dir), fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid", "rank")
+      }
+    ),
+    // The refit DECISION priced end-to-end (round 16): the drift-recall
+    // ledger before AND after the migration in one result. Phase 'frozen'
+    // overlaps the degraded frozen-fit index probe against the post-refit
+    // probe (the new ground truth) — the answer-quality loss the operator
+    // repairs; phase 'refit' overlaps the migrated index against itself
+    // via the SAME ledger computation — returning to hits = k for every
+    // query, replayed (not assumed) so a post-refit probe regression
+    // cannot hide. Verification-only at bench: two complete fits.
+    QueryDef(
+      "llm_ann_index_refit_recall",
+      Some(indexRefitRecallOracleSql),
+      (spark, sf) => {
+        val fx = driftedFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val dir = tmpDir("llm_ann_index_refit_recall")
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+        val frozen = AnnIndex
+          .probeIvfPq(AnnIndex.load(spark, dir), fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid")
+          .localCheckpoint(true) // snapshot BEFORE the refit swaps the current generation
+        AnnIndex.refit(spark, dir, fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        val refit = AnnIndex
+          .probeIvfPq(AnnIndex.load(spark, dir), fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid")
+          .localCheckpoint(true) // read by BOTH histograms
+        def hist(side: org.apache.spark.sql.DataFrame, phase: String) = {
+          val hits = side.join(refit, Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("__c"))
+          fx.select(col("vec_id").as("qid"))
+            .join(hits, Seq("qid"), "left")
+            .select(coalesce(col("__c"), lit(0L)).as("hits"))
+            .groupBy("hits")
+            .agg(count(lit(1)).as("n"))
+            .select(lit(phase).as("phase"), col("hits"), col("n"))
+        }
+        hist(frozen, "frozen").unionByName(hist(refit, "refit"))
+      }
+    ),
+    // Filtered ANN probe (round 16): production vector search is almost
+    // always "top-k WHERE lang = 'en' AND source = x" — the predicate
+    // lands on the codes scan BEFORE candidate ranking, so each query's
+    // top-k fills from MATCHING survivors (post-filtering plain top-k
+    // output silently under-fills k). Online-serving shape: the pruned
+    // probe composes the predicate with the probed-cell IN list on the
+    // same scan, so a filtered probe still reads only the probed cells'
+    // files (PlanShapeSpec pins the plan). The oracle is the full replay
+    // with the predicate in the index-side CTE — the same shape the
+    // delete oracle uses, because "filtered" must be indistinguishable
+    // from "an index that only ever contained matching rows".
+    QueryDef(
+      "llm_ann_index_filtered",
+      Some(indexFilteredPrunedOracleSql),
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val dir = tmpDir("llm_ann_index_filtered")
+        val idx = AnnIndex.fitIvfPq(fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        val loaded = AnnIndex.load(spark, dir)
+        val batch = fx.filter(col("vec_id") % 97 === 0)
+        AnnIndex
+          .probeIvfPqPruned(loaded, batch, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true,
+            idFilter = Some(col("__nid") % 7 === 1))
+          .select("qid", "nid", "rank")
+      }
+    ),
+    // Maintenance policy ledger (round 16): SCALE_LEDGER prose as a
+    // queryable operator — per cell, occupancy drift (staleness) joined
+    // with layer fragmentation (what append leaves behind), folded through
+    // integer threshold rules into a compact/refit/ok decision. Thresholds
+    // are plan literals (refit at ≥ 25% growth via added·4 ≥ fit_n,
+    // compact at ≥ 2 layers) and the oracle replays the RULES, not just
+    // the counts, from the shared frozen assignment + the construction's
+    // batch labels (fit rows −1, appended rows id mod 3).
+    QueryDef(
+      "llm_ann_index_policy",
+      Some(indexPolicyOracleSql),
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val dir = tmpDir("llm_ann_index_policy")
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        (0 until 3).foreach { i =>
+          AnnIndex.append(spark, dir, batch.filter(col("vec_id") % 3 === i), "vec_id", "v", batchId = i.toLong)
+        }
+        AnnIndex.maintenancePolicy(spark, dir, refitNum = 1, refitDen = 4, minLayers = 2)
       }
     ),
     // Recall ledger pricing PQ loss: ADC-ONLY top-5 (no re-rank, same

@@ -744,6 +744,65 @@ object StreamingQueries {
           .awaitTermination()
         spark.read.parquet(out).dropDuplicates("qid", "nid", "rank")
       }
+    ),
+    // Probe ACROSS a refit (round 16): completes the maintenance-under-
+    // serving family — t14 proved a physical swap (compact) is invisible,
+    // t15 a partial mutation (delete) is the survivors' answers; refit is
+    // the full QUANTIZER migration, the one maintenance op that changes
+    // every answer. Every micro-batch serves the SAME query set (three
+    // identical input files) and refit(union) lands between batch 0 and
+    // batch 1 — batch 0 answers from the frozen drifted fit, batches 1-2
+    // from the fresh fit, both at-query-time-correct, so the deduped
+    // output is the SET UNION of the two fits' replays (the t15 pattern
+    // with a second fit in place of the survivor filter; rank in the
+    // dedup key as there). Each batch re-loads; the pinned-reader-safety
+    // of the generation swap itself is spec-asserted in LlmOpsSpec. A
+    // replayed batch 1 re-runs the refit, which only stacks another
+    // identical generation — same answers (fit is deterministic).
+    QueryDef(
+      "t16_stream_probe_across_refit_batch_eq",
+      Some(LlmQueries.indexRefitUnionPrunedOracleSql),
+      (spark, sf) => {
+        import graft.llmops.AnnIndex
+        val in = tmpDir("t16_in")
+        val out = tmpDir("t16_out")
+        val ckpt = tmpDir("t16_ckpt")
+        val dir = tmpDir("t16_idx")
+        val fx = LlmQueries.driftedFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = LlmQueries.EmbDim)
+        AnnIndex.save(idx, dir)
+        AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+        // THREE IDENTICAL single-file copies of the probe set (t15's
+        // trick): file order is irrelevant, exactly one batch is pre-refit
+        val probeQs = fx.filter(col("vec_id") % 97 === 0).select("vec_id", "v").coalesce(1)
+        (0 until 3).foreach { i =>
+          probeQs.write.mode(if (i == 0) "overwrite" else "append").parquet(in)
+        }
+        spark.readStream
+          .schema("vec_id LONG, v ARRAY<DOUBLE>")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (id == 1L)
+              AnnIndex.refit(spark, dir, fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = LlmQueries.EmbDim)
+            val loaded = AnnIndex.load(spark, dir) // re-load per batch: current generation's fit + codes
+            AnnIndex
+              .probeIvfPqPruned(loaded, b, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+              .select("qid", "nid", "rank")
+              .write
+              .mode("append")
+              .parquet(out)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out).dropDuplicates("qid", "nid", "rank")
+      }
     )
   )
 

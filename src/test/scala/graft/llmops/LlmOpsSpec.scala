@@ -1144,6 +1144,60 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(reuse.getMessage.contains("not a subset"))
   }
 
+  test("AnnIndex.refit: new-generation migration, pinned readers isolated, ledger re-anchored, hwm carried") {
+    val rnd = new scala.util.Random(43)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val corpus = df.filter($"vec_id" % 5 =!= 0) // 48 rows
+    val batch = df.filter($"vec_id" % 5 === 0)  // 12 rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_annrefit").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+    assert(AnnIndex.staleness(spark, dir).agg(sum($"added")).as[Long].head() == 12L, "pre-refit drift visible")
+
+    def probeWith(idx: AnnIndex.IvfPqIndex): Seq[(Long, Long, Long)] = AnnIndex
+      .probeIvfPq(idx, df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+
+    val pinned = AnnIndex.load(spark, dir) // reader loaded BEFORE the refit
+    val pinnedBefore = probeWith(pinned)
+
+    // refit on the union with DIFFERENT knobs — the new fit must fully
+    // replace the old one (cells 3 -> 4, seed 42 -> 7)
+    AnnIndex.refit(spark, dir, df, "vec_id", "v", cells = 4, iters = 2, seed = 7L, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+
+    // (a) post-refit load+probe is bit-identical to a fresh fit at the same knobs
+    val fresh = AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 4, iters = 2, seed = 7L, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    val loaded = AnnIndex.load(spark, dir)
+    assert(loaded.cells == 4 && loaded.seed == 7L, "load must resolve the refit generation's fit layers")
+    assert(probeWith(loaded) == probeWith(fresh), "post-refit probe must equal a fresh fit of the corpus")
+    // (b) the pinned pre-refit reader is untouched (its generation and the
+    // root fit layers were never mutated)
+    assert(probeWith(pinned) == pinnedBefore, "refit must not disturb a pinned reader")
+    // (c) the staleness ledger re-anchors to the new fit: zero drift
+    assert(AnnIndex.staleness(spark, dir).agg(sum(abs($"added"))).as[Long].head() == 0L)
+    // (d) the carried hwm makes pre-refit replays no-op...
+    AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 60, "pre-refit replay must no-op on the carried hwm")
+    // ...while genuinely new batches land, encoded under the NEW fit
+    AnnIndex.append(spark, dir, Seq((1000L, Seq.fill(8)(1.0f))).toDF("vec_id", "v"), "vec_id", "v", batchId = 1L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 61)
+    // (e) compact carries the refit fit layers into the generation it
+    // writes, and vacuum of the old generations does not strand the fit
+    val beforeCompact = probeWith(AnnIndex.load(spark, dir))
+    AnnIndex.compact(spark, dir)
+    AnnIndex.vacuum(spark, dir)
+    val afterCompact = AnnIndex.load(spark, dir)
+    assert(afterCompact.cells == 4 && afterCompact.seed == 7L, "compact must carry per-generation fit layers")
+    assert(probeWith(afterCompact) == beforeCompact, "compact+vacuum after refit is the identity")
+    assert(AnnIndex.staleness(spark, dir).agg(sum($"added")).as[Long].head() == 1L, "occupancy anchor carried")
+  }
+
   test("softDedup weights each duplicate group to one document of mass") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val out = Dedup
