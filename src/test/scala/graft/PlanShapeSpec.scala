@@ -57,6 +57,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_index_compact",
     "llm_ann_index_delete",
     "llm_ann_index_drift_recall",
+    "llm_ann_index_refit",
+    "llm_ann_index_refit_recall",
+    "llm_ann_index_filtered",
+    "llm_ann_index_policy",
     "llm_ann_lsh_clustered",
     "llm_semdedup",
     "llm_semdedup_capped",

@@ -837,6 +837,48 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     )
   }
 
+  test("AnnIndex filtered probe: k fills from matching survivors, predicate rides the codes scan") {
+    val rnd = new scala.util.Random(47)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annfiltered").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    val loaded = AnnIndex.load(spark, dir)
+    val batch = df.filter($"vec_id" < 5).localCheckpoint(true)
+    val pred = col("__nid") % 2 === 0
+    def run(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      d.select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    val filteredDf = AnnIndex
+      .probeIvfPqPruned(loaded, batch, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true, idFilter = Some(pred))
+    val filtered = run(filteredDf)
+    // semantic contract: filtered probe ≡ probing an index that only ever
+    // contained matching rows (k fills from survivors, NOT post-filtered)
+    val survivorIdx = loaded.copy(codes = loaded.codes.filter(pred))
+    val ref = run(AnnIndex.probeIvfPqPruned(survivorIdx, batch, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true))
+    assert(filtered == ref, "filtered probe must equal probing a survivors-only index")
+    assert(filtered.nonEmpty && filtered.forall(_._2 % 2 == 0), "every answer must match the predicate")
+    assert(filtered.groupBy(_._1).forall(_._2.size == 3), "k must be FILLED from matching survivors")
+    // join-form probe honors the same predicate
+    val joinForm = run(AnnIndex.probeIvfPq(loaded, batch, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true, idFilter = Some(pred)))
+    assert(joinForm == filtered, "join-form and pruned filtered probes must agree")
+    // plan contract: the predicate composes with the probed-cell IN list
+    // on the SAME codes scan — no join added, cell pruning intact
+    val plan = filteredDf.queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*__cid[^\\]]*IN".r.findFirstIn(plan).nonEmpty,
+      s"cell pruning must survive the id filter; plan:\n$plan"
+    )
+    assert(
+      "__nid#\\d+L?\\)? % 2".r.findFirstIn(plan).nonEmpty,
+      s"the id predicate must ride the codes scan as a filter; plan:\n$plan"
+    )
+  }
+
   test("AnnIndex.append: frozen-fit encode grows the index in place, staleness ledger balances") {
     val rnd = new scala.util.Random(23)
     val vecs = (0 until 60).map { i =>
