@@ -595,6 +595,14 @@ object AnnIndex {
       dim: Int = Similarity.AutoDim
   ): Unit = {
     val cur = currentCodesPath(spark, dir)
+    // a refit of NOTHING is the delete-all misuse wearing a different
+    // hat (delete() refuses it and points here): fail before any fit
+    // work with the actual problem, not a k-means init error
+    require(
+      !corpus.isEmpty,
+      s"refit of $dir with an EMPTY corpus — an index over nothing is not representable; " +
+        "to retire the index, remove its directory instead"
+    )
     val hwm = (absorbedHwm(spark, cur) +:
       committedLayerPaths(spark, cur).map(_.getName.stripPrefix("__batch=").toLong)).max
     val next = codesVersions(spark, dir).map(_._1).max + 1

@@ -1240,6 +1240,83 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(AnnIndex.staleness(spark, dir).agg(sum($"added")).as[Long].head() == 1L, "occupancy anchor carried")
   }
 
+  test("AnnIndex.refit commit discipline: uncommitted refit invisible, re-run recovers, empty corpus refused") {
+    val rnd = new scala.util.Random(53)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annrefitcrash").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    def probed: Seq[(Long, Long, Long)] = AnnIndex
+      .probeIvfPq(AnnIndex.load(spark, dir), df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    val v1Probe = probed
+    // (a) a refit whose commit marker never landed (crash after every
+    // write but the last) must be INVISIBLE: load keeps resolving the
+    // old generation, old fit, old answers
+    AnnIndex.refit(spark, dir, df, "vec_id", "v", cells = 4, iters = 2, seed = 7L, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    val gen2 = new java.io.File(AnnIndex.currentCodesPath(spark, dir).toUri.getPath)
+    assert(gen2.getName == "codes_v2")
+    val v2Probe = probed
+    assert(v2Probe != v1Probe, "the new fit must actually change answers on this fixture")
+    val marker = gen2.listFiles().find(_.getName.startsWith("_ABSORBED_")).get
+    assert(marker.delete())
+    assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v1", "markerless refit must be uncommitted")
+    assert(probed == v1Probe, "readers must keep the committed generation's fit AND codes")
+    // (b) re-running the refit numbers PAST the crashed generation and
+    // commits — the uncommitted leftover never blocks recovery
+    AnnIndex.refit(spark, dir, df, "vec_id", "v", cells = 4, iters = 2, seed = 7L, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v3")
+    assert(probed == v2Probe, "the recovered refit must answer exactly like the first attempt")
+    // ... and vacuum reclaims both the superseded v1 and the crashed v2
+    AnnIndex.vacuum(spark, dir)
+    assert(AnnIndex.codesVersions(spark, dir).map(_._1) == Seq(3))
+    assert(probed == v2Probe)
+    // (c) refitting on an empty corpus is refused before any fit work
+    val empty = intercept[IllegalArgumentException] {
+      AnnIndex.refit(spark, dir, df.filter($"vec_id" < 0), "vec_id", "v", cells = 4, iters = 2, seed = 7L, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    }
+    assert(empty.getMessage.contains("EMPTY corpus"))
+    assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v3", "refused refit must not mutate")
+  }
+
+  test("AnnIndex.maintenancePolicy: decisions clear after the maintenance they prescribe") {
+    val rnd = new scala.util.Random(59)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val corpus = df.filter($"vec_id" % 5 =!= 0)
+    val batch = df.filter($"vec_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annpolicy").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    (0 until 3).foreach { i =>
+      AnnIndex.append(spark, dir, batch.filter($"vec_id" % 3 === i), "vec_id", "v", batchId = i.toLong)
+    }
+    def decisions: Map[String, Long] = AnnIndex
+      .maintenancePolicy(spark, dir)
+      .groupBy("decision").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val before = decisions
+    assert(before.getOrElse("compact", 0L) + before.getOrElse("refit", 0L) > 0, s"fixture must demand maintenance: $before")
+    // compact collapses every layer: no cell can still say 'compact'
+    // (drift is untouched — refit decisions survive, by design)
+    AnnIndex.compact(spark, dir)
+    val afterCompact = decisions
+    assert(afterCompact.getOrElse("compact", 0L) == 0L, s"compact must clear all compact decisions: $afterCompact")
+    // refit re-anchors occupancy to the new fit: every cell reads 'ok'
+    AnnIndex.refit(spark, dir, df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    val afterRefit = decisions
+    assert(afterRefit == Map("ok" -> afterRefit.values.sum), s"refit must clear every decision: $afterRefit")
+  }
+
   test("softDedup weights each duplicate group to one document of mass") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
     val out = Dedup
