@@ -1238,6 +1238,29 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(afterCompact.cells == 4 && afterCompact.seed == 7L, "compact must carry per-generation fit layers")
     assert(probeWith(afterCompact) == beforeCompact, "compact+vacuum after refit is the identity")
     assert(AnnIndex.staleness(spark, dir).agg(sum($"added")).as[Long].head() == 1L, "occupancy anchor carried")
+    // (f) the refit generation keeps the PHYSICAL serving properties: the
+    // fit layer is one file per cell (refit writes repartition(__cid)),
+    // and the pruned probe still plans static __cid partition pruning
+    // through the fit-subdirs-alongside-layers layout
+    val gen = new java.io.File(AnnIndex.currentCodesPath(spark, dir).toUri.getPath)
+    val fitLayer = new java.io.File(gen, s"__batch=${AnnIndex.FitBatchId}")
+    fitLayer.listFiles().filter(_.getName.startsWith("__cid=")).foreach { cell =>
+      assert(cell.listFiles().count(_.getName.endsWith(".parquet")) == 1, s"refit must write one file per cell: $cell")
+    }
+    val prunedPlan = AnnIndex
+      .probeIvfPqPruned(afterCompact, df.filter($"vec_id" < 5), "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*__cid[^\\]]*IN".r.findFirstIn(prunedPlan).nonEmpty,
+      s"static cell pruning must survive the refit generation's layout; plan:\n$prunedPlan"
+    )
+    // (g) delete works against a generation that owns its fit layers:
+    // the dynamic partition overwrite touches only __batch=/__cid= dirs,
+    // never the generation's fit subdirs
+    AnnIndex.delete(spark, dir, Seq(3L).toDF("vec_id"), "vec_id")
+    val afterDelete = AnnIndex.load(spark, dir)
+    assert(afterDelete.cells == 4 && afterDelete.seed == 7L, "fit subdirs must survive a delete's rewrite")
+    assert(!probeWith(afterDelete).exists(_._2 == 3L), "deleted id must no longer answer")
   }
 
   test("AnnIndex.refit commit discipline: uncommitted refit invisible, re-run recovers, empty corpus refused") {
