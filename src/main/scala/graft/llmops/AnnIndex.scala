@@ -384,13 +384,17 @@ object AnnIndex {
     *   - batchId at or below the current generation's [[absorbedHwm]]:
     *     NO-OP (logged at WARN) — a [[compact]] already folded this batch
     *     into the fit layer, so a post-compact streaming restart replaying
-    *     pre-compact batches cannot double-insert them. HAZARD: this
-    *     no-op is keyed on the batch id ALONE. A stream restarted with a
-    *     FRESH CHECKPOINT after a compact reuses low batch ids for
-    *     genuinely NEW data, which this path silently drops — when
-    *     resetting a checkpoint against a compacted index, either
-    *     [[vacuum]]+re-[[save]] the index too, or start the new stream's
-    *     batch ids above the logged high-water mark.
+    *     pre-compact batches cannot double-insert them. HAZARD: the no-op
+    *     is keyed on the batch id ALONE, so a stream restarted with a
+    *     FRESH CHECKPOINT after a compact that reuses low batch ids for
+    *     genuinely NEW data lands here and that data is dropped. The
+    *     path DETECTS the shape with evidence — it counts arriving ids
+    *     absent from the index (one codes-only scan, rare path) and
+    *     escalates the warning when any exist — but cannot throw, because
+    *     a [[delete]] since the compact leaves a legitimate replay with
+    *     the same signature. When resetting a checkpoint against a
+    *     compacted index, either re-[[save]] the index too, or start the
+    *     new stream's batch ids above the logged high-water mark.
     *
     * Callers owe only what any idempotent sink is owed: a stable batch id
     * per logical batch (Structured Streaming's foreachBatch id), distinct
@@ -420,13 +424,29 @@ object AnnIndex {
     if (batchId <= hwm) {
       // already folded into the fit layer by a compact — but the no-op is
       // keyed on the id alone, so a fresh-checkpoint restart reusing low
-      // ids for NEW data lands here too: warn loudly (see scaladoc HAZARD)
-      log.warn(
-        s"append batchId=$batchId <= absorbed high-water mark $hwm at $dir: no-op " +
-          "(batch treated as a post-compact replay; if this stream was restarted with a fresh " +
-          "checkpoint carrying NEW data under reused ids, that data is being dropped -- restart " +
-          s"with batch ids above $hwm or re-save the index)"
-      )
+      // ids for NEW data lands here too. Detect it with evidence: count
+      // arriving ids the index has never seen (one codes-only __nid
+      // column scan, paid only on this rare post-restart path). A true
+      // replay has zero unless a delete() removed some of its rows since
+      // — which is why this warns with data instead of throwing.
+      val unseen = batch
+        .select(col(idCol).as("__nid"))
+        .join(load(spark, dir).codes.select("__nid"), Seq("__nid"), "left_anti")
+        .limit(1000)
+        .count()
+      if (unseen > 0)
+        log.warn(
+          s"append batchId=$batchId <= absorbed high-water mark $hwm at $dir: no-op, but " +
+            s"${if (unseen >= 1000) ">=1000" else unseen.toString} arriving ids are NOT in the index -- " +
+            "either a fresh-checkpoint restart is reusing absorbed batch ids for NEW data (that data " +
+            s"is being dropped; restart with batch ids above $hwm or re-save the index), or this is a " +
+            "replay of a batch whose rows were since delete()d (then the no-op is correct)"
+        )
+      else
+        log.warn(
+          s"append batchId=$batchId <= absorbed high-water mark $hwm at $dir: no-op " +
+            "(post-compact replay; every arriving id is already indexed)"
+        )
       return
     }
     val layer = new Path(cur, s"__batch=$batchId")
@@ -785,6 +805,15 @@ object AnnIndex {
     *     `added` and stay `ok` — removals do not invalidate a fit that
     *     described the remaining mass).
     * Defaults: refit at ≥ 25% growth (1/4), compact at 2+ layers.
+    *
+    * Deliberately NOT an input here: the drift-RECALL metric. Pricing
+    * answer quality requires a second complete fit (the
+    * `llm_ann_index_drift_recall` / `llm_ann_index_refit_recall`
+    * ledgers), which would make every policy evaluation
+    * verification-tier; the intended loop is to calibrate
+    * `refitNum/refitDen` offline against those ledgers once per corpus
+    * regime, then let this operator decide from the cheap signals every
+    * occupancy scan already pays for.
     */
   def maintenancePolicy(
       spark: SparkSession,

@@ -1138,6 +1138,12 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     val extra = Seq((1000L, Seq.fill(8)(1.0f))).toDF("vec_id", "v")
     AnnIndex.append(spark, dir, extra, "vec_id", "v", batchId = 2L)
     assert(AnnIndex.load(spark, dir).codes.count() == 61)
+    // the documented fresh-checkpoint hazard: NEW data arriving under an
+    // ABSORBED batch id no-ops (detected and WARNed with the unseen-id
+    // count, but not written — a delete since the compact makes throwing
+    // unsafe); the contract is stable and spec-pinned here
+    AnnIndex.append(spark, dir, Seq((2000L, Seq.fill(8)(2.0f))).toDF("vec_id", "v"), "vec_id", "v", batchId = 0L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 61, "below-hwm append must stay a no-op even for new data")
 
     // (d) a delete that would EMPTY the index is refused before any
     // mutation — an emptied generation is unreadable parquet and the
