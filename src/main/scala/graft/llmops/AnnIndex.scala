@@ -150,6 +150,15 @@ object AnnIndex {
       .getOrElse(FitBatchId.toLong)
   }
 
+  /** The high-water mark a NEW generation absorbing `cur`'s committed
+    * layers must carry: the larger of `cur`'s own absorbed hwm and every
+    * committed append layer's batch id — shared by [[compact]] and
+    * [[refit]] so the two commit paths can never diverge on the rule.
+    */
+  private def carriedHwm(spark: SparkSession, cur: Path): Long =
+    (absorbedHwm(spark, cur) +:
+      committedLayerPaths(spark, cur).map(_.getName.stripPrefix("__batch=").toLong)).max
+
   private def writeAbsorbedMarker(spark: SparkSession, gen: Path, hwm: Long): Unit = {
     val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new Path(gen, s"_ABSORBED_$hwm"), true).close()
@@ -274,9 +283,14 @@ object AnnIndex {
     */
   def save(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.centroids.sparkSession
-    writeFitTables(index, dir)
+    // remove old generations BEFORE touching the root fit tables: a crash
+    // between the two steps must leave "no committed generation" (loud
+    // 'not a saved index' on load) — the reverse order would leave an OLD
+    // committed generation paired with the NEW fit tables, which probes
+    // silently wrong (ADC against the wrong codebooks)
     val fs = hadoopFs(spark, dir)
     codesVersions(spark, dir).foreach { case (_, p) => fs.delete(p, true) } // save = full overwrite
+    writeFitTables(index, dir)
     index.codes
       .withColumn("__batch", lit(FitBatchId))
       .write
@@ -374,13 +388,16 @@ object AnnIndex {
     *     the arriving encode — identical means an exact replay and append
     *     NO-OPS (one batch-sized layer scan, zero writes). On a mismatch,
     *     a strict-SUBSET check runs (existing ⊆ arriving — rare path, one
-    *     layer-sized broadcast anti-join): a [[delete]] that removed some
-    *     of this batch's rows AFTER it committed leaves exactly that
-    *     shape, and the late at-least-once replay must NO-OP (re-writing
-    *     would resurrect the deleted rows). Anything else is batch-id
-    *     REUSE with different data, and append FAILS LOUDLY instead of
-    *     silently replacing rows that probes may already have answered
-    *     from.
+    *     unhinted anti-join, never a forced broadcast of the unbounded
+    *     batch): a [[delete]] that removed some of this batch's rows
+    *     AFTER it committed leaves exactly that shape, and the late
+    *     at-least-once replay must NO-OP (re-writing would resurrect the
+    *     deleted rows) — logged at WARN, because id reuse with a SUPERSET
+    *     of new data leaves the identical signature (the extra rows are
+    *     absent from the whole index either way) and its new rows are
+    *     being dropped. Any other mismatch is batch-id REUSE with
+    *     different data, and append FAILS LOUDLY instead of silently
+    *     replacing rows that probes may already have answered from.
     *   - batchId at or below the current generation's [[absorbedHwm]]:
     *     NO-OP (logged at WARN) — a [[compact]] already folded this batch
     *     into the fit layer, so a post-compact streaming restart replaying
@@ -429,6 +446,12 @@ object AnnIndex {
       // column scan, paid only on this rare post-restart path). A true
       // replay has zero unless a delete() removed some of its rows since
       // — which is why this warns with data instead of throwing.
+      // Cost tradeoff, deliberate: a restart replaying N absorbed batches
+      // pays N column-pruned index scans to decide to do nothing — bounded
+      // by the one-time restart, and the price of turning silent data
+      // loss into an evidence-bearing warning without a persisted id
+      // filter. (A bloom sidecar could cut it; not worth the format
+      // surface until a real restart profile says so.)
       val unseen = batch
         .select(col(idCol).as("__nid"))
         .join(load(spark, dir).codes.select("__nid"), Seq("__nid"), "left_anti")
@@ -462,17 +485,35 @@ object AnnIndex {
       // AFTER it committed, and this is the at-least-once replay arriving
       // late — re-writing the full batch would RESURRECT the deleted rows,
       // so the replay no-ops and the committed survivor layer stands.
-      // Rare path: one layer-sized anti-join against the broadcast batch.
+      // Rare path: one layer-vs-batch anti-join, NO broadcast hint — the
+      // arriving batch is unbounded (a forced broadcast would hit Spark's
+      // 8 GB hard limit on exactly the replay this path exists to
+      // tolerate); Spark/AQE picks the join strategy from actual sizes.
       def rowKeys(df: DataFrame): DataFrame = df.select(
         col("__cid").cast("int").as("__kc"),
         col("__nid").as("__kn"),
         xxhash64(col("__codes").cast("array<int>")).as("__kh")
       )
       val notInArriving = rowKeys(existingDf)
-        .join(broadcast(rowKeys(arrivingDf)), Seq("__kc", "__kn", "__kh"), "left_anti")
+        .join(rowKeys(arrivingDf), Seq("__kc", "__kn", "__kh"), "left_anti")
         .limit(1)
         .count()
-      if (notInArriving == 0L) return // post-delete replay: survivors ⊂ original batch
+      if (notInArriving == 0L) {
+        // the same subset shape also fits batch-id REUSE whose payload is
+        // a SUPERSET of the committed batch (fresh-checkpoint misuse) —
+        // content cannot distinguish the two (the extra rows are absent
+        // from the whole index either way), so this no-op warns with the
+        // evidence instead of staying silent or re-breaking the
+        // replay-after-delete tolerance by throwing
+        log.warn(
+          s"append batchId=$batchId: committed layer is a strict subset of the arriving batch " +
+            s"(existing (rows, hash) = $existing, arriving = $arriving): no-op. This is correct for " +
+            "an at-least-once replay of a batch partially delete()d since; if instead this batch id " +
+            "was REUSED for a superset of new data, the extra rows are being dropped -- use a fresh " +
+            "batch id for new data"
+        )
+        return
+      }
       throw new IllegalStateException(
         s"append batchId=$batchId is already committed with DIFFERENT content " +
           s"(existing (rows, hash) = $existing, arriving = $arriving, and the existing layer is " +
@@ -544,8 +585,7 @@ object AnnIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     val cur = currentCodesPath(spark, dir)
     val next = codesVersions(spark, dir).map(_._1).max + 1
-    val hwm = (absorbedHwm(spark, cur) +:
-      committedLayerPaths(spark, cur).map(_.getName.stripPrefix("__batch=").toLong)).max
+    val hwm = carriedHwm(spark, cur)
     committedCodes(spark, cur)
       .select("__cid", "__nid", "__codes") // drops the __batch layer column
       .withColumn("__batch", lit(FitBatchId))
@@ -623,8 +663,7 @@ object AnnIndex {
       s"refit of $dir with an EMPTY corpus — an index over nothing is not representable; " +
         "to retire the index, remove its directory instead"
     )
-    val hwm = (absorbedHwm(spark, cur) +:
-      committedLayerPaths(spark, cur).map(_.getName.stripPrefix("__batch=").toLong)).max
+    val hwm = carriedHwm(spark, cur)
     val next = codesVersions(spark, dir).map(_._1).max + 1
     val gen = s"$dir/codes_v$next"
     val idx = fitIvfPq(corpus, idCol, vecCol, cells, iters, seed, pqM, pqKs, pqIters, dim)
@@ -863,7 +902,13 @@ object AnnIndex {
     val root = fitRoot(spark, dir, gen)
     val meta = spark.read.parquet(s"$root/meta").head()
     val version = meta.getAs[Int]("version")
-    require(version == FormatVersion, s"unsupported AnnIndex format version $version")
+    // v4 reads natively under the v5 resolution rules (a v4 index simply
+    // has no per-generation fit layers, the exact fallback fitRoot takes),
+    // so existing indexes need no re-save; anything else is refused
+    require(
+      version == FormatVersion || version == 4,
+      s"unsupported AnnIndex format version $version (this reader handles 4 and $FormatVersion)"
+    )
     IvfPqIndex(
       dim = meta.getAs[Int]("dim"),
       cells = meta.getAs[Int]("cells"),

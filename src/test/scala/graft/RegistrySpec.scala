@@ -43,11 +43,19 @@ class RegistrySpec extends AnyFunSuite {
     // a query registered here but absent there is how inventory drifts
     // (T11 shipped prose-only in rounds 11-15). §2.5 holds the verbatim
     // name inventory; this gate keeps it complete forever.
-    val survey = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("/root/repo/SURVEY.md")),
-      java.nio.charset.StandardCharsets.UTF_8
+    val candidates = Seq("SURVEY.md", "/root/repo/SURVEY.md").map(java.nio.file.Paths.get(_))
+    val path = candidates.find(java.nio.file.Files.exists(_)).getOrElse(
+      fail(s"SURVEY.md not found at any of: ${candidates.mkString(", ")}")
     )
-    val missing = names.filterNot(survey.contains)
+    val survey = new String(java.nio.file.Files.readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+    // WHOLE-TOKEN match, not raw containment: a name that is a prefix of
+    // another documented name (llm_ann_ivf vs llm_ann_ivf_auto) must not
+    // pass vacuously — that would re-open the prose-only gap class
+    val missing = names.filterNot { n =>
+      ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(n) + "(?![A-Za-z0-9_])").r
+        .findFirstIn(survey)
+        .nonEmpty
+    }
     assert(missing.isEmpty, s"registered queries not documented in SURVEY.md: $missing")
   }
 

@@ -1190,6 +1190,16 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 0L)
     }
     assert(reuse.getMessage.contains("not a subset"))
+    // id reuse with a SUPERSET payload is content-indistinguishable from a
+    // replay-after-delete (the extra rows are absent from the whole index
+    // either way), so it no-ops with a WARN instead of throwing — pinned:
+    // the committed survivors stand, the superset's new rows are dropped
+    AnnIndex.append(
+      spark, dir,
+      b0.unionByName(Seq((3000L, Seq.fill(8)(3.0f))).toDF("vec_id", "v")),
+      "vec_id", "v", batchId = 0L
+    )
+    assert(AnnIndex.load(spark, dir).codes.count() == 51, "superset reuse must no-op, not resurrect or insert")
   }
 
   test("AnnIndex.refit: new-generation migration, pinned readers isolated, ledger re-anchored, hwm carried") {
