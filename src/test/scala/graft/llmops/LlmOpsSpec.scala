@@ -1323,6 +1323,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v3", "refused refit must not mutate")
   }
 
+  test("AnnIndex.load accepts format v4 on read (no forced re-save of existing indexes)") {
+    val rnd = new scala.util.Random(61)
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annv4read").toString
+    val idx = AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    AnnIndex.save(idx, dir)
+    val v5 = AnnIndex
+      .probeIvfPq(AnnIndex.load(spark, dir), df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    // rewrite meta as a v4 index: layout-identical (no per-generation fit
+    // layers is exactly what v4 wrote), only the version literal differs
+    val meta = spark.read.parquet(s"$dir/meta")
+      .withColumn("version", lit(4))
+      .localCheckpoint(true) // snapshot before the in-place overwrite
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val loaded = AnnIndex.load(spark, dir) // must not throw
+    val v4 = AnnIndex
+      .probeIvfPq(loaded, df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
+    assert(v4 == v5, "a v4 index must read and probe identically under the v5 resolution rules")
+    // anything else is still refused loudly
+    meta.withColumn("version", lit(3)).coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val bad = intercept[IllegalArgumentException] { AnnIndex.load(spark, dir) }
+    assert(bad.getMessage.contains("unsupported AnnIndex format version 3"))
+  }
+
   test("AnnIndex.maintenancePolicy: decisions clear after the maintenance they prescribe") {
     val rnd = new scala.util.Random(59)
     val vecs = (0 until 60).map { i =>
