@@ -273,8 +273,11 @@ object AnnIndex {
   }
 
   /** Persist the index under `dir` (overwrite — any previous generations
-    * under `dir` are removed and a fresh `codes_v1` written, its root
-    * `_SUCCESS` the commit point). Codes land under the fit layer
+    * under `dir` are removed FIRST, then a fresh `codes_v1` written; the
+    * `_ABSORBED_` marker, written last after `occupancy/`, is the commit
+    * point, and a crash anywhere earlier leaves a loud 'not a saved
+    * index', never a stale generation under new fit tables). Codes land
+    * under the fit layer
     * `__batch=-1`, partitioned by cell id — the probe-side pruning layout
     * documented on the object. Also snapshots `occupancy/` (per-cell code
     * counts counted from the WRITTEN files — the physical truth, one
