@@ -274,6 +274,12 @@ object Bench {
     */
   val verificationOnly: Set[String] = Set(
     "llm_ann_top1",
+    // save-over-existing lifecycle gate: two complete IVF-PQ fits by
+    // construction, and its timed shape (fit + generation write + probe)
+    // is exactly llm_ann_index_refit's, which IS timed — re-timing the
+    // same code path with a redundant extra fit adds bench minutes, not
+    // information
+    "llm_ann_index_resave",
     "llm_ann_recall",
     "llm_ann_ivf_auto_recall",
     "llm_ann_kmeans_recall",

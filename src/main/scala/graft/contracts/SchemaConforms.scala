@@ -56,6 +56,52 @@ object SchemaConforms {
           report.render(outLabel = out.struct.simpleString, contractLabel = contract.struct.simpleString)
         )
     }
+
+  // ---- strict leaf-identity mode (round 17, opt-in) ------------------
+  // The default comparators use Spark-schema leaf identity (SURVEY §7.4:
+  // java.sql.Date ↔ java.time.LocalDate both lower to DateType, so the
+  // data plane cannot tell them apart — and a DataFrame pin never will).
+  // The reference's CONSTRUCTION check, however, compares Scala types
+  // (ContractsCore.scala:158-173) and rejects the swap. These variants
+  // close that divergence for type-vs-type checks only, by comparing
+  // [[ShapeOf.strictShape]]s (legacy java.* twins tagged distinct).
+
+  /** [[diff]] over strict (reference-parity) leaf identity. */
+  def diffStrict[Out, Contract, P <: SchemaPolicy with Singleton](implicit
+      out: scala.reflect.runtime.universe.WeakTypeTag[Out],
+      contract: scala.reflect.runtime.universe.WeakTypeTag[Contract],
+      p: ValueOf[P]
+  ): SchemaCompare.DriftReport =
+    SchemaCompare.diff(ShapeOf.strictShape[Out], ShapeOf.strictShape[Contract], p.value)
+
+  /** [[check]] over strict (reference-parity) leaf identity. */
+  def checkStrict[Out, Contract, P <: SchemaPolicy with Singleton](implicit
+      out: scala.reflect.runtime.universe.WeakTypeTag[Out],
+      contract: scala.reflect.runtime.universe.WeakTypeTag[Contract],
+      p: ValueOf[P]
+  ): Either[SchemaCompare.DriftReport, SchemaConforms[Out, Contract, P]] = {
+    val report = diffStrict[Out, Contract, P]
+    if (report.conforms) Right(new SchemaConforms[Out, Contract, P])
+    else Left(report)
+  }
+
+  /** [[require]] over strict (reference-parity) leaf identity. */
+  def requireStrict[Out, Contract, P <: SchemaPolicy with Singleton](implicit
+      out: scala.reflect.runtime.universe.WeakTypeTag[Out],
+      contract: scala.reflect.runtime.universe.WeakTypeTag[Contract],
+      p: ValueOf[P]
+  ): SchemaConforms[Out, Contract, P] =
+    checkStrict[Out, Contract, P] match {
+      case Right(ev) => ev
+      case Left(report) =>
+        throw new ContractViolation(
+          report,
+          report.render(
+            outLabel = TypeShape.render(ShapeOf.strictShape[Out]),
+            contractLabel = TypeShape.render(ShapeOf.strictShape[Contract])
+          )
+        )
+    }
 }
 
 /** Policy-selected runtime comparator over Spark `StructType`s — the

@@ -74,16 +74,52 @@ object ShapeOf {
     }
   }
 
+  /** STRICT (reference-parity) shape of `T`, opt-in (round 17): leaf types
+    * that collapse to the same Spark `DataType` but are DIFFERENT Scala
+    * types — `java.sql.Date` vs `java.time.LocalDate`, `java.sql.Timestamp`
+    * vs `java.time.Instant`, `java.math.BigDecimal` vs `BigDecimal` — stay
+    * distinct: the legacy `java.*` twin is carried as `ObjectType(<class>)`
+    * so [[SchemaConforms.checkStrict]] rejects the swaps exactly as the
+    * reference macro does (reference: ContractsCore.scala:158-173, which
+    * compares Scala types, not lowered Spark types). Type-vs-type
+    * CONSTRUCTION checks only: on the data plane the twins are genuinely
+    * indistinguishable (both lower to `DateType` in the files — SURVEY
+    * §7.4), so the default [[derive]] and every `DataFrame` pin keep
+    * Spark-schema leaf identity, and no `StructType` is ever built from a
+    * strict shape.
+    */
+  def strictShape[T](implicit tt: ru.WeakTypeTag[T]): TypeShape.Struct = {
+    derive[T](tt) // default derivation first: same validation, same errors
+    strictCache.computeIfAbsent(
+      tt.tpe.toString,
+      _ =>
+        ru.synchronized {
+          // safe cast: the default walk above proved the top level is a
+          // case class, and strictness only changes leaf tagging
+          shapeOfType(tt.tpe, strict = true).asInstanceOf[TypeShape.Struct]
+        }
+    )
+  }
+
+  private val strictCache = new ConcurrentHashMap[String, TypeShape.Struct]()
+
   private val supportedLeafTypes =
     "String, Int, Long, Short, Byte, Double, Float, Boolean, BigDecimal, " +
       "java.math.BigDecimal, java.sql.Date, java.time.LocalDate, " +
       "java.sql.Timestamp, java.time.Instant, java.time.LocalDateTime, " +
       "Array[Byte]"
 
-  /** Leaf table per SURVEY.md §1.2 (reference: SparkCore.scala:238-255). */
-  private def leafDataType(t: ru.Type): Option[DataType] = {
+  /** Leaf table per SURVEY.md §1.2 (reference: SparkCore.scala:238-255).
+    * Under `strict` the legacy `java.*` twin of each Spark-identical pair
+    * is tagged as `ObjectType` instead of the shared lowered type — see
+    * [[strictShape]].
+    */
+  private def leafDataType(t: ru.Type, strict: Boolean = false): Option[DataType] = {
     import ru._
-    if (t =:= typeOf[String]) Some(StringType)
+    if (strict && t =:= typeOf[java.sql.Date]) Some(ObjectType(classOf[java.sql.Date]))
+    else if (strict && t =:= typeOf[java.sql.Timestamp]) Some(ObjectType(classOf[java.sql.Timestamp]))
+    else if (strict && t =:= typeOf[java.math.BigDecimal]) Some(ObjectType(classOf[java.math.BigDecimal]))
+    else if (t =:= typeOf[String]) Some(StringType)
     else if (t =:= typeOf[Int]) Some(IntegerType)
     else if (t =:= typeOf[Long]) Some(LongType)
     else if (t =:= typeOf[Short]) Some(ShortType)
@@ -121,10 +157,10 @@ object ShapeOf {
     * order: Option, then sequence family, then Map[atomic, _], then nested
     * case class, then leaf (reference: ContractsCore.scala:176-203).
     */
-  private def shapeOfType(raw: ru.Type): TypeShape = {
+  private def shapeOfType(raw: ru.Type, strict: Boolean = false): TypeShape = {
     import ru._
     val t = raw.dealias
-    if (t <:< typeOf[Option[_]]) TypeShape.Optional(shapeOfType(t.typeArgs.head))
+    if (t <:< typeOf[Option[_]]) TypeShape.Optional(shapeOfType(t.typeArgs.head, strict))
     // Array[Byte] is BinaryType on the data plane (matches Spark's encoder
     // mapping), NOT ArrayType(ByteType) — checked before the sequence family.
     // This is the multimodal payload leaf (opaque image/audio/video bytes).
@@ -133,7 +169,7 @@ object ShapeOf {
       val elem = t.typeArgs.headOption.getOrElse(
         throw new UnsupportedContractType(s"Missing type arg for sequence in $t")
       )
-      TypeShape.Sequence(shapeOfType(elem))
+      TypeShape.Sequence(shapeOfType(elem, strict))
     } else if (t <:< typeOf[Map[_, _]]) {
       t.typeArgs match {
         case k :: v :: Nil =>
@@ -141,16 +177,16 @@ object ShapeOf {
             throw new UnsupportedContractType(
               s"Unsupported Map key type for $t. Allowed keys: String, Int, Long, Short, Byte, Boolean."
             )
-          val keyLeaf = TypeShape.Leaf(leafDataType(k).get)
-          TypeShape.MapOf(keyLeaf, shapeOfType(v))
+          val keyLeaf = TypeShape.Leaf(leafDataType(k).get) // atomic keys have no strict twins
+          TypeShape.MapOf(keyLeaf, shapeOfType(v, strict))
         case _ =>
           throw new UnsupportedContractType(s"Map requires two type args: $t")
       }
     } else if (leafDataType(t).isDefined) {
       // Leaf before case-class: BigDecimal & friends are case-class-like but atomic.
-      TypeShape.Leaf(leafDataType(t).get)
+      TypeShape.Leaf(leafDataType(t, strict).get)
     } else if (isCaseClass(t)) {
-      structShapeOf(t)
+      structShapeOf(t, strict)
     } else {
       throw new UnsupportedContractType(
         s"Unsupported structural leaf type in contract derivation: $t. " +
@@ -160,7 +196,7 @@ object ShapeOf {
     }
   }
 
-  private def structShapeOf(t: ru.Type): TypeShape.Struct = {
+  private def structShapeOf(t: ru.Type, strict: Boolean = false): TypeShape.Struct = {
     import ru._
     val ctor = t
       .decl(termNames.CONSTRUCTOR)
@@ -173,7 +209,7 @@ object ShapeOf {
       val hasDefault = p.asTerm.isParamWithDefault
       val (unwrapped, isOpt) =
         if (ptpe <:< typeOf[Option[_]]) (ptpe.typeArgs.head, true) else (ptpe, false)
-      FieldShape(name, shapeOfType(unwrapped), hasDefault, isOpt)
+      FieldShape(name, shapeOfType(unwrapped, strict), hasDefault, isOpt)
     }
     TypeShape.Struct(fields)
   }

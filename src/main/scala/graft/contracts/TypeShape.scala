@@ -14,7 +14,11 @@ import org.apache.spark.sql.types._
   * plain runtime ADT. One deliberate divergence: leaves are Spark [[DataType]]s
   * rather than Scala type names, so `java.sql.Date` and `java.time.LocalDate`
   * contracts are equivalent (both are `DateType` on the data plane) — contract
-  * equivalence here *is* Spark-schema equivalence.
+  * equivalence here *is* Spark-schema equivalence. For type-vs-type
+  * construction checks the reference's stricter Scala-type identity is
+  * available opt-in via [[ShapeOf.strictShape]] /
+  * `SchemaConforms.checkStrict` (round 17), which tag the legacy java.*
+  * twins as distinct `ObjectType` leaves.
   */
 sealed trait TypeShape
 

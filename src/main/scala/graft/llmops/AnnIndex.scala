@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   *   - `codebooks/`  PQ codewords (`__m`, `__cid`, `__cv`) — ≤ m·ks rows
   *   - `occupancy/`  fit-time per-cell code counts (the [[staleness]] anchor)
   *     These four are the ORIGINAL fit's layers; a generation written by
-  *     [[refit]] carries its own copies INSIDE the generation directory,
-  *     and readers resolve the current generation's when present
-  *     ([[fitRoot]]) — the root's are never mutated after [[save]], so a
-  *     reader pinned to any generation keeps a consistent (fit, codes)
-  *     pair.
+  *     [[refit]] (or a round-17 [[save]] over an existing index) carries
+  *     its own copies INSIDE the generation directory, and readers
+  *     resolve the current generation's when present ([[fitRoot]]) — the
+  *     root's data is never mutated after the first [[save]] (the one
+  *     exception is the version FIELD of the root `meta/` row, bumped as
+  *     a tombstone so pre-v5 binaries fail loudly instead of pairing the
+  *     stale root fit with a newer generation's codes), so a reader
+  *     pinned to any generation keeps a consistent (fit, codes) pair.
   *   - `codes_v<N>/` VERSIONED corpus index generations. Exactly one is
   *     current: the highest N carrying BOTH the parquet job's root
   *     `_SUCCESS` and an `_ABSORBED_<hwm>` marker (written last — the
@@ -51,11 +54,16 @@ import org.apache.spark.sql.functions._
   * lazy scans of THAT directory only; [[compact]] writes a NEW generation
   * and never mutates or unlinks the one open readers hold (crash-safe by
   * construction: an incomplete generation has no `_SUCCESS` and is never
-  * selected). [[vacuum]] reclaims superseded generations once no reader
-  * needs them. [[delete]] is the one in-place mutation (it rewrites only
+  * selected). [[vacuum]] reclaims superseded generations, retaining a
+  * configurable serving window of recent ones for long-held readers.
+  * [[delete]] is the one in-place mutation (it rewrites only
   * the touched `(__batch, __cid)` partitions of the current generation);
   * run it quiesced or re-[[load]] readers after — same contract as any
-  * non-transactional parquet rewrite.
+  * non-transactional parquet rewrite. All five mutation ops ([[save]],
+  * [[compact]], [[refit]], [[delete]], [[vacuum]]) enforce the
+  * single-maintainer contract with an advisory lease (round 17 — see the
+  * lease notes below): a second concurrent maintainer fails loudly
+  * before writing anything.
   *
   * Everything persisted is engine-portable parquet: doubles round-trip
   * bit-exact, so a loaded index probes identically to the in-memory fit.
@@ -102,6 +110,14 @@ object AnnIndex {
     * carrying a `__batch` partition level — the layout that makes
     * [[append]] replay-idempotent and [[compact]] crash-safe. v2
     * (round 13) added `occupancy/`.
+    *
+    * Round 17 adds three BACKWARD-COMPATIBLE pieces (still v5 — every
+    * v5 reader handles their absence): the `_MAINTAINER` lease files,
+    * the optional `_absorbed_batches/` replay-fingerprint sidecar
+    * ([[AbsorbedBatchesName]]), and the v4-root-meta tombstone
+    * ([[tombstoneV4RootMeta]] — the version FIELD bump that makes
+    * pre-v5 binaries fail loudly on an index whose current generation
+    * carries its own fit layers).
     */
   private val FormatVersion = 5
 
@@ -112,6 +128,169 @@ object AnnIndex {
 
   private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------------------
+  // Maintenance lease (round 17): the single-maintainer contract the
+  // mutation ops used to carry only as scaladoc ("do not run
+  // concurrently"), enforced. [[save]], [[compact]], [[refit]],
+  // [[delete]] and [[vacuum]] each acquire an ADVISORY lease before
+  // touching anything and release it when they return: a `_MAINTAINER`
+  // marker under `dir`, created with the filesystem's create-exclusive
+  // primitive (the one atomic operation every Hadoop FileSystem offers),
+  // carrying an owner tag and a monotonically increasing integer epoch
+  // (persisted in `_MAINTAINER_EPOCH` by the holder — only the holder
+  // writes it, so the record itself is race-free). A second maintainer
+  // arriving while the lease is held FAILS LOUDLY before any write —
+  // the racing compact+append-era failure (a committed append layer
+  // silently stranded in a superseded generation) becomes an exception
+  // naming the holder. Readers ([[load]], [[probeIvfPq]], [[staleness]],
+  // [[maintenancePolicy]]) never touch the lease; [[append]] is the
+  // streaming-ingest side and deliberately stays outside it (its own
+  // idempotence contract covers replays; its documented exclusion zone
+  // is an in-flight compact, which the lease now makes detectable:
+  // quiesce ingest, take the lease, maintain, release).
+  //
+  // Crash recovery is an OPERATOR decision, not wall-clock magic: a
+  // maintainer that dies mid-op leaves its lease behind (its writes are
+  // uncommitted — marker-last — so the index is intact). The operator
+  // inspects [[maintainerLease]], confirms the holder is dead
+  // OUT-OF-BAND (the lease file's fs modification time is the documented
+  // hint, never part of the semantics), and retries the op with
+  // `breakLeaseEpoch = Some(<that epoch>)`: the takeover deletes the
+  // stale lease ONLY if it still carries exactly that epoch (a lease
+  // that changed hands since inspection is refused — re-inspect), and
+  // the new grant's epoch is strictly above every epoch ever granted,
+  // so a zombie of the broken maintainer can never release or reclaim
+  // it: release verifies the lease still carries the releaser's own
+  // epoch and fails loudly otherwise.
+  // ------------------------------------------------------------------
+
+  private val LeaseName = "_MAINTAINER"
+  private val LeaseEpochName = "_MAINTAINER_EPOCH"
+  private val LeaseContentRe = "epoch=(-?\\d+) owner=(.*)".r
+
+  /** The maintenance lease currently held under `dir`, if any, as
+    * (epoch, owner) — the operator-facing inspection point for stale-
+    * lease takeover (see the lease notes above). `None` = no maintainer
+    * holds the index.
+    */
+  def maintainerLease(spark: SparkSession, dir: String): Option[(Long, String)] = {
+    val fs = hadoopFs(spark, dir)
+    val p = new Path(dir, LeaseName)
+    if (!fs.exists(p)) None
+    else readSmallFile(fs, p) match {
+      case LeaseContentRe(e, o) => Some((e.toLong, o))
+      case other => Some((-1L, s"<unparseable lease content: $other>")) // mid-write racer or corruption: still held
+    }
+  }
+
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0).foreach(bytes.write(buf, 0, _))
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeSmallFile(fs: FileSystem, p: Path, content: String, overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The highest lease epoch ever granted under `dir` (0 when none) —
+    * written by each holder right after its exclusive create succeeds,
+    * so only ever written under the lease.
+    */
+  private[llmops] def lastGrantedEpoch(spark: SparkSession, dir: String): Long = {
+    val fs = hadoopFs(spark, dir)
+    val p = new Path(dir, LeaseEpochName)
+    if (!fs.exists(p)) 0L else readSmallFile(fs, p).trim.toLong
+  }
+
+  private def acquireLease(
+      spark: SparkSession,
+      dir: String,
+      op: String,
+      owner: String,
+      breakLeaseEpoch: Option[Long]
+  ): Long = {
+    val fs = hadoopFs(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val leaseP = new Path(dir, LeaseName)
+    breakLeaseEpoch.foreach { e =>
+      maintainerLease(spark, dir) match {
+        case Some((cur, own)) if cur == e =>
+          log.warn(s"$op at $dir: breaking maintenance lease epoch=$e owner=$own (operator takeover)")
+          fs.delete(leaseP, false)
+        case Some((cur, own)) =>
+          throw new IllegalStateException(
+            s"$op at $dir: cannot break lease epoch $e — the lease is now epoch=$cur owner=$own, " +
+              "it changed hands since it was inspected; re-read maintainerLease() and confirm the new " +
+              "holder is dead before retrying the takeover"
+          )
+        case None => // released since inspection: fall through to a normal acquire
+      }
+    }
+    val epoch = math.max(lastGrantedEpoch(spark, dir), breakLeaseEpoch.getOrElse(0L)) + 1
+    try writeSmallFile(fs, leaseP, s"epoch=$epoch owner=$owner", overwrite = false)
+    catch {
+      case e: java.io.IOException if fs.exists(leaseP) =>
+        val held = maintainerLease(spark, dir)
+          .map { case (ep, ow) => s"epoch=$ep owner=$ow" }
+          .getOrElse("just released — retry")
+        throw new IllegalStateException(
+          s"$op at $dir: another maintainer holds the lease ($held). save/compact/refit/delete/vacuum " +
+            "are single-maintainer ops — wait for the holder to finish; if its process is DEAD " +
+            "(uncommitted writes are invisible, the index is intact), confirm via maintainerLease() " +
+            "and retry with breakLeaseEpoch = Some(<its epoch>)",
+          e
+        )
+    }
+    writeSmallFile(fs, new Path(dir, LeaseEpochName), epoch.toString, overwrite = true)
+    epoch
+  }
+
+  private def releaseLease(spark: SparkSession, dir: String, epoch: Long): Unit = {
+    val fs = hadoopFs(spark, dir)
+    maintainerLease(spark, dir) match {
+      case Some((e, _)) if e == epoch => fs.delete(new Path(dir, LeaseName), false)
+      case other =>
+        throw new IllegalStateException(
+          s"maintenance lease at $dir is no longer epoch=$epoch (found $other): this maintainer's " +
+            "lease was broken by a takeover while it ran — its writes may have interleaved with the " +
+            "new maintainer's; inspect the index before any further maintenance"
+        )
+    }
+  }
+
+  /** Run `body` under the maintenance lease; released on BOTH return and
+    * in-process failure (a failed op's writes are uncommitted and the
+    * caller regains control — only a process death leaves the lease for
+    * operator takeover).
+    */
+  private def withLease[A](
+      spark: SparkSession,
+      dir: String,
+      op: String,
+      owner: String,
+      breakLeaseEpoch: Option[Long]
+  )(body: => A): A = {
+    val epoch = acquireLease(spark, dir, op, owner, breakLeaseEpoch)
+    try {
+      val r = body
+      releaseLease(spark, dir, epoch)
+      r
+    } catch {
+      case t: Throwable =>
+        try releaseLease(spark, dir, epoch)
+        catch { case s: Throwable if s ne t => t.addSuppressed(s) }
+        throw t
+    }
+  }
 
   private val CodesVersionRe = "codes_v(\\d+)".r
 
@@ -164,6 +343,20 @@ object AnnIndex {
     fs.create(new Path(gen, s"_ABSORBED_$hwm"), true).close()
   }
 
+  /** Whether the generation at `p` is COMMITTED: its parquet job's root
+    * `_SUCCESS` and its `_ABSORBED_<hwm>` marker (written last — the true
+    * commit point) both exist.
+    */
+  private def isCommitted(fs: FileSystem, p: Path): Boolean =
+    fs.exists(new Path(p, "_SUCCESS")) &&
+      fs.listStatus(p).exists(st => AbsorbedMarkerRe.pattern.matcher(st.getPath.getName).matches())
+
+  /** All COMMITTED generations under `dir`, ascending by N. */
+  private def committedVersions(spark: SparkSession, dir: String): Seq[(Int, Path)] = {
+    val fs = hadoopFs(spark, dir)
+    codesVersions(spark, dir).filter { case (_, p) => isCommitted(fs, p) }
+  }
+
   /** The CURRENT code generation: the highest-numbered `codes_v<N>` whose
     * root `_SUCCESS` job-commit marker AND `_ABSORBED_<hwm>` high-water
     * marker both exist (the marker, written last, is the true commit
@@ -172,11 +365,7 @@ object AnnIndex {
     * resolving the last committed one.
     */
   private[llmops] def currentCodesPath(spark: SparkSession, dir: String): Path = {
-    val fs = hadoopFs(spark, dir)
-    val committed = codesVersions(spark, dir).filter { case (_, p) =>
-      fs.exists(new Path(p, "_SUCCESS")) &&
-      fs.listStatus(p).exists(st => AbsorbedMarkerRe.pattern.matcher(st.getPath.getName).matches())
-    }
+    val committed = committedVersions(spark, dir)
     require(
       committed.nonEmpty,
       s"$dir holds no committed codes_v<N> generation (root _SUCCESS + _ABSORBED_<hwm> marker) — " +
@@ -226,6 +415,95 @@ object AnnIndex {
     spark.read.option("basePath", gen.toString).parquet(layers.map(_.toString): _*)
   }
 
+  /** Per-absorbed-batch replay fingerprints, carried by generations that
+    * folded append layers away ([[compact]]/[[refit]]): one line
+    * `<batch_id>\t<rows>\t<id_hash>` per batch the generation's fit
+    * layer has absorbed, where `id_hash` = Σ xxhash64(__nid) in
+    * decimal(38,0) — over IDS only, so it is invariant under a
+    * [[refit]]'s re-encode. A marker-style TEXT file inside the
+    * generation (underscore-prefixed so parquet readers ignore it;
+    * deliberately NOT a parquet table — Spark's hidden-path filter
+    * refuses to read underscore-named directories even when addressed
+    * explicitly, and the record is bounded by the absorbed-batch count),
+    * written before and therefore covered by the generation's
+    * marker-last commit. [[append]]'s below-hwm no-op uses it to certify
+    * a TRUE at-least-once replay with one batch-sized aggregate instead
+    * of a per-replay index scan — the restart-burst cost the v4 evidence
+    * path paid (N column-pruned index scans to decide to do nothing N
+    * times).
+    */
+  private[llmops] val AbsorbedBatchesName = "_ABSORBED_BATCHES"
+
+  /** (rows, Σ xxhash64(id) as decimal-string) of an id column — the
+    * fit-independent half of [[contentFingerprint]], shared by the
+    * sidecar writer and [[append]]'s replay check so the two sides can
+    * never diverge on the hash rule.
+    */
+  private def idFingerprint(ids: DataFrame, idCol: String): (Long, String) = {
+    val r = ids
+      .select(
+        count(lit(1)).as("n"),
+        coalesce(
+          sum(xxhash64(col(idCol)).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")
+        ).as("h")
+      )
+      .head()
+    (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
+  }
+
+  /** The sidecar rows a NEW generation absorbing `cur`'s committed layers
+    * must carry: `cur`'s own carried sidecar (batches folded by EARLIER
+    * compactions/refits — their layers are gone, only the record
+    * remains) plus a fingerprint of every committed append layer being
+    * folded now. Collected driver-side: bounded by the absorbed-batch
+    * count, the same cardinality as the `__batch=` directory listing.
+    */
+  private def readAbsorbedBatches(spark: SparkSession, gen: Path): Seq[(Long, Long, String)] = {
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(gen, AbsorbedBatchesName)
+    if (!fs.exists(p)) Seq.empty
+    else
+      readSmallFile(fs, p).linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(b, n, h) = line.split('\t')
+        (b.toLong, n.toLong, h)
+      }.toSeq
+  }
+
+  private def absorbedBatchRows(spark: SparkSession, cur: Path): Seq[(Long, Long, String)] = {
+    val appendLayers = committedLayerPaths(spark, cur).filter(_.getName != s"__batch=$FitBatchId")
+    val fresh: Seq[(Long, Long, String)] =
+      if (appendLayers.isEmpty) Seq.empty
+      else
+        spark.read
+          .option("basePath", cur.toString)
+          .parquet(appendLayers.map(_.toString): _*)
+          .groupBy(col("__batch").cast("long").as("batch_id"))
+          .agg(
+            count(lit(1)).as("rows"),
+            coalesce(sum(xxhash64(col("__nid")).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+              .as("h")
+          )
+          .collect()
+          .toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toBigInteger.toString))
+    readAbsorbedBatches(spark, cur) ++ fresh
+  }
+
+  private def writeAbsorbedBatches(spark: SparkSession, gen: String, rows: Seq[(Long, Long, String)]): Unit =
+    if (rows.nonEmpty) {
+      val genP = new Path(gen)
+      val fs = genP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val content = rows.map { case (b, n, h) => s"$b\t$n\t$h" }.mkString("\n")
+      writeSmallFile(fs, new Path(genP, AbsorbedBatchesName), content, overwrite = true)
+    }
+
+  /** The recorded fingerprint of an absorbed batch, if this generation
+    * carries a sidecar line for it.
+    */
+  private def recordedBatchFingerprint(spark: SparkSession, cur: Path, batchId: Long): Option[(Long, String)] =
+    readAbsorbedBatches(spark, cur).collectFirst { case (b, n, h) if b == batchId => (n, h) }
+
   /** Fit the index: coarse k-means ([[Similarity.kmeansCentroids]]) +
     * per-subspace PQ codebooks ([[Similarity.pqCodebooks]]), then ONE
     * assignment pass producing the codes-only corpus index (nearest cell
@@ -272,42 +550,134 @@ object AnnIndex {
     )
   }
 
-  /** Persist the index under `dir` (overwrite — any previous generations
-    * under `dir` are removed FIRST, then a fresh `codes_v1` written; the
-    * `_ABSORBED_` marker, written last after `occupancy/`, is the commit
-    * point, and a crash anywhere earlier leaves a loud 'not a saved
-    * index', never a stale generation under new fit tables). Codes land
-    * under the fit layer
-    * `__batch=-1`, partitioned by cell id — the probe-side pruning layout
-    * documented on the object. Also snapshots `occupancy/` (per-cell code
-    * counts counted from the WRITTEN files — the physical truth, one
-    * cheap codes-only scan): the fit-time reference [[staleness]] diffs
-    * against after [[append]]s.
+  /** Persist the index under `dir`. Two shapes, both committed by the
+    * `_ABSORBED_` marker written LAST (after `occupancy/`, so the commit
+    * point covers everything a reader needs — [[staleness]] can never
+    * see a committed generation with a missing `occupancy/`):
+    *
+    *   - FRESH `dir` (no committed generation — uncommitted leftovers of
+    *     a crashed first save are absorbed): fit tables at the index
+    *     root + `codes_v1`. A crash anywhere before the marker leaves a
+    *     loud 'not a saved index', never a stale generation under new
+    *     fit tables — there was nothing to lose.
+    *   - `dir` already holds a COMMITTED index (round 17): the
+    *     replacement is written as the NEXT generation `codes_v<N+1>`
+    *     CARRYING ITS OWN fit layers ([[refit]]'s v5 layout and commit
+    *     discipline) — the existing index stays committed and loadable
+    *     until the new generation's marker lands, so a crash mid-save
+    *     can no longer destroy a working index (the pre-r17 ordering
+    *     deleted the old generations first: loud loss, but avoidable
+    *     loss). The superseded generation is reclaimed by [[vacuum]].
+    *     Overwriting RESETS the append high-water mark to −1: a re-save
+    *     is a fresh index, the documented remedy for restarting a
+    *     stream's batch-id space against a compacted index.
+    *
+    * Codes land under the fit layer `__batch=-1`, partitioned by cell id
+    * — the probe-side pruning layout documented on the object. Also
+    * snapshots `occupancy/` (per-cell code counts counted from the
+    * WRITTEN files — the physical truth, one cheap codes-only scan): the
+    * fit-time reference [[staleness]] diffs against after [[append]]s.
+    * Single-maintainer: takes the maintenance lease.
     */
-  def save(index: IvfPqIndex, dir: String): Unit = {
+  def save(
+      index: IvfPqIndex,
+      dir: String,
+      leaseOwner: String = "save",
+      breakLeaseEpoch: Option[Long] = None
+  ): Unit = {
     val spark = index.centroids.sparkSession
-    // remove old generations BEFORE touching the root fit tables: a crash
-    // between the two steps must leave "no committed generation" (loud
-    // 'not a saved index' on load) — the reverse order would leave an OLD
-    // committed generation paired with the NEW fit tables, which probes
-    // silently wrong (ADC against the wrong codebooks)
-    val fs = hadoopFs(spark, dir)
-    codesVersions(spark, dir).foreach { case (_, p) => fs.delete(p, true) } // save = full overwrite
-    writeFitTables(index, dir)
-    index.codes
+    withLease(spark, dir, "save", leaseOwner, breakLeaseEpoch) {
+      val fs = hadoopFs(spark, dir)
+      if (committedVersions(spark, dir).isEmpty) {
+        // fresh index: nothing committed exists, so nothing can be lost —
+        // clear crashed-first-save leftovers and write the v1 layout
+        codesVersions(spark, dir).foreach { case (_, p) => fs.delete(p, true) }
+        writeFitTables(index, dir)
+        index.codes
+          .withColumn("__batch", lit(FitBatchId))
+          .write
+          .mode("overwrite")
+          .partitionBy("__batch", "__cid")
+          .parquet(s"$dir/codes_v1")
+        writeOccupancy(spark, s"$dir/codes_v1", dir)
+        // a fresh fit has absorbed no append batches
+        writeAbsorbedMarker(spark, new Path(s"$dir/codes_v1"), FitBatchId.toLong)
+      } else {
+        // overwrite of a committed index: next generation, self-contained
+        // fit layers, marker-last — the old index is untouched until the
+        // replacement is fully committed (and pinned readers keep probing
+        // what they loaded, as with compact/refit)
+        val next = codesVersions(spark, dir).map(_._1).max + 1
+        writeGeneration(spark, dir, index, next, FitBatchId.toLong, absorbed = Seq.empty)
+        tombstoneV4RootMeta(spark, dir)
+      }
+    }
+  }
+
+  /** Write a complete SELF-CONTAINED generation `codes_v<n>`: codes (one
+    * file per cell — `repartition(__cid)` puts each cell's rows in one
+    * task), then the generation's own fit layers, occupancy snapshot and
+    * absorbed-batch sidecar, then the `_ABSORBED_<hwm>` marker LAST (the
+    * commit point — a crash anywhere earlier leaves an uncommitted
+    * generation no reader selects). Shared by [[refit]] and the
+    * overwrite arm of [[save]] so the two commit paths cannot diverge.
+    */
+  private def writeGeneration(
+      spark: SparkSession,
+      dir: String,
+      idx: IvfPqIndex,
+      n: Int,
+      hwm: Long,
+      absorbed: Seq[(Long, Long, String)]
+  ): Unit = {
+    val gen = s"$dir/codes_v$n"
+    idx.codes
       .withColumn("__batch", lit(FitBatchId))
+      .repartition(col("__cid"))
       .write
-      .mode("overwrite")
+      .mode("overwrite") // absorbs an uncommitted leftover of the same number
       .partitionBy("__batch", "__cid")
-      .parquet(s"$dir/codes_v1")
-    writeOccupancy(spark, s"$dir/codes_v1", dir)
-    // the high-water marker is the generation's commit record, written
-    // LAST — after occupancy/, so the commit point covers EVERYTHING a
-    // reader needs (a crash anywhere above leaves codes_v1 uncommitted
-    // and the dir is simply not a saved index yet; [[staleness]] can
-    // never see a committed generation with a missing occupancy/); a
-    // fresh fit has absorbed no append batches
-    writeAbsorbedMarker(spark, new Path(s"$dir/codes_v1"), FitBatchId.toLong)
+      .parquet(gen)
+    writeFitTables(idx, gen)
+    writeOccupancy(spark, s"$gen/__batch=$FitBatchId", gen)
+    writeAbsorbedBatches(spark, gen, absorbed)
+    // the commit point — everything above is invisible until this lands
+    writeAbsorbedMarker(spark, new Path(gen), hwm)
+  }
+
+  /** After committing a generation that carries its own fit layers onto
+    * an index whose ROOT meta still says v4: rewrite the root meta's
+    * version field to [[FormatVersion]]. A pre-v5 reader binary checks
+    * the ROOT meta only — against a v4 root it would happily pair the
+    * stale root centroids/codebooks with the new generation's codes and
+    * probe SILENTLY WRONG under deployment skew; the bumped version is
+    * the tombstone it trips on, turning the mixed-binary read into a
+    * loud version error. Safe to rewrite: v5 readers of the new
+    * generation resolve the generation's own meta ([[fitRoot]]), never
+    * the root's, and already-pinned readers collected their meta row at
+    * load time.
+    */
+  private def tombstoneV4RootMeta(spark: SparkSession, dir: String): Unit = {
+    val fs = hadoopFs(spark, dir)
+    if (!fs.exists(new Path(dir, "meta"))) return
+    val m = spark.read.parquet(s"$dir/meta").head()
+    if (m.getAs[Int]("version") < FormatVersion) {
+      import spark.implicits._
+      Seq(
+        (
+          FormatVersion,
+          m.getAs[Int]("dim"),
+          m.getAs[Int]("cells"),
+          m.getAs[Int]("pq_m"),
+          m.getAs[Int]("pq_ks"),
+          m.getAs[Long]("seed")
+        )
+      ).toDF("version", "dim", "cells", "pq_m", "pq_ks", "seed")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$dir/meta")
+    }
   }
 
   /** The fit tables (`meta/`, `centroids/`, `codebooks/`) under `root` —
@@ -436,39 +806,54 @@ object AnnIndex {
       batch: DataFrame,
       idCol: String,
       vecCol: String,
-      batchId: Long
+      batchId: Long,
+      strictReplay: Boolean = false
   ): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId; negative layers are reserved for the fit/compact rows)")
     val cur = currentCodesPath(spark, dir)
     val hwm = absorbedHwm(spark, cur)
     if (batchId <= hwm) {
-      // already folded into the fit layer by a compact — but the no-op is
-      // keyed on the id alone, so a fresh-checkpoint restart reusing low
-      // ids for NEW data lands here too. Detect it with evidence: count
-      // arriving ids the index has never seen (one codes-only __nid
-      // column scan, paid only on this rare post-restart path). A true
-      // replay has zero unless a delete() removed some of its rows since
-      // — which is why this warns with data instead of throwing.
-      // Cost tradeoff, deliberate: a restart replaying N absorbed batches
-      // pays N column-pruned index scans to decide to do nothing — bounded
-      // by the one-time restart, and the price of turning silent data
-      // loss into an evidence-bearing warning without a persisted id
-      // filter. (A bloom sidecar could cut it; not worth the format
-      // surface until a real restart profile says so.)
+      // already folded into the fit layer by a compact/refit — but the
+      // no-op is keyed on the id alone, so a fresh-checkpoint restart
+      // reusing low ids for NEW data lands here too. Certify cheaply
+      // first (round 17): generations written by compact/refit carry a
+      // per-absorbed-batch (rows, Σ xxhash64(id)) sidecar — if the
+      // arriving batch matches its recorded fingerprint it IS the
+      // original batch (one batch-sized aggregate, no index scan), and
+      // the no-op is correct even under strictReplay and even if a
+      // delete() has since removed some of its rows.
+      val recorded = recordedBatchFingerprint(spark, cur, batchId)
+      if (recorded.nonEmpty && recorded.contains(idFingerprint(batch, idCol))) {
+        log.warn(
+          s"append batchId=$batchId <= absorbed high-water mark $hwm at $dir: no-op " +
+            "(fingerprint-verified post-compact replay of the original batch)"
+        )
+        return
+      }
+      // no sidecar record (pre-r17 generation) or fingerprint mismatch:
+      // fall back to evidence — count arriving ids the index has never
+      // seen (one codes-only __nid column scan, paid only on this rare
+      // path). A true replay has zero unless a delete() removed some of
+      // its rows since — which is why the default warns with data
+      // instead of throwing; strictReplay opts into the throw for
+      // topologies that never delete() and never reuse ids, turning the
+      // silent-drop hazard into a hard failure.
       val unseen = batch
         .select(col(idCol).as("__nid"))
         .join(load(spark, dir).codes.select("__nid"), Seq("__nid"), "left_anti")
         .limit(1000)
         .count()
-      if (unseen > 0)
-        log.warn(
+      if (unseen > 0) {
+        val msg =
           s"append batchId=$batchId <= absorbed high-water mark $hwm at $dir: no-op, but " +
             s"${if (unseen >= 1000) ">=1000" else unseen.toString} arriving ids are NOT in the index -- " +
             "either a fresh-checkpoint restart is reusing absorbed batch ids for NEW data (that data " +
             s"is being dropped; restart with batch ids above $hwm or re-save the index), or this is a " +
             "replay of a batch whose rows were since delete()d (then the no-op is correct)"
-        )
-      else
+        if (strictReplay)
+          throw new IllegalStateException(msg + " [strictReplay: refusing the ambiguous no-op]")
+        log.warn(msg)
+      } else
         log.warn(
           s"append batchId=$batchId <= absorbed high-water mark $hwm at $dir: no-op " +
             "(post-compact replay; every arriving id is already indexed)"
@@ -507,14 +892,18 @@ object AnnIndex {
         // content cannot distinguish the two (the extra rows are absent
         // from the whole index either way), so this no-op warns with the
         // evidence instead of staying silent or re-breaking the
-        // replay-after-delete tolerance by throwing
-        log.warn(
+        // replay-after-delete tolerance by throwing; strictReplay opts
+        // into the throw (a no-delete topology has no legitimate way to
+        // reach this shape)
+        val msg =
           s"append batchId=$batchId: committed layer is a strict subset of the arriving batch " +
             s"(existing (rows, hash) = $existing, arriving = $arriving): no-op. This is correct for " +
             "an at-least-once replay of a batch partially delete()d since; if instead this batch id " +
             "was REUSED for a superset of new data, the extra rows are being dropped -- use a fresh " +
             "batch id for new data"
-        )
+        if (strictReplay)
+          throw new IllegalStateException(msg + " [strictReplay: refusing the ambiguous no-op]")
+        log.warn(msg)
         return
       }
       throw new IllegalStateException(
@@ -581,14 +970,25 @@ object AnnIndex {
     * way), and the new generation's `_ABSORBED_<hwm>` marker — its commit
     * record, written last — records the largest batch id folded in, so a
     * post-compact replay of any absorbed batch no-ops in [[append]]
-    * instead of double-inserting. Do not run concurrently with in-flight
-    * [[append]]s (the hwm covers replays after the compact commits, not
-    * writes racing it).
+    * instead of double-inserting. Single-maintainer: takes the
+    * maintenance lease, so a racing compact/refit/delete fails loudly;
+    * quiesce in-flight [[append]]s first (ingest is outside the lease —
+    * the hwm covers replays after the compact commits, not writes racing
+    * it).
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      leaseOwner: String = "compact",
+      breakLeaseEpoch: Option[Long] = None
+  ): Unit = withLease(spark, dir, "compact", leaseOwner, breakLeaseEpoch) {
     val cur = currentCodesPath(spark, dir)
     val next = codesVersions(spark, dir).map(_._1).max + 1
     val hwm = carriedHwm(spark, cur)
+    // fingerprint the append layers being folded (plus the carried
+    // record of earlier folds) BEFORE rewriting — append's below-hwm
+    // no-op certifies true replays against this instead of scanning
+    val absorbed = absorbedBatchRows(spark, cur)
     committedCodes(spark, cur)
       .select("__cid", "__nid", "__codes") // drops the __batch layer column
       .withColumn("__batch", lit(FitBatchId))
@@ -611,6 +1011,7 @@ object AnnIndex {
           .mode("overwrite")
           .parquet(s"$dir/codes_v$next/$sub")
       }
+    writeAbsorbedBatches(spark, s"$dir/codes_v$next", absorbed)
     writeAbsorbedMarker(spark, new Path(s"$dir/codes_v$next"), hwm)
   }
 
@@ -639,9 +1040,9 @@ object AnnIndex {
     * added. Post-refit, a [[load]]+probe is bit-identical to probing a
     * fresh [[fitIvfPq]] of `corpus` at the same knobs (oracle-gated by
     * `llm_ann_index_refit`), and [[staleness]] reads zero drift — the
-    * occupancy snapshot is re-anchored to the new fit. Do not run
-    * concurrently with in-flight [[append]]s or another refit/compact
-    * (same single-maintainer contract as [[compact]]).
+    * occupancy snapshot is re-anchored to the new fit. Single-maintainer:
+    * takes the maintenance lease, so a racing refit/compact fails loudly
+    * (quiesce [[append]]s first — ingest is outside the lease).
     */
   def refit(
       spark: SparkSession,
@@ -655,8 +1056,10 @@ object AnnIndex {
       pqM: Int = 4,
       pqKs: Int = 8,
       pqIters: Int = 2,
-      dim: Int = Similarity.AutoDim
-  ): Unit = {
+      dim: Int = Similarity.AutoDim,
+      leaseOwner: String = "refit",
+      breakLeaseEpoch: Option[Long] = None
+  ): Unit = withLease(spark, dir, "refit", leaseOwner, breakLeaseEpoch) {
     val cur = currentCodesPath(spark, dir)
     // a refit of NOTHING is the delete-all misuse wearing a different
     // hat (delete() refuses it and points here): fail before any fit
@@ -667,35 +1070,46 @@ object AnnIndex {
         "to retire the index, remove its directory instead"
     )
     val hwm = carriedHwm(spark, cur)
+    // fingerprint the layers being folded BEFORE the new fit exists —
+    // over ids only, so the record survives the re-encode (see
+    // AbsorbedBatchesName) and a post-refit replay can be certified
+    val absorbed = absorbedBatchRows(spark, cur)
     val next = codesVersions(spark, dir).map(_._1).max + 1
-    val gen = s"$dir/codes_v$next"
     val idx = fitIvfPq(corpus, idCol, vecCol, cells, iters, seed, pqM, pqKs, pqIters, dim)
-    // codes first: the parquet job creates the generation dir (overwrite
-    // absorbs an uncommitted leftover of the same number); single file
-    // per cell, like compact's layout
-    idx.codes
-      .withColumn("__batch", lit(FitBatchId))
-      .repartition(col("__cid"))
-      .write
-      .mode("overwrite")
-      .partitionBy("__batch", "__cid")
-      .parquet(gen)
-    writeFitTables(idx, gen)
-    writeOccupancy(spark, s"$gen/__batch=$FitBatchId", gen)
-    // the commit point — everything above is invisible until this lands
-    writeAbsorbedMarker(spark, new Path(gen), hwm)
+    writeGeneration(spark, dir, idx, next, hwm, absorbed)
+    // a v4-era root meta would let a pre-v5 reader binary pair the stale
+    // ROOT fit with this generation's codes — tombstone it (loud version
+    // error instead of silently wrong ranks under deployment skew)
+    tombstoneV4RootMeta(spark, dir)
   }
 
-  /** Reclaim superseded code generations: delete every `codes_v<N>`
-    * except the current one (including uncommitted leftovers of crashed
-    * compactions). Run when no reader still holds a pre-[[compact]]
-    * handle — the generation a reader loaded stays readable until
-    * vacuumed, which is the whole point of the versioned layout.
+  /** Reclaim superseded code generations. `keepGenerations` (round 17)
+    * is the serving retention window: the N most recent COMMITTED
+    * superseded generations are retained alongside the current one, so
+    * the load-once-probe-for-a-while reader (the T12 serving pattern)
+    * has a guaranteed window of at least N maintenance cycles before its
+    * pinned files can disappear — "run when no reader still holds" was
+    * pure caller judgment before. `keepGenerations = 0` is the full
+    * reclaim (only the current generation survives). Uncommitted
+    * leftovers of crashed compactions/refits are always removed — they
+    * were never readable, and the lease this op holds guarantees none of
+    * them is a write in flight. Single-maintainer: takes the maintenance
+    * lease.
     */
-  def vacuum(spark: SparkSession, dir: String): Unit = {
+  def vacuum(
+      spark: SparkSession,
+      dir: String,
+      keepGenerations: Int = 1,
+      leaseOwner: String = "vacuum",
+      breakLeaseEpoch: Option[Long] = None
+  ): Unit = withLease(spark, dir, "vacuum", leaseOwner, breakLeaseEpoch) {
+    require(keepGenerations >= 0, s"keepGenerations must be >= 0 (got $keepGenerations)")
     val cur = currentCodesPath(spark, dir)
     val fs = hadoopFs(spark, dir)
-    codesVersions(spark, dir).foreach { case (_, p) => if (p != cur) fs.delete(p, true) }
+    // committed ascending by N; the current generation is the last —
+    // retain it plus the keepGenerations most recent superseded ones
+    val retained = committedVersions(spark, dir).map(_._2).takeRight(keepGenerations + 1).toSet + cur
+    codesVersions(spark, dir).foreach { case (_, p) => if (!retained(p)) fs.delete(p, true) }
   }
 
   /** Remove rows from the index by id — the decontamination /
@@ -725,8 +1139,20 @@ object AnnIndex {
     * subset of what a late at-least-once replay re-delivers — [[append]]
     * detects the subset shape and no-ops instead of resurrecting the
     * deleted rows, so pending replays need not drain before deleting.
+    * Single-maintainer: takes the maintenance lease.
     */
   def delete(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String,
+      leaseOwner: String = "delete",
+      breakLeaseEpoch: Option[Long] = None
+  ): Unit = withLease(spark, dir, "delete", leaseOwner, breakLeaseEpoch) {
+    deleteImpl(spark, dir, ids, idCol)
+  }
+
+  private def deleteImpl(
       spark: SparkSession,
       dir: String,
       ids: DataFrame,
@@ -838,15 +1264,29 @@ object AnnIndex {
     * (`now_n − fit_n`), and `decision`:
     *   - `refit` when drift dominates — the cell gained its FIRST rows
     *     post-fit (`fit_n = 0`, the frozen centroids never saw any of its
-    *     mass), or it grew past the threshold:
-    *     `added · refitDen ≥ fit_n · refitNum` with `added > 0` (integer
-    *     cross-multiplication — no floating-point boundary, same contract
-    *     as every auto-knob rule in this library);
+    *     mass) AND carries at least the minimum mass
+    *     `now_n · cells · minMassDen ≥ total_now · minMassNum`, i.e. at
+    *     least `minMassNum/minMassDen` of the MEAN cell occupancy
+    *     (`total_now / cells`, with `cells` from the fit meta) — the
+    *     round-17 floor that keeps ONE stray row appended into a
+    *     previously-empty cell from flagging a whole-index refit; a
+    *     below-floor empty cell falls through to the fragmentation rule —
+    *     or it grew past the threshold:
+    *     `added · refitDen ≥ fit_n · refitNum` with `added > 0` AND
+    *     `fit_n > 0` (relative growth from a zero base is the empty-cell
+    *     rule's job — without the `fit_n > 0` guard the growth rule is
+    *     vacuously true for every post-fit cell and the mass floor would
+    *     be dead code; integer
+    *     cross-multiplications throughout — no floating-point boundary,
+    *     same contract as every auto-knob rule in this library; the
+    *     products stay far inside long range at any realistic scale:
+    *     rows ≤ 1e12 · cells ≤ 1e5 · den ≤ 1e2 < 2^63);
     *   - `compact` when fragmentation dominates: `layers ≥ minLayers`;
     *   - `ok` otherwise (cells shrunk by [[delete]] report negative
     *     `added` and stay `ok` — removals do not invalidate a fit that
     *     described the remaining mass).
-    * Defaults: refit at ≥ 25% growth (1/4), compact at 2+ layers.
+    * Defaults: refit at ≥ 25% growth (1/4), compact at 2+ layers,
+    * empty-cell refit floor at 1/20 of the mean cell occupancy.
     *
     * Deliberately NOT an input here: the drift-RECALL metric. Pricing
     * answer quality requires a second complete fit (the
@@ -862,16 +1302,29 @@ object AnnIndex {
       dir: String,
       refitNum: Int = 1,
       refitDen: Int = 4,
-      minLayers: Int = 2
+      minLayers: Int = 2,
+      minMassNum: Int = 1,
+      minMassDen: Int = 20
   ): DataFrame = {
     require(refitNum > 0 && refitDen > 0, s"refit threshold must be a positive ratio (got $refitNum/$refitDen)")
+    require(
+      minMassNum >= 0 && minMassDen > 0,
+      s"empty-cell mass floor must be a non-negative ratio (got $minMassNum/$minMassDen; 0/1 disables the floor)"
+    )
     val gen = currentCodesPath(spark, dir)
+    val root = fitRoot(spark, dir, gen)
+    // plan literal, like every other knob: the configured cell count of
+    // the fit that anchors the ledger (one tiny meta read)
+    val cells = spark.read.parquet(s"$root/meta").head().getAs[Int]("cells")
     val fit = spark.read
-      .parquet(s"${fitRoot(spark, dir, gen)}/occupancy")
+      .parquet(s"$root/occupancy")
       .select(col("__cid").cast("int").as("cell"), col("fit_n"))
     val now = committedCodes(spark, gen)
       .groupBy(col("__cid").cast("int").as("cell"))
       .agg(count(lit(1)).as("now_n"), count_distinct(col("__batch")).as("layers"))
+    // the whole-frame total rides a window over the ≤cells-row ledger —
+    // one exchange of a tiny frame, never a second codes scan
+    val totalNow = sum(col("now_n")).over(org.apache.spark.sql.expressions.Window.partitionBy())
     fit
       .join(now, Seq("cell"), "full_outer")
       .select(
@@ -883,8 +1336,15 @@ object AnnIndex {
       .withColumn("added", col("now_n") - col("fit_n"))
       .withColumn(
         "decision",
-        when(col("fit_n") === 0 && col("now_n") > 0, lit("refit"))
-          .when(col("added") > 0 && col("added") * refitDen >= col("fit_n") * refitNum, lit("refit"))
+        when(
+          col("fit_n") === 0 && col("now_n") > 0 &&
+            col("now_n") * lit(cells.toLong) * lit(minMassDen.toLong) >= totalNow * lit(minMassNum.toLong),
+          lit("refit")
+        )
+          .when(
+            col("fit_n") > 0 && col("added") > 0 && col("added") * refitDen >= col("fit_n") * refitNum,
+            lit("refit")
+          )
           .when(col("layers") >= minLayers, lit("compact"))
           .otherwise(lit("ok"))
       )

@@ -390,7 +390,9 @@ object LlmQueries {
     * the corpus-slice fit, LAYER count from the construction (fit layer
     * −1 for corpus rows, batch id = id mod 3 for the three appends), and
     * the same integer threshold rules as plan literals
-    * (refit at added·4 ≥ fit_n, compact at ≥ 2 layers).
+    * (empty-cell refit gated on the round-17 mass floor
+    * now_n·cells·20 ≥ total·1 with cells = 8, growth refit at
+    * added·4 ≥ fit_n, compact at ≥ 2 layers).
     */
   private[queries] def indexPolicyOracleSql: String = {
     import AnnOracles._
@@ -409,8 +411,9 @@ object LlmQueries {
        |         CAST(count(DISTINCT batch) AS BIGINT) AS layers
        |       FROM asgp GROUP BY 1)
        |SELECT cell, fit_n, now_n, layers, now_n - fit_n AS added,
-       |  CASE WHEN fit_n = 0 AND now_n > 0 THEN 'refit'
-       |       WHEN now_n - fit_n > 0 AND (now_n - fit_n) * 4 >= fit_n * 1 THEN 'refit'
+       |  CASE WHEN fit_n = 0 AND now_n > 0
+       |         AND now_n * 8 * 20 >= (SELECT sum(now_n) FROM agg) * 1 THEN 'refit'
+       |       WHEN fit_n > 0 AND now_n - fit_n > 0 AND (now_n - fit_n) * 4 >= fit_n * 1 THEN 'refit'
        |       WHEN layers >= 2 THEN 'compact'
        |       ELSE 'ok' END AS decision
        |FROM agg""".stripMargin
@@ -2658,11 +2661,14 @@ object LlmQueries {
           .select("qid", "nid", "rank")
       }
     ),
-    // Maintenance policy ledger (round 16): SCALE_LEDGER prose as a
-    // queryable operator — per cell, occupancy drift (staleness) joined
-    // with layer fragmentation (what append leaves behind), folded through
-    // integer threshold rules into a compact/refit/ok decision. Thresholds
-    // are plan literals (refit at ≥ 25% growth via added·4 ≥ fit_n,
+    // Maintenance policy ledger (round 16; round 17 adds the empty-cell
+    // mass floor): SCALE_LEDGER prose as a queryable operator — per cell,
+    // occupancy drift (staleness) joined with layer fragmentation (what
+    // append leaves behind), folded through integer threshold rules into
+    // a compact/refit/ok decision. Thresholds are plan literals (the
+    // fit_n = 0 refit rule gated on now_n·cells·minMassDen ≥
+    // total·minMassNum so one stray row in an empty cell cannot flag a
+    // whole-index refit; growth refit at ≥ 25% via added·4 ≥ fit_n,
     // compact at ≥ 2 layers) and the oracle replays the RULES, not just
     // the counts, from the shared frozen assignment + the construction's
     // batch labels (fit rows −1, appended rows id mod 3).
@@ -2679,7 +2685,37 @@ object LlmQueries {
         (0 until 3).foreach { i =>
           AnnIndex.append(spark, dir, batch.filter(col("vec_id") % 3 === i), "vec_id", "v", batchId = i.toLong)
         }
-        AnnIndex.maintenancePolicy(spark, dir, refitNum = 1, refitDen = 4, minLayers = 2)
+        AnnIndex.maintenancePolicy(spark, dir, refitNum = 1, refitDen = 4, minLayers = 2, minMassNum = 1, minMassDen = 20)
+      }
+    ),
+    // Generational overwrite (round 17): save() onto a COMMITTED index
+    // writes the replacement as the next generation under refit's
+    // marker-last commit discipline — a crash mid-save can no longer
+    // destroy a working index — and RESETS the append high-water mark
+    // (a re-save is a fresh index: the documented remedy for restarting
+    // a stream's batch-id space). Construction: fit+save the 80% corpus,
+    // append the drifted 20% under the frozen fit, then SAVE a fresh fit
+    // of the full union over the live index and probe. The oracle is the
+    // refit oracle — ONE fresh-fit replay of the union — because
+    // save-over's contract is exactly refit's with a caller-supplied
+    // fit: the old index, its fit, and the appends must all be invisible
+    // in the answers.
+    QueryDef(
+      "llm_ann_index_resave",
+      Some(indexRefitOracleSql),
+      (spark, sf) => {
+        val fx = driftedFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val dir = tmpDir("llm_ann_index_resave")
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(idx, dir)
+        AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+        val fresh = AnnIndex.fitIvfPq(fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim)
+        AnnIndex.save(fresh, dir) // generational overwrite of the live index
+        AnnIndex
+          .probeIvfPq(AnnIndex.load(spark, dir), fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+          .select("qid", "nid", "rank")
       }
     ),
     // Recall ledger pricing PQ loss: ADC-ONLY top-5 (no re-rank, same

@@ -668,7 +668,10 @@ object StreamingQueries {
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
             if (id == 1L) {
               AnnIndex.compact(spark, dir) // new committed generation
-              AnnIndex.vacuum(spark, dir) // reclaim the superseded one — no pinned readers here
+              // full reclaim (no retention window): each micro-batch
+              // re-loads, so no reader is pinned here and the gate keeps
+              // proving the maximally destructive swap is answer-invisible
+              AnnIndex.vacuum(spark, dir, keepGenerations = 0)
             }
             val loaded = AnnIndex.load(spark, dir) // re-load per batch: current generation
             AnnIndex

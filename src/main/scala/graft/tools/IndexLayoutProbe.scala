@@ -93,7 +93,9 @@ object IndexLayoutProbe {
     println(s"== IndexLayoutProbe @ $sfDir (cells=16, 3 append layers) ==")
     probeStats("fragmented")
     AnnIndex.compact(spark, dir)
-    AnnIndex.vacuum(spark, dir)
+    // full reclaim so index_files_total reflects ONLY the compacted
+    // generation (the retention default would keep the superseded one)
+    AnnIndex.vacuum(spark, dir, keepGenerations = 0)
     probeStats("compacted")
     spark.stop()
   }

@@ -43,10 +43,17 @@ class RegistrySpec extends AnyFunSuite {
     // a query registered here but absent there is how inventory drifts
     // (T11 shipped prose-only in rounds 11-15). §2.5 holds the verbatim
     // name inventory; this gate keeps it complete forever.
-    val candidates = Seq("SURVEY.md", "/root/repo/SURVEY.md").map(java.nio.file.Paths.get(_))
-    val path = candidates.find(java.nio.file.Files.exists(_)).getOrElse(
-      fail(s"SURVEY.md not found at any of: ${candidates.mkString(", ")}")
-    )
+    // resolve the repo root portably: walk up from the test CWD until a
+    // SURVEY.md appears (sbt runs tests with user.dir = the project root,
+    // but a nested or re-homed checkout must not silently read some other
+    // file or depend on this machine's absolute layout)
+    val start = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    val path = Iterator
+      .iterate(start)(_.getParent)
+      .takeWhile(_ != null)
+      .map(_.resolve("SURVEY.md"))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(fail(s"SURVEY.md not found walking up from $start"))
     val survey = new String(java.nio.file.Files.readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
     // WHOLE-TOKEN match, not raw containment: a name that is a prefix of
     // another documented name (llm_ann_ivf vs llm_ann_ivf_auto) must not

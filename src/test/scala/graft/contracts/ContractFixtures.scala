@@ -75,4 +75,11 @@ object ContractFixtures {
   case class CaseTwist(ID: Long, Email: String, AGE: Option[Int])
   case class PositionTwin(a: Long, b: String, c: Option[Int])
   case class BackwardTarget(id: Long, email: String, age: Option[Int] = None, region: String = "IN")
+
+  // F5 — strict leaf-identity twins (round 17): same Spark DataType,
+  // different Scala types (reference ContractsCore.scala:158-173 rejects).
+  case class SqlDateRow(id: Long, day: java.sql.Date)
+  case class LocalDateRow(id: Long, day: java.time.LocalDate)
+  case class NestedSqlDateRow(id: Long, days: Seq[Option[java.sql.Date]])
+  case class NestedLocalDateRow(id: Long, days: Seq[Option[java.time.LocalDate]])
 }

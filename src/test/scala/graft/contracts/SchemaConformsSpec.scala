@@ -186,6 +186,31 @@ class SchemaConformsSpec extends AnyFunSuite {
     assert(e.report.missing.nonEmpty)
   }
 
+  // --- strict leaf-identity mode (round 17, SURVEY §7.4 closure) ---
+
+  test("strict mode rejects Spark-identical Scala leaf twins; the default keeps data-plane identity") {
+    // default: java.sql.Date and java.time.LocalDate both lower to
+    // DateType — the swap conforms (the data plane cannot distinguish)
+    assert(SchemaConforms.diff[SqlDateRow, LocalDateRow, Exact.type].conforms)
+    // strict: the reference's construction-check semantics — rejected,
+    // both directions, with the leaf path in the report
+    val r = SchemaConforms.diffStrict[SqlDateRow, LocalDateRow, Exact.type]
+    assert(!r.conforms)
+    assert(r.mismatch.exists(_.path == "day"))
+    assert(!SchemaConforms.diffStrict[LocalDateRow, SqlDateRow, Exact.type].conforms)
+    // identical strict types still conform; the facade surface matches
+    // the default one (check → Left, require → throw)
+    SchemaConforms.requireStrict[SqlDateRow, SqlDateRow, Exact.type]
+    assert(SchemaConforms.checkStrict[SqlDateRow, LocalDateRow, Exact.type].isLeft)
+    intercept[ContractViolation] {
+      SchemaConforms.requireStrict[SqlDateRow, LocalDateRow, Exact.type]
+    }
+    // the strict walk reaches leaves through containers (Seq[Option[_]])
+    val nested = SchemaConforms.diffStrict[NestedSqlDateRow, NestedLocalDateRow, Exact.type]
+    assert(!nested.conforms && nested.mismatch.exists(_.path == "days[]"))
+    assert(SchemaConforms.diff[NestedSqlDateRow, NestedLocalDateRow, Exact.type].conforms)
+  }
+
   test("policy lattice: Exact implies Backward-with-full-fields and Forward") {
     // property-style check over the fixture pairs
     def lattice[A: ShapeOf, B: ShapeOf](): Unit = {

@@ -992,7 +992,8 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       .select("qid", "nid", "rank").as[(Long, Long, Long)].collect().sortBy(identity).toSeq
     assert(viaOld == probeBefore, "a pre-compact reader must stay consistent across the swap")
     // vacuum reclaims the superseded generation once readers are done
-    AnnIndex.vacuum(spark, dir)
+    // (keepGenerations = 0: full reclaim, no serving retention window)
+    AnnIndex.vacuum(spark, dir, keepGenerations = 0)
     assert(!new java.io.File(s"$dir/codes_v1").exists(), "vacuum must drop superseded generations")
     assert(new java.io.File(s"$dir/codes_v2").exists(), "vacuum must keep the current generation")
     assert(probed == probeBefore)
@@ -1311,8 +1312,9 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     AnnIndex.refit(spark, dir, df, "vec_id", "v", cells = 4, iters = 2, seed = 7L, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
     assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v3")
     assert(probed == v2Probe, "the recovered refit must answer exactly like the first attempt")
-    // ... and vacuum reclaims both the superseded v1 and the crashed v2
-    AnnIndex.vacuum(spark, dir)
+    // ... and a full-reclaim vacuum removes both the superseded v1 and
+    // the crashed (uncommitted) v2
+    AnnIndex.vacuum(spark, dir, keepGenerations = 0)
     assert(AnnIndex.codesVersions(spark, dir).map(_._1) == Seq(3))
     assert(probed == v2Probe)
     // (c) refitting on an empty corpus is refused before any fit work
@@ -1321,6 +1323,252 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(empty.getMessage.contains("EMPTY corpus"))
     assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v3", "refused refit must not mutate")
+  }
+
+  test("AnnIndex maintenance lease: second maintainer refused before any write, stale lease recoverable by epoch takeover") {
+    val rnd = new scala.util.Random(71)
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annlease").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    // every op releases on return: nothing held after a clean save
+    assert(AnnIndex.maintainerLease(spark, dir).isEmpty, "lease must be released after a committed save")
+    assert(AnnIndex.lastGrantedEpoch(spark, dir) == 1L, "save must have held epoch 1")
+    // a crashed maintainer leaves its lease behind (its writes are
+    // uncommitted, so the index is intact) — simulate one at epoch 2
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_MAINTAINER"),
+      "epoch=2 owner=crashed-compact".getBytes("UTF-8")
+    )
+    // (a) a second maintainer fails loudly BEFORE any write
+    val held = intercept[IllegalStateException] { AnnIndex.compact(spark, dir) }
+    assert(held.getMessage.contains("another maintainer holds the lease"))
+    assert(held.getMessage.contains("crashed-compact"))
+    assert(AnnIndex.codesVersions(spark, dir).map(_._1) == Seq(1), "a refused compact must not write anything")
+    // same refusal for every mutation op
+    val heldDelete = intercept[IllegalStateException] { AnnIndex.delete(spark, dir, Seq(0L).toDF("vec_id"), "vec_id") }
+    assert(heldDelete.getMessage.contains("another maintainer"))
+    val heldVacuum = intercept[IllegalStateException] { AnnIndex.vacuum(spark, dir) }
+    assert(heldVacuum.getMessage.contains("another maintainer"))
+    // (b) takeover with the WRONG epoch is refused (the lease must be
+    // re-inspected, not force-broken)
+    val wrong = intercept[IllegalStateException] { AnnIndex.compact(spark, dir, breakLeaseEpoch = Some(1L)) }
+    assert(wrong.getMessage.contains("changed hands"))
+    // (c) operator recovery: inspect the stale lease, confirm the holder
+    // is dead out-of-band, retry with exactly its epoch
+    assert(AnnIndex.maintainerLease(spark, dir).contains((2L, "crashed-compact")))
+    AnnIndex.compact(spark, dir, breakLeaseEpoch = Some(2L))
+    assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v2", "the takeover compact must commit")
+    assert(AnnIndex.maintainerLease(spark, dir).isEmpty, "lease released on commit")
+    assert(AnnIndex.lastGrantedEpoch(spark, dir) == 3L, "a takeover grant must exceed every earlier epoch")
+    // (d) an IN-PROCESS failure releases the lease (only a process death
+    // leaves one behind): refit's empty-corpus refusal must not wedge
+    intercept[IllegalArgumentException] {
+      AnnIndex.refit(spark, dir, df.filter($"vec_id" < 0), "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    }
+    assert(AnnIndex.maintainerLease(spark, dir).isEmpty, "a failed op must release the lease")
+    // and a fresh acquire still works after the failure
+    AnnIndex.vacuum(spark, dir, keepGenerations = 0)
+    assert(AnnIndex.codesVersions(spark, dir).map(_._1) == Seq(2))
+  }
+
+  test("AnnIndex.vacuum retention window: a pre-compact reader survives the default vacuum, keepGenerations=0 is the full reclaim") {
+    val rnd = new scala.util.Random(73)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annvacret").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    def probeWith(idx: AnnIndex.IvfPqIndex): Seq[(Long, Long, Long)] = AnnIndex
+      .probeIvfPq(idx, df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank")
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(identity)
+      .toSeq
+    val pinned = AnnIndex.load(spark, dir) // the T12 serving pattern: load once, probe for a while
+    val baseline = probeWith(pinned)
+    AnnIndex.compact(spark, dir) // codes_v2 current; v1 superseded
+    // the DEFAULT vacuum retains the most recent superseded generation:
+    // the pinned reader's files are guaranteed one maintenance cycle
+    AnnIndex.vacuum(spark, dir)
+    assert(AnnIndex.codesVersions(spark, dir).map(_._1) == Seq(1, 2), "default vacuum must retain one superseded generation")
+    assert(probeWith(pinned) == baseline, "a pre-compact reader must probe green through a retention-respecting vacuum")
+    // next cycle: the window slides — v1 ages out, v2 is retained
+    AnnIndex.compact(spark, dir)
+    AnnIndex.vacuum(spark, dir)
+    assert(AnnIndex.codesVersions(spark, dir).map(_._1) == Seq(2, 3), "the retention window must slide, not grow")
+    // keepGenerations = 0 reproduces the pre-r17 full reclaim
+    AnnIndex.vacuum(spark, dir, keepGenerations = 0)
+    assert(AnnIndex.codesVersions(spark, dir).map(_._1) == Seq(3))
+    assert(probeWith(AnnIndex.load(spark, dir)) == baseline, "vacuum never changes answers")
+  }
+
+  test("AnnIndex.save over a committed index is generational: marker-last commit, old index intact through a crash, hwm reset") {
+    val rnd = new scala.util.Random(79)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annresave").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    def probed: Seq[(Long, Long, Long)] = AnnIndex
+      .probeIvfPq(AnnIndex.load(spark, dir), df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank")
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(identity)
+      .toSeq
+    AnnIndex.append(spark, dir, Seq((1000L, Seq.fill(8)(1.0f))).toDF("vec_id", "v"), "vec_id", "v", batchId = 5L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 61)
+    // (a) save over the live index: next generation with its own fit
+    // layers, old generation untouched
+    val idx2 = AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 4, iters = 2, seed = 7L, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    AnnIndex.save(idx2, dir)
+    val gen2 = AnnIndex.currentCodesPath(spark, dir)
+    assert(gen2.getName == "codes_v2", "save over a committed index must write the next generation")
+    assert(new java.io.File(s"$dir/codes_v1").exists(), "the replaced index must stay on disk until vacuumed")
+    val loaded = AnnIndex.load(spark, dir)
+    assert(loaded.cells == 4 && loaded.seed == 7L, "the new generation must resolve its own fit layers")
+    assert(loaded.codes.count() == 60, "the overwrite replaces the corpus (the appended row belongs to the old index)")
+    // answers = probing the supplied fit directly (save is refit with a
+    // caller-supplied fit)
+    val direct = AnnIndex
+      .probeIvfPq(idx2, df, "vec_id", "v", k = 3, nprobe = 2, rerank = 10, rerankFrom = Some(df), excludeSelf = true)
+      .select("qid", "nid", "rank")
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(identity)
+      .toSeq
+    val v2Probe = probed
+    assert(v2Probe == direct, "a re-saved index must answer exactly like the supplied fit")
+    // occupancy re-anchored: zero drift right after the overwrite
+    assert(AnnIndex.staleness(spark, dir).agg(sum(abs($"added"))).as[Long].head() == 0L)
+    // (b) hwm RESET: a re-save is a fresh index, so low batch ids are
+    // usable again (the documented fresh-checkpoint remedy)
+    AnnIndex.append(spark, dir, Seq((2000L, Seq.fill(8)(2.0f))).toDF("vec_id", "v"), "vec_id", "v", batchId = 0L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 61, "save must reset the append high-water mark")
+    // (c) crash ordering: a save whose marker never landed is INVISIBLE —
+    // the old index (including its append) keeps answering
+    val withAppend = probed
+    val idx3 = AnnIndex.fitIvfPq(df.filter($"vec_id" % 2 === 0), "vec_id", "v", cells = 3, iters = 2, seed = 11L, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    AnnIndex.save(idx3, dir)
+    val gen3 = new java.io.File(AnnIndex.currentCodesPath(spark, dir).toUri.getPath)
+    assert(gen3.getName == "codes_v3")
+    val marker = gen3.listFiles().find(_.getName.startsWith("_ABSORBED_")).get
+    assert(marker.delete())
+    assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v2", "a markerless save must be uncommitted")
+    assert(probed == withAppend, "a crashed save must leave the working index answering exactly as before")
+    // (d) recovery: re-running the save numbers past the crashed attempt
+    AnnIndex.save(idx3, dir)
+    assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v4")
+    assert(AnnIndex.load(spark, dir).codes.count() == 30)
+    assert(AnnIndex.maintainerLease(spark, dir).isEmpty)
+  }
+
+  test("AnnIndex.append strictReplay + fingerprint sidecar: verified replays no-op cheaply, ambiguous no-ops throw") {
+    val rnd = new scala.util.Random(83)
+    val vecs = (0 until 54).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val b0 = (54 until 60).map(i => (i.toLong, Seq.fill(8)(0.5f))).toDF("vec_id", "v").localCheckpoint(true)
+    val b1 = (60 until 66).map(i => (i.toLong, Seq.fill(8)(4.5f))).toDF("vec_id", "v").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annstrict").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    AnnIndex.append(spark, dir, b0, "vec_id", "v", batchId = 0L)
+    AnnIndex.compact(spark, dir) // folds b0; writes its replay fingerprint
+    assert(new java.io.File(AnnIndex.currentCodesPath(spark, dir).toUri.getPath, AnnIndex.AbsorbedBatchesName).exists(),
+      "compact must record absorbed-batch fingerprints")
+    // (a) a TRUE replay of the absorbed batch is fingerprint-verified:
+    // it no-ops even under strictReplay (no index scan needed)
+    AnnIndex.append(spark, dir, b0, "vec_id", "v", batchId = 0L, strictReplay = true)
+    assert(AnnIndex.load(spark, dir).codes.count() == 60)
+    // (b) NEW data under an absorbed batch id (fresh-checkpoint misuse):
+    // strict throws, the default warns and no-ops
+    val impostor = Seq((3000L, Seq.fill(8)(3.0f))).toDF("vec_id", "v")
+    val strictHit = intercept[IllegalStateException] {
+      AnnIndex.append(spark, dir, impostor, "vec_id", "v", batchId = 0L, strictReplay = true)
+    }
+    assert(strictHit.getMessage.contains("strictReplay"))
+    AnnIndex.append(spark, dir, impostor, "vec_id", "v", batchId = 0L) // lenient: evidence-bearing WARN, no-op
+    assert(AnnIndex.load(spark, dir).codes.count() == 60, "an absorbed-id append must never insert")
+    // (c) the subset shape (replay of a partially deleted COMMITTED
+    // layer): ambiguous, so strict throws and the default no-ops
+    AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 1L)
+    AnnIndex.delete(spark, dir, Seq(60L).toDF("vec_id"), "vec_id")
+    assert(AnnIndex.load(spark, dir).codes.count() == 65)
+    val subsetHit = intercept[IllegalStateException] {
+      AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 1L, strictReplay = true)
+    }
+    assert(subsetHit.getMessage.contains("strict subset"))
+    AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 1L)
+    assert(AnnIndex.load(spark, dir).codes.count() == 65, "the lenient subset replay must not resurrect deleted rows")
+    // (d) fingerprints are CARRIED across further compactions, and a
+    // batch compacted after a partial delete records its surviving layer
+    // — so a full replay of it mismatches and falls back to evidence
+    AnnIndex.compact(spark, dir)
+    AnnIndex.append(spark, dir, b0, "vec_id", "v", batchId = 0L, strictReplay = true) // carried record still verifies
+    assert(AnnIndex.load(spark, dir).codes.count() == 65)
+    val postCompactReplay = intercept[IllegalStateException] {
+      AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 1L, strictReplay = true)
+    }
+    assert(postCompactReplay.getMessage.contains("strictReplay"))
+    AnnIndex.append(spark, dir, b1, "vec_id", "v", batchId = 1L) // default stays tolerant
+    assert(AnnIndex.load(spark, dir).codes.count() == 65)
+  }
+
+  test("AnnIndex.maintenancePolicy empty-cell mass floor: a below-floor cell decides ok, growth rule never fires from a zero base") {
+    val rnd = new scala.util.Random(89)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annfloor").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    def decisions(minMassNum: Int, minMassDen: Int): Map[Int, String] = AnnIndex
+      .maintenancePolicy(spark, dir, minMassNum = minMassNum, minMassDen = minMassDen)
+      .select($"cell", $"decision")
+      .as[(Int, String)]
+      .collect()
+      .toMap
+    // simulate a cell the fit never saw: drop one populated cell's row
+    // from the occupancy anchor (fit_n reads 0, its rows still stand)
+    val occPath = s"$dir/occupancy"
+    val occ = spark.read.parquet(occPath).as[(Int, Long)].collect().sortBy(_._1).toSeq
+    val victim = occ.head._1
+    val victimNow = occ.head._2
+    assert(victimNow > 1, "fixture must give the victim cell real mass")
+    occ.filterNot(_._1 == victim).toDF("__cid", "fit_n")
+      .coalesce(1).write.mode("overwrite").parquet(occPath)
+    // above the floor (the victim holds real mass, floor = 1/20 of the
+    // mean): the empty-cell rule flags refit
+    assert(decisions(1, 20)(victim) == "refit", "an above-floor empty cell must flag refit")
+    // below a floor of 100x the mean occupancy (unreachable for any cell
+    // of a 3-cell index): the empty-cell rule is gated AND the growth
+    // rule must not fire from fit_n = 0 (it would be vacuously true) —
+    // single fit layer, so fragmentation says ok
+    assert(decisions(100, 1)(victim) == "ok", "a below-floor empty cell must fall through to ok")
+    // the other cells' decisions are floor-invariant
+    occ.tail.foreach { case (c, _) => assert(decisions(1, 20)(c) == decisions(100, 1)(c)) }
   }
 
   test("AnnIndex.load accepts format v4 on read (no forced re-save of existing indexes)") {
