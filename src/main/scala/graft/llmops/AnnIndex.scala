@@ -136,19 +136,21 @@ object AnnIndex {
   // [[delete]] and [[vacuum]] each acquire an ADVISORY lease before
   // touching anything and release it when they return: a `_MAINTAINER`
   // marker under `dir`, created with the filesystem's create-exclusive
-  // primitive (the one atomic operation every Hadoop FileSystem offers),
-  // carrying an owner tag and a monotonically increasing integer epoch
-  // (persisted in `_MAINTAINER_EPOCH` by the holder — only the holder
-  // writes it, so the record itself is race-free). A second maintainer
-  // arriving while the lease is held FAILS LOUDLY before any write —
-  // the racing compact+append-era failure (a committed append layer
-  // silently stranded in a superseded generation) becomes an exception
-  // naming the holder. Readers ([[load]], [[probeIvfPq]], [[staleness]],
-  // [[maintenancePolicy]]) never touch the lease; [[append]] is the
-  // streaming-ingest side and deliberately stays outside it (its own
-  // idempotence contract covers replays; its documented exclusion zone
-  // is an in-flight compact, which the lease now makes detectable:
-  // quiesce ingest, take the lease, maintain, release).
+  // primitive, carrying an owner tag and an integer epoch. The epoch
+  // high-water record `_MAINTAINER_EPOCH` is written BEFORE the
+  // exclusive create, so it is always >= every epoch a lease file has
+  // ever carried — losers of the create race may inflate it, which only
+  // widens the gap (epochs can skip, never regress). A second
+  // maintainer arriving while the lease is held FAILS LOUDLY before any
+  // write — the racing compact+append-era failure (a committed append
+  // layer silently stranded in a superseded generation) becomes an
+  // exception naming the holder. Readers ([[load]], [[probeIvfPq]],
+  // [[staleness]], [[maintenancePolicy]]) never touch the lease;
+  // [[append]] is the streaming-ingest side and deliberately stays
+  // outside it (its own idempotence contract covers replays; its
+  // documented exclusion zone is an in-flight compact, which the lease
+  // now makes detectable: quiesce ingest, take the lease, maintain,
+  // release).
   //
   // Crash recovery is an OPERATOR decision, not wall-clock magic: a
   // maintainer that dies mid-op leaves its lease behind (its writes are
@@ -158,11 +160,25 @@ object AnnIndex {
   // hint, never part of the semantics), and retries the op with
   // `breakLeaseEpoch = Some(<that epoch>)`: the takeover deletes the
   // stale lease ONLY if it still carries exactly that epoch (a lease
-  // that changed hands since inspection is refused — re-inspect), and
-  // the new grant's epoch is strictly above every epoch ever granted,
-  // so a zombie of the broken maintainer can never release or reclaim
-  // it: release verifies the lease still carries the releaser's own
-  // epoch and fails loudly otherwise.
+  // that changed hands since inspection is refused — re-inspect), the
+  // new grant's epoch lands strictly above both the record and the
+  // broken epoch, and release verifies the lease still carries the
+  // releaser's own epoch before deleting, so a zombie of the broken
+  // maintainer fails loudly at its release instead of unlocking the new
+  // holder.
+  //
+  // Honest limits — this is an ADVISORY lease over plain files, not a
+  // lock service: (a) exclusivity rides create-no-overwrite, which is
+  // atomic on HDFS and POSIX filesystems but CHECK-THEN-PUT on S3A-style
+  // object stores — two simultaneous acquirers there can both succeed;
+  // front maintenance with an external mutex on such stores if two live
+  // maintainers are possible at all. (b) The takeover's epoch-match
+  // delete and release's verify-then-delete are check-then-act: a
+  // holder that is in fact ALIVE during a takeover (operator error by
+  // definition — takeover requires confirming death) can interleave in
+  // the gap. The lease turns the silent multi-writer corruption class
+  // into loud failures on real filesystems and narrows it everywhere
+  // else; it does not replace operational discipline.
   // ------------------------------------------------------------------
 
   private val LeaseName = "_MAINTAINER"
@@ -200,14 +216,29 @@ object AnnIndex {
     finally out.close()
   }
 
-  /** The highest lease epoch ever granted under `dir` (0 when none) —
-    * written by each holder right after its exclusive create succeeds,
-    * so only ever written under the lease.
+  /** The lease-epoch high-water record under `dir` (0 when none): an
+    * upper bound that is >= every epoch any lease file has ever carried,
+    * because every acquirer writes its candidate epoch here BEFORE
+    * attempting the exclusive create (losers inflate it — harmless,
+    * epochs may skip but never regress). A concurrent overwrite can
+    * leave a torn read; that fails LOUDLY here with the recovery named,
+    * never silently as a regressed epoch.
     */
   private[llmops] def lastGrantedEpoch(spark: SparkSession, dir: String): Long = {
     val fs = hadoopFs(spark, dir)
     val p = new Path(dir, LeaseEpochName)
-    if (!fs.exists(p)) 0L else readSmallFile(fs, p).trim.toLong
+    if (!fs.exists(p)) 0L
+    else {
+      val raw = readSmallFile(fs, p).trim
+      try raw.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"$p is unreadable ('$raw') — torn by a concurrent acquire or corrupted; if no maintainer " +
+              "is live, delete the file (epochs restart above any held lease via breakLeaseEpoch) and retry"
+          )
+      }
+    }
   }
 
   private def acquireLease(
@@ -215,11 +246,23 @@ object AnnIndex {
       dir: String,
       op: String,
       owner: String,
-      breakLeaseEpoch: Option[Long]
+      breakLeaseEpoch: Option[Long],
+      createDir: Boolean
   ): Long = {
+    require(
+      owner.nonEmpty && owner.length <= 128 && owner.forall(c => c >= ' ' && c != 0x7f),
+      s"leaseOwner must be 1-128 printable characters without newlines (got ${owner.take(160)})"
+    )
     val fs = hadoopFs(spark, dir)
     val root = new Path(dir)
-    if (!fs.exists(root)) fs.mkdirs(root)
+    if (!fs.exists(root)) {
+      // only save may create the directory — a typo'd path handed to
+      // compact/refit/delete/vacuum must fail before ANY write, not
+      // leave a junk directory with lease bookkeeping in it
+      if (!createDir)
+        throw new IllegalArgumentException(s"$dir does not exist — not a saved AnnIndex")
+      fs.mkdirs(root)
+    }
     val leaseP = new Path(dir, LeaseName)
     breakLeaseEpoch.foreach { e =>
       maintainerLease(spark, dir) match {
@@ -236,6 +279,11 @@ object AnnIndex {
       }
     }
     val epoch = math.max(lastGrantedEpoch(spark, dir), breakLeaseEpoch.getOrElse(0L)) + 1
+    // high-water record FIRST, lease second: the record is always >= any
+    // epoch a lease file can carry, so a later takeover's
+    // max(record, broken)+1 grant can never duplicate a granted epoch —
+    // even when this acquirer stalls or loses the create race below
+    writeSmallFile(fs, new Path(dir, LeaseEpochName), epoch.toString, overwrite = true)
     try writeSmallFile(fs, leaseP, s"epoch=$epoch owner=$owner", overwrite = false)
     catch {
       case e: java.io.IOException if fs.exists(leaseP) =>
@@ -250,7 +298,6 @@ object AnnIndex {
           e
         )
     }
-    writeSmallFile(fs, new Path(dir, LeaseEpochName), epoch.toString, overwrite = true)
     epoch
   }
 
@@ -277,9 +324,10 @@ object AnnIndex {
       dir: String,
       op: String,
       owner: String,
-      breakLeaseEpoch: Option[Long]
+      breakLeaseEpoch: Option[Long],
+      createDir: Boolean = false
   )(body: => A): A = {
-    val epoch = acquireLease(spark, dir, op, owner, breakLeaseEpoch)
+    val epoch = acquireLease(spark, dir, op, owner, breakLeaseEpoch, createDir)
     try {
       val r = body
       releaseLease(spark, dir, epoch)
@@ -586,7 +634,7 @@ object AnnIndex {
       breakLeaseEpoch: Option[Long] = None
   ): Unit = {
     val spark = index.centroids.sparkSession
-    withLease(spark, dir, "save", leaseOwner, breakLeaseEpoch) {
+    withLease(spark, dir, "save", leaseOwner, breakLeaseEpoch, createDir = true) {
       val fs = hadoopFs(spark, dir)
       if (committedVersions(spark, dir).isEmpty) {
         // fresh index: nothing committed exists, so nothing can be lost —
@@ -609,7 +657,6 @@ object AnnIndex {
         // what they loaded, as with compact/refit)
         val next = codesVersions(spark, dir).map(_._1).max + 1
         writeGeneration(spark, dir, index, next, FitBatchId.toLong, absorbed = Seq.empty)
-        tombstoneV4RootMeta(spark, dir)
       }
     }
   }
@@ -621,6 +668,11 @@ object AnnIndex {
     * commit point — a crash anywhere earlier leaves an uncommitted
     * generation no reader selects). Shared by [[refit]] and the
     * overwrite arm of [[save]] so the two commit paths cannot diverge.
+    * The v4-root tombstone is written BEFORE the marker: a crash between
+    * the two leaves a v4 binary failing loudly on a still-valid v4 index
+    * (safe direction), where tombstone-after-marker would leave the
+    * committed self-contained generation silently mispaired with the
+    * stale root fit on pre-v5 binaries.
     */
   private def writeGeneration(
       spark: SparkSession,
@@ -641,21 +693,27 @@ object AnnIndex {
     writeFitTables(idx, gen)
     writeOccupancy(spark, s"$gen/__batch=$FitBatchId", gen)
     writeAbsorbedBatches(spark, gen, absorbed)
+    tombstoneV4RootMeta(spark, dir)
     // the commit point — everything above is invisible until this lands
     writeAbsorbedMarker(spark, new Path(gen), hwm)
   }
 
-  /** After committing a generation that carries its own fit layers onto
-    * an index whose ROOT meta still says v4: rewrite the root meta's
-    * version field to [[FormatVersion]]. A pre-v5 reader binary checks
-    * the ROOT meta only — against a v4 root it would happily pair the
-    * stale root centroids/codebooks with the new generation's codes and
-    * probe SILENTLY WRONG under deployment skew; the bumped version is
-    * the tombstone it trips on, turning the mixed-binary read into a
-    * loud version error. Safe to rewrite: v5 readers of the new
-    * generation resolve the generation's own meta ([[fitRoot]]), never
-    * the root's, and already-pinned readers collected their meta row at
-    * load time.
+  /** When a generation carrying its own fit layers is about to commit
+    * onto an index whose ROOT meta still says v4: rewrite the root
+    * meta's version field to [[FormatVersion]]. A pre-v5 reader binary
+    * checks the ROOT meta only — against a v4 root it would happily pair
+    * the stale root centroids/codebooks with the new generation's codes
+    * and probe SILENTLY WRONG under deployment skew; the bumped version
+    * is the tombstone it trips on, turning the mixed-binary read into a
+    * loud version error. Runs BEFORE the new generation's commit marker
+    * (see [[writeGeneration]]) so a crash between the two fails v4
+    * binaries loudly on a still-valid index — the safe direction.
+    * Readers: v5 loads of the new generation resolve the generation's
+    * own meta ([[fitRoot]]), never the root's; already-pinned readers
+    * collected their meta row at load time. One narrow LOUD race
+    * remains: a load() resolving a root-fit generation exactly while the
+    * one-file overwrite swaps `meta/` can fail transiently
+    * (FileNotFound) and should simply retry — never silent wrongness.
     */
   private def tombstoneV4RootMeta(spark: SparkSession, dir: String): Unit = {
     val fs = hadoopFs(spark, dir)
@@ -1076,11 +1134,10 @@ object AnnIndex {
     val absorbed = absorbedBatchRows(spark, cur)
     val next = codesVersions(spark, dir).map(_._1).max + 1
     val idx = fitIvfPq(corpus, idCol, vecCol, cells, iters, seed, pqM, pqKs, pqIters, dim)
+    // writeGeneration also tombstones a v4-era root meta (before its
+    // commit marker): a pre-v5 reader binary would otherwise pair the
+    // stale ROOT fit with this generation's codes and rank silently wrong
     writeGeneration(spark, dir, idx, next, hwm, absorbed)
-    // a v4-era root meta would let a pre-v5 reader binary pair the stale
-    // ROOT fit with this generation's codes — tombstone it (loud version
-    // error instead of silently wrong ranks under deployment skew)
-    tombstoneV4RootMeta(spark, dir)
   }
 
   /** Reclaim superseded code generations. `keepGenerations` (round 17)

@@ -1365,7 +1365,12 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     AnnIndex.compact(spark, dir, breakLeaseEpoch = Some(2L))
     assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v2", "the takeover compact must commit")
     assert(AnnIndex.maintainerLease(spark, dir).isEmpty, "lease released on commit")
-    assert(AnnIndex.lastGrantedEpoch(spark, dir) == 3L, "a takeover grant must exceed every earlier epoch")
+    // epoch record: save granted 1; the three REFUSED acquirers above each
+    // inflated the high-water record (2, 3, 4 — written before the
+    // exclusive create, deliberately: the record must bound every epoch a
+    // lease could ever carry, and skipping is harmless where regressing
+    // is not); the takeover then granted max(4, broken 2) + 1 = 5
+    assert(AnnIndex.lastGrantedEpoch(spark, dir) == 5L, "a takeover grant must exceed every earlier epoch")
     // (d) an IN-PROCESS failure releases the lease (only a process death
     // leaves one behind): refit's empty-corpus refusal must not wedge
     intercept[IllegalArgumentException] {
@@ -1375,6 +1380,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     // and a fresh acquire still works after the failure
     AnnIndex.vacuum(spark, dir, keepGenerations = 0)
     assert(AnnIndex.codesVersions(spark, dir).map(_._1) == Seq(2))
+    // (e) an owner tag that would corrupt the line-oriented lease record
+    // is refused up front (a newline would make the holder's own release
+    // see an unparseable lease and wedge the index)
+    val badOwner = intercept[IllegalArgumentException] {
+      AnnIndex.compact(spark, dir, leaseOwner = "team\nnode-3")
+    }
+    assert(badOwner.getMessage.contains("printable"))
+    assert(AnnIndex.maintainerLease(spark, dir).isEmpty)
+    // (f) maintenance ops against a nonexistent path fail BEFORE any
+    // write — no junk directory, no lease bookkeeping left behind
+    // (only save may create the directory)
+    val ghost = s"$dir-TYPO-does-not-exist"
+    val noDir = intercept[IllegalArgumentException] { AnnIndex.vacuum(spark, ghost) }
+    assert(noDir.getMessage.contains("does not exist"))
+    assert(!new java.io.File(ghost).exists(), "a refused op must not create the directory")
   }
 
   test("AnnIndex.vacuum retention window: a pre-compact reader survives the default vacuum, keepGenerations=0 is the full reclaim") {
@@ -1598,6 +1618,32 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     meta.withColumn("version", lit(3)).coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     val bad = intercept[IllegalArgumentException] { AnnIndex.load(spark, dir) }
     assert(bad.getMessage.contains("unsupported AnnIndex format version 3"))
+  }
+
+  test("AnnIndex refit of a v4-root index tombstones the root meta so pre-v5 binaries fail loudly") {
+    val rnd = new scala.util.Random(67)
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => (i % 3 * 5).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "v").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annv4tomb").toString
+    AnnIndex.save(
+      AnnIndex.fitIvfPq(df, "vec_id", "v", cells = 3, iters = 2, pqM = 2, pqKs = 4, pqIters = 2, dim = 8),
+      dir
+    )
+    // age the root meta to v4 (layout-identical: no per-generation fit layers)
+    val meta = spark.read.parquet(s"$dir/meta").withColumn("version", lit(4)).localCheckpoint(true)
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    assert(spark.read.parquet(s"$dir/meta").head().getAs[Int]("version") == 4)
+    // refit writes a self-contained generation: a v4 binary would pair the
+    // STALE root fit with its codes — the root meta version must now trip it
+    AnnIndex.refit(spark, dir, df, "vec_id", "v", cells = 3, iters = 2, seed = 7L, pqM = 2, pqKs = 4, pqIters = 2, dim = 8)
+    val root = spark.read.parquet(s"$dir/meta").head()
+    assert(root.getAs[Int]("version") == 5, "refit over a v4 root must tombstone the root meta version")
+    assert(root.getAs[Int]("cells") == 3, "tombstone must only touch the version field")
+    // v5 readers resolve the refit generation's own fit layers as usual
+    val loaded = AnnIndex.load(spark, dir)
+    assert(loaded.seed == 7L && loaded.codes.count() == 30)
   }
 
   test("AnnIndex.maintenancePolicy: decisions clear after the maintenance they prescribe") {
