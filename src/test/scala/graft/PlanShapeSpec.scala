@@ -61,6 +61,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     "llm_ann_index_refit_recall",
     "llm_ann_index_filtered",
     "llm_ann_index_policy",
+    "llm_ann_index_resave",
     "llm_ann_lsh_clustered",
     "llm_semdedup",
     "llm_semdedup_capped",
