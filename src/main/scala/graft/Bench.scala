@@ -286,6 +286,7 @@ object Bench {
     "llm_ann_kmeans_sampled_recall",
     "llm_ann_ivf_pq_recall",
     "llm_ann_index_drift_recall",
+    "llm_ann_index_filtered_recall",
     "llm_ann_index_refit_recall",
     "llm_ann_clustered_recall",
     "llm_ann_xtable_recall",

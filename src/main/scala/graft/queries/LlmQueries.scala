@@ -2661,6 +2661,83 @@ object LlmQueries {
           .select("qid", "nid", "rank")
       }
     ),
+    // Recall ledger for the FILTERED probe (round 17, completing ledger
+    // coverage of every probe form): the filtered ANN top-5 (idFilter on
+    // the index side, k filling from matching survivors) overlapped
+    // against the brute-force top-5 computed under the SAME predicate —
+    // the answer-quality price of quantized filtered search, certified by
+    // DuckDB recomputing both sides. Two rows per query like the PQ-loss
+    // ledger: 'filtered_rerank' (the registered operating point —
+    // measured recall 1.0 at sf0.01: the 50-deep shortlist covers the
+    // 5-deep filtered truth even though the predicate shrinks each cell's
+    // pool ~7x) and 'filtered_adc' (no rerank — what codebook compression
+    // alone costs when fewer survivors compete). Verification-only
+    // (brute baseline).
+    QueryDef(
+      "llm_ann_index_filtered_recall",
+      Some {
+        import AnnOracles._
+        s"""WITH $clusteredCte,
+           |$kmeansQuantCte,
+           |${kmeansFitCtes(cells = 8, iters = 2, seed = 42L)},
+           |${pqCtes(dim = Dim, m = 8, ks = 32, pqIters = 2, seed = 42L)},
+           |${pqIvfTopCte(k = 5, nprobe = 2, iters = 2, rerank = 50, idxFilter = "kpp.id % 7 = 1")},
+           |fbrf AS (SELECT a.id AS qid, b.id AS nid FROM cf a JOIN cf b
+           |  ON a.id <> b.id AND b.id % 7 = 1
+           |  QUALIFY row_number() OVER (PARTITION BY a.id
+           |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.id) <= 5),
+           |hr AS (SELECT p.qid, count(*) AS c FROM pqrr p JOIN fbrf USING (qid, nid) GROUP BY 1),
+           |ha AS (SELECT p.qid, count(*) AS c FROM (SELECT qid, nid FROM pqtop WHERE rnk <= 5) p
+           |       JOIN fbrf USING (qid, nid) GROUP BY 1),
+           |rows_ AS (
+           |  SELECT 'filtered_rerank' AS method, CAST(coalesce(hr.c, 0) AS BIGINT) AS hits
+           |  FROM (SELECT id AS qid FROM cf) q LEFT JOIN hr USING (qid)
+           |  UNION ALL
+           |  SELECT 'filtered_adc' AS method, CAST(coalesce(ha.c, 0) AS BIGINT) AS hits
+           |  FROM (SELECT id AS qid FROM cf) q LEFT JOIN ha USING (qid))
+           |SELECT method, hits, CAST(count(*) AS BIGINT) AS n FROM rows_ GROUP BY 1, 2""".stripMargin
+      },
+      (spark, sf) => {
+        val fx = clusteredFixture(spark, sf).localCheckpoint(true)
+        val dir = tmpDir("llm_ann_index_filtered_recall")
+        AnnIndex.save(
+          AnnIndex.fitIvfPq(fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = EmbDim),
+          dir
+        )
+        val loaded = AnnIndex.load(spark, dir)
+        val pred: org.apache.spark.sql.Column = col("__nid") % 7 === 1
+        // exact baseline under the SAME predicate on the candidate side —
+        // deliberate O(n * survivors) brute cross, verification-only
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+        val brute = fx
+          .select(col("vec_id").as("qid"), col("v").as("__qv"))
+          .crossJoin(fx.filter(col("vec_id") % 7 === 1).select(col("vec_id").as("nid"), col("v").as("__cv")))
+          .filter(col("qid") =!= col("nid"))
+          .withColumn("cos", Similarity.cosine(col("__qv"), col("__cv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("qid", "nid")
+          .localCheckpoint(true) // read by both histograms
+        def hist(method: String, approx: org.apache.spark.sql.DataFrame) = {
+          val hits = approx.select("qid", "nid").join(brute, Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("__c"))
+          fx.select(col("vec_id").as("qid"))
+            .join(hits, Seq("qid"), "left")
+            .select(coalesce(col("__c"), lit(0L)).as("hits"))
+            .groupBy("hits")
+            .agg(count(lit(1)).as("n"))
+            .select(lit(method).as("method"), col("hits"), col("n"))
+        }
+        hist(
+          "filtered_rerank",
+          AnnIndex.probeIvfPq(loaded, fx, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true, idFilter = Some(pred))
+        ).unionByName(
+          hist(
+            "filtered_adc",
+            AnnIndex.probeIvfPq(loaded, fx, "vec_id", "v", k = 5, nprobe = 2, excludeSelf = true, idFilter = Some(pred))
+          )
+        )
+      }
+    ),
     // Maintenance policy ledger (round 16; round 17 adds the empty-cell
     // mass floor): SCALE_LEDGER prose as a queryable operator — per cell,
     // occupancy drift (staleness) joined with layer fragmentation (what
