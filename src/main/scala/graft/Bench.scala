@@ -274,12 +274,14 @@ object Bench {
     */
   val verificationOnly: Set[String] = Set(
     "llm_ann_top1",
-    // save-over-existing lifecycle gate: two complete IVF-PQ fits by
-    // construction, and its timed shape (fit + generation write + probe)
-    // is exactly llm_ann_index_refit's, which IS timed — re-timing the
-    // same code path with a redundant extra fit adds bench minutes, not
+    // save-over-existing lifecycle gates: two complete IVF-PQ fits by
+    // construction, and their timed shapes (fit + generation write +
+    // probe; t17 = t16's serve-across-migration stream) are exactly
+    // llm_ann_index_refit's / t16's, which ARE timed — re-timing the
+    // same code paths with a redundant extra fit adds bench minutes, not
     // information
     "llm_ann_index_resave",
+    "t17_stream_probe_across_resave_batch_eq",
     "llm_ann_recall",
     "llm_ann_ivf_auto_recall",
     "llm_ann_kmeans_recall",

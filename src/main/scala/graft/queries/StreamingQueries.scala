@@ -806,6 +806,68 @@ object StreamingQueries {
           .awaitTermination()
         spark.read.parquet(out).dropDuplicates("qid", "nid", "rank")
       }
+    ),
+    // Probe ACROSS a generational save-over (round 17, T16's shape for
+    // the round's new maintenance op): a full re-save — the caller-
+    // supplied-fit form of the quantizer migration — lands between
+    // micro-batches 0 and 1 while the probe stream serves the same query
+    // set each batch, followed by a RETENTION-RESPECTING vacuum (the new
+    // default, keepGenerations = 1) run under live serving: the
+    // superseded generation stays on disk for any reader still pinned to
+    // it, so the vacuum is answer-invisible by construction (where t14
+    // proves the keepGenerations = 0 full reclaim safe because each
+    // micro-batch re-loads). Batch 0 answers from the frozen drifted
+    // fit, batches 1-2 from the fresh fit — the deduped output is the
+    // SET UNION of the two fits' replays, the exact oracle T16 uses,
+    // because save(fitIvfPq(union)) must answer identically to
+    // refit(union). A replayed batch 1 re-runs a deterministic save-over
+    // (same fit, next generation number) — same answers, the maintenance
+    // lease held and released per op.
+    QueryDef(
+      "t17_stream_probe_across_resave_batch_eq",
+      Some(LlmQueries.indexRefitUnionPrunedOracleSql),
+      (spark, sf) => {
+        import graft.llmops.AnnIndex
+        val in = tmpDir("t17_in")
+        val out = tmpDir("t17_out")
+        val ckpt = tmpDir("t17_ckpt")
+        val dir = tmpDir("t17_idx")
+        val fx = LlmQueries.driftedFixture(spark, sf).localCheckpoint(true)
+        val corpus = fx.filter(col("vec_id") % 5 =!= 0)
+        val batch = fx.filter(col("vec_id") % 5 === 0)
+        val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = LlmQueries.EmbDim)
+        AnnIndex.save(idx, dir)
+        AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+        val probeQs = fx.filter(col("vec_id") % 97 === 0).select("vec_id", "v").coalesce(1)
+        (0 until 3).foreach { i =>
+          probeQs.write.mode(if (i == 0) "overwrite" else "append").parquet(in)
+        }
+        spark.readStream
+          .schema("vec_id LONG, v ARRAY<DOUBLE>")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (id == 1L) {
+              val fresh = AnnIndex.fitIvfPq(fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = LlmQueries.EmbDim)
+              AnnIndex.save(fresh, dir) // generational overwrite of the live index
+              AnnIndex.vacuum(spark, dir) // retention default: superseded gen kept for pinned readers
+            }
+            val loaded = AnnIndex.load(spark, dir) // re-load per batch: current generation's fit + codes
+            AnnIndex
+              .probeIvfPqPruned(loaded, b, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+              .select("qid", "nid", "rank")
+              .write
+              .mode("append")
+              .parquet(out)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.read.parquet(out).dropDuplicates("qid", "nid", "rank")
+      }
     )
   )
 
