@@ -812,15 +812,18 @@ object StreamingQueries {
     // supplied-fit form of the quantizer migration — lands between
     // micro-batches 0 and 1 while the probe stream serves the same query
     // set each batch, followed by a RETENTION-RESPECTING vacuum (the new
-    // default, keepGenerations = 1) run under live serving: the
-    // superseded generation stays on disk for any reader still pinned to
-    // it, so the vacuum is answer-invisible by construction (where t14
-    // proves the keepGenerations = 0 full reclaim safe because each
-    // micro-batch re-loads). Batch 0 answers from the frozen drifted
-    // fit, batches 1-2 from the fresh fit — the deduped output is the
-    // SET UNION of the two fits' replays, the exact oracle T16 uses,
-    // because save(fitIvfPq(union)) must answer identically to
-    // refit(union). A replayed batch 1 re-runs a deterministic save-over
+    // default, keepGenerations = 1) run under live serving. The
+    // retention window is OBSERVED, not assumed: a reader loaded BEFORE
+    // the save-over stays pinned across it and probes again in batch 2 —
+    // AFTER the in-stream vacuum — so a retention regression (the
+    // superseded generation reclaimed out from under a live reader)
+    // crashes the gate on missing files instead of sailing through. The
+    // pinned probe re-contributes the frozen fit's rows, which batch 0
+    // already emitted, so the deduped output is STILL the SET UNION of
+    // the two fits' replays — the exact oracle T16 uses, because
+    // save(fitIvfPq(union)) must answer identically to refit(union).
+    // Batch 0 answers from the frozen drifted fit, batches 1-2 from the
+    // fresh fit; a replayed batch 1 re-runs a deterministic save-over
     // (same fit, next generation number) — same answers, the maintenance
     // lease held and released per op.
     QueryDef(
@@ -838,6 +841,10 @@ object StreamingQueries {
         val idx = AnnIndex.fitIvfPq(corpus, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = LlmQueries.EmbDim)
         AnnIndex.save(idx, dir)
         AnnIndex.append(spark, dir, batch, "vec_id", "v", batchId = 0L)
+        // the long-held serving reader: loaded BEFORE the save-over, probed
+        // again AFTER the in-stream vacuum — the T12 pattern the retention
+        // window exists for
+        val pinned = AnnIndex.load(spark, dir)
         val probeQs = fx.filter(col("vec_id") % 97 === 0).select("vec_id", "v").coalesce(1)
         (0 until 3).foreach { i =>
           probeQs.write.mode(if (i == 0) "overwrite" else "append").parquet(in)
@@ -854,10 +861,21 @@ object StreamingQueries {
               AnnIndex.vacuum(spark, dir) // retention default: superseded gen kept for pinned readers
             }
             val loaded = AnnIndex.load(spark, dir) // re-load per batch: current generation's fit + codes
-            AnnIndex
+            val probed = AnnIndex
               .probeIvfPqPruned(loaded, b, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
               .select("qid", "nid", "rank")
-              .write
+            val withPinned =
+              if (id == 2L)
+                // retention observed: the pre-save reader's files must still
+                // exist (vacuum kept its generation); its frozen-fit rows
+                // duplicate batch 0's and vanish in the dedup below
+                probed.unionByName(
+                  AnnIndex
+                    .probeIvfPqPruned(pinned, b, "vec_id", "v", k = 5, nprobe = 2, rerank = 50, rerankFrom = Some(fx), excludeSelf = true)
+                    .select("qid", "nid", "rank")
+                )
+              else probed
+            withPinned.write
               .mode("append")
               .parquet(out)
             ()

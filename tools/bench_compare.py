@@ -5,9 +5,12 @@ Usage: tools/bench_compare.py NEW.json OLD.json [touched_prefix ...]
 
 Implements the read the round notes use every round (the box drifts
 10-15% same-day, so raw totals mislead): per-query median ratios
-new/old, grouped into a CONTROL group (contract/relational o*/q* —
-zero code changes in a typical round) vs the named TOUCHED prefixes,
-plus the list of queries moving > 1.5x against the control median.
+new/old, grouped into a CONTROL group (contract/relational o*/q* minus
+any touched prefixes) vs the named TOUCHED prefixes, plus the list of
+queries moving > 1.5x against the control median. Queries that cannot
+be ratioed (zero/old-only/new-only medians) are listed, never silently
+dropped — a query that regressed to an ERROR must not produce a
+cleaner-looking comparison than a slowdown.
 """
 import json
 import statistics
@@ -25,12 +28,19 @@ def medians(path):
 
 
 def main():
+    if len(sys.argv) < 3:
+        sys.stderr.write(__doc__)
+        sys.exit(2)
     new_path, old_path = sys.argv[1], sys.argv[2]
     touched_prefixes = sys.argv[3:] or ["llm_ann_index", "oref_strict_leaf"]
     dn, new = medians(new_path)
     do, old = medians(old_path)
     common = sorted(set(new) & set(old))
-    ratios = {q: new[q] / old[q] for q in common if old[q] > 0}
+    zeroed = [q for q in common if old[q] <= 0 or new[q] <= 0]
+    ratios = {q: new[q] / old[q] for q in common if old[q] > 0 and new[q] > 0}
+
+    def is_touched(q):
+        return any(q.startswith(p) for p in touched_prefixes)
 
     def group(pred, label):
         qs = [q for q in ratios if pred(q)]
@@ -41,17 +51,39 @@ def main():
         print(f"{label}: n={len(qs)} median-ratio={med:.3f}")
         return med
 
-    control = group(lambda q: q.startswith(("o", "q")) and not q.startswith("oref_strict"), "control o*/q* (untouched)")
-    group(lambda q: q.startswith(("t2", "t3", "t4", "t5", "t6", "t7", "t8", "t9", "t10", "t11")), "streaming control t2-t11")
+    # the control must be DISJOINT from the touched prefixes, or a touched
+    # o*/q* query would inflate the very baseline its regression is judged by
+    control = group(
+        lambda q: q.startswith(("o", "q")) and not is_touched(q),
+        "control o*/q* (untouched)",
+    )
+    group(
+        lambda q: q.startswith(tuple(f"t{i}" for i in range(2, 12))) and not is_touched(q),
+        "streaming control t2-t11",
+    )
     for p in touched_prefixes:
         group(lambda q, p=p: q.startswith(p), f"touched '{p}'")
     if control:
-        movers = {q: r / control for q, r in ratios.items() if r / control > 1.5}
+        movers = {q: round(r / control, 3) for q, r in ratios.items() if r / control > 1.5}
         print("movers >1.5x vs control median:", json.dumps(movers) if movers else "none")
-    print(f"totals: new value={dn.get('value')} total_min={dn.get('total_min')} | old value={do.get('value')} total_min={do.get('total_min')}")
+    print(
+        f"totals: new value={dn.get('value')} total_min={dn.get('total_min')} | "
+        f"old value={do.get('value')} total_min={do.get('total_min')}"
+    )
+    # visibility for everything that could not be ratioed
     only_new = sorted(set(new) - set(old))
+    only_old = sorted(set(old) - set(new))
     if only_new:
         print("new-only queries:", {q: new[q] for q in only_new})
+    if only_old:
+        print("OLD-ONLY queries (removed, or ERRORED in the new run — check the new artifact's errors):",
+              {q: old[q] for q in only_old})
+    if zeroed:
+        print("unratioable (zero median on one side):", sorted(zeroed))
+    for label, art in (("new", dn), ("old", do)):
+        errs = art.get("errors") or art.get("topup_errors")
+        if errs:
+            print(f"{label} artifact carries errors:", errs)
 
 
 if __name__ == "__main__":
