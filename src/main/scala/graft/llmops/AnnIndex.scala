@@ -76,6 +76,16 @@ object AnnIndex {
     * [[load]] they are plain parquet scans pinned to the generation that
     * was current at load time; after [[fitIvfPq]] they are snapshotted
     * fit outputs.
+    *
+    * `generation` (round 18) is the `codes_v<N>` number this handle is
+    * pinned to when it came from [[load]], and [[UnsavedGeneration]] (−1)
+    * for an in-memory fit that was never loaded from disk. It exists so
+    * an OPERATOR can answer "is anything still serving codes_vN?" with
+    * evidence before an aggressive `vacuum(keepGenerations = 0)`:
+    * compare each live handle's `generation` against
+    * [[retainedGenerations]] — the cheap inspection point for the
+    * count-window-vs-long-reader gap ([[vacuum]] retains N maintenance
+    * cycles, not "until my reader is done").
     */
   final case class IvfPqIndex(
       dim: Int,
@@ -85,8 +95,14 @@ object AnnIndex {
       seed: Long,
       centroids: DataFrame,
       codebooks: DataFrame,
-      codes: DataFrame
+      codes: DataFrame,
+      generation: Int = UnsavedGeneration
   )
+
+  /** [[IvfPqIndex.generation]] of a handle that did not come from
+    * [[load]] — an in-memory fit is pinned to no on-disk generation.
+    */
+  val UnsavedGeneration: Int = -1
 
   /** v5 (round 16) makes the FIT layers generation-scoped so [[refit]]
     * can migrate the index to a fresh quantizer without mutating anything
@@ -129,6 +145,43 @@ object AnnIndex {
   private def hadoopFs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Retry `body` on the TRANSIENT read miss a concurrent
+    * [[tombstoneV4RootMeta]] meta swap can cause (round 18): the one-file
+    * `meta/` overwrite deletes-then-writes, so a read landing exactly in
+    * the gap sees FileNotFound / path-does-not-exist. Bounded (default 3
+    * attempts, short linear backoff) and NARROW — only a missing-file
+    * shape retries; any other failure, and the final miss, propagate
+    * unchanged. The swap is a two-smallfile window, so one retry
+    * virtually always lands; the bound keeps a genuinely deleted index
+    * failing loudly instead of spinning.
+    */
+  private[llmops] def retryTransientRead[A](what: String, attempts: Int = 3, backoffMs: Long = 50L)(
+      body: => A
+  ): A = {
+    def isTransientMiss(t: Throwable): Boolean =
+      Iterator
+        .iterate(t)(_.getCause)
+        .takeWhile(_ != null)
+        .take(8)
+        .exists {
+          case _: java.io.FileNotFoundException => true
+          case a: org.apache.spark.sql.AnalysisException =>
+            a.getMessage.contains("PATH_NOT_FOUND") || a.getMessage.contains("does not exist")
+          case _ => false
+        }
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case t: Throwable if attempt < attempts && isTransientMiss(t) =>
+          log.warn(s"transient read miss on $what (attempt $attempt/$attempts, likely a concurrent meta swap) — retrying", t)
+          Thread.sleep(backoffMs * attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable") // while(true) above always returns or throws
+  }
+
   // ------------------------------------------------------------------
   // Maintenance lease (round 17): the single-maintainer contract the
   // mutation ops used to carry only as scaladoc ("do not run
@@ -170,9 +223,14 @@ object AnnIndex {
   // Honest limits — this is an ADVISORY lease over plain files, not a
   // lock service: (a) exclusivity rides create-no-overwrite, which is
   // atomic on HDFS and POSIX filesystems but CHECK-THEN-PUT on S3A-style
-  // object stores — two simultaneous acquirers there can both succeed;
-  // front maintenance with an external mutex on such stores if two live
-  // maintainers are possible at all. (b) The takeover's epoch-match
+  // object stores — two simultaneous acquirers there can both "succeed";
+  // the acquire therefore read-back-verifies its own epoch+owner line
+  // after the create (round 18), so the overwritten loser detects the
+  // usurpation and fails BEFORE any index write. That shrinks the
+  // double-grant window from the whole op to the create race itself;
+  // the residual (both read-backs observing their own write under
+  // eventual consistency) still needs an external mutex on such stores
+  // if two live maintainers are possible at all. (b) The takeover's epoch-match
   // delete and release's verify-then-delete are check-then-act: a
   // holder that is in fact ALIVE during a takeover (operator error by
   // definition — takeover requires confirming death) can interleave in
@@ -241,7 +299,7 @@ object AnnIndex {
     }
   }
 
-  private def acquireLease(
+  private[llmops] def acquireLease(
       spark: SparkSession,
       dir: String,
       op: String,
@@ -284,7 +342,8 @@ object AnnIndex {
     // max(record, broken)+1 grant can never duplicate a granted epoch —
     // even when this acquirer stalls or loses the create race below
     writeSmallFile(fs, new Path(dir, LeaseEpochName), epoch.toString, overwrite = true)
-    try writeSmallFile(fs, leaseP, s"epoch=$epoch owner=$owner", overwrite = false)
+    val granted = s"epoch=$epoch owner=$owner"
+    try writeSmallFile(fs, leaseP, granted, overwrite = false)
     catch {
       case e: java.io.IOException if fs.exists(leaseP) =>
         val held = maintainerLease(spark, dir)
@@ -298,6 +357,25 @@ object AnnIndex {
           e
         )
     }
+    // read-back verify (round 18): on HDFS/POSIX the exclusive create IS
+    // the grant and this re-read trivially confirms it; on an S3A-style
+    // object store where create-no-overwrite is check-then-put, two
+    // simultaneous acquirers can BOTH "succeed" with last-write-wins —
+    // re-reading and requiring exactly our own line makes the loser
+    // detect the usurpation and fail BEFORE any index write, shrinking
+    // the double-grant window from the whole maintenance op to the
+    // create race itself (the residual window — both writes landing and
+    // both read-backs seeing their own content — is store-consistency
+    // physics no file protocol closes; front maintenance with an
+    // external mutex there if two live maintainers are possible at all).
+    val readBack = readSmallFile(fs, leaseP)
+    if (readBack != granted)
+      throw new IllegalStateException(
+        s"$op at $dir: lost the lease create race — wrote '$granted' but the lease file now reads " +
+          s"'$readBack': a concurrent maintainer's create overwrote ours (non-atomic " +
+          "create-no-overwrite, e.g. an object store). Nothing was written; the winner holds the " +
+          "index — wait for it to finish and retry"
+      )
     epoch
   }
 
@@ -404,6 +482,17 @@ object AnnIndex {
     val fs = hadoopFs(spark, dir)
     codesVersions(spark, dir).filter { case (_, p) => isCommitted(fs, p) }
   }
+
+  /** The committed generation numbers currently on disk under `dir`,
+    * ascending — the last is the one a fresh [[load]] would pin
+    * (round 18). The operator-facing inspection point paired with
+    * [[IvfPqIndex.generation]]: before a `vacuum(keepGenerations = 0)`,
+    * check that every live handle's `generation` is the current one —
+    * a pinned reader's generation missing from this list after a vacuum
+    * means its files are gone. One fs listing, no scan.
+    */
+  def retainedGenerations(spark: SparkSession, dir: String): Seq[Int] =
+    committedVersions(spark, dir).map(_._1)
 
   /** The CURRENT code generation: the highest-numbered `codes_v<N>` whose
     * root `_SUCCESS` job-commit marker AND `_ABSORBED_<hwm>` high-water
@@ -535,7 +624,10 @@ object AnnIndex {
           .collect()
           .toSeq
           .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toBigInteger.toString))
-    readAbsorbedBatches(spark, cur) ++ fresh
+    // distinct: a record carried across several folds must not accumulate
+    // duplicate lines (same id REUSED with different content keeps both —
+    // both incarnations were genuinely absorbed)
+    (readAbsorbedBatches(spark, cur) ++ fresh).distinct
   }
 
   private def writeAbsorbedBatches(spark: SparkSession, gen: String, rows: Seq[(Long, Long, String)]): Unit =
@@ -546,11 +638,13 @@ object AnnIndex {
       writeSmallFile(fs, new Path(genP, AbsorbedBatchesName), content, overwrite = true)
     }
 
-  /** The recorded fingerprint of an absorbed batch, if this generation
-    * carries a sidecar line for it.
+  /** The recorded fingerprints of an absorbed batch — possibly several:
+    * an id absorbed pre-resave and then legitimately REUSED for new data
+    * post-resave carries one record per incarnation after the next fold
+    * (both are genuinely absorbed, and a replay of either must certify).
     */
-  private def recordedBatchFingerprint(spark: SparkSession, cur: Path, batchId: Long): Option[(Long, String)] =
-    readAbsorbedBatches(spark, cur).collectFirst { case (b, n, h) if b == batchId => (n, h) }
+  private def recordedBatchFingerprints(spark: SparkSession, cur: Path, batchId: Long): Seq[(Long, String)] =
+    readAbsorbedBatches(spark, cur).collect { case (b, n, h) if b == batchId => (n, h) }
 
   /** Fit the index: coarse k-means ([[Similarity.kmeansCentroids]]) +
     * per-subspace PQ codebooks ([[Similarity.pqCodebooks]]), then ONE
@@ -618,7 +712,19 @@ object AnnIndex {
     *     loss). The superseded generation is reclaimed by [[vacuum]].
     *     Overwriting RESETS the append high-water mark to −1: a re-save
     *     is a fresh index, the documented remedy for restarting a
-    *     stream's batch-id space against a compacted index.
+    *     stream's batch-id space against a compacted index. The
+    *     superseded generation's absorbed-batch fingerprint record IS
+    *     carried, though (round 18, ids-only — refit-invariant), plus a
+    *     fingerprint of every committed append layer being superseded:
+    *     a post-resave at-least-once REPLAY of an old batch is
+    *     fingerprint-detected in [[append]] and no-ops instead of
+    *     silently re-inserting rows the fresh corpus may already carry,
+    *     while id REUSE for new data (mismatching content) still
+    *     inserts. Residual hazard: a batch partially [[delete]]d before
+    *     the re-save records its surviving subset, so a full replay of
+    *     its ORIGINAL content mismatches and inserts — after re-saving
+    *     a delete-bearing index, start new batch ids fresh (or run
+    *     `strictReplay`, which refuses the ambiguous insert).
     *
     * Codes land under the fit layer `__batch=-1`, partitioned by cell id
     * — the probe-side pruning layout documented on the object. Also
@@ -654,9 +760,18 @@ object AnnIndex {
         // overwrite of a committed index: next generation, self-contained
         // fit layers, marker-last — the old index is untouched until the
         // replacement is fully committed (and pinned readers keep probing
-        // what they loaded, as with compact/refit)
+        // what they loaded, as with compact/refit). The superseded
+        // generation's absorbed-batch record is CARRIED (round 18, ids-only
+        // so it survives the new fit's re-encode), including a fingerprint
+        // of each committed append layer being superseded: the hwm resets
+        // to −1 (a re-save is a fresh index — low batch ids are usable for
+        // NEW data again), but a post-resave at-least-once replay of an OLD
+        // batch must no-op instead of silently re-inserting rows the fresh
+        // fit's corpus may already contain — append fingerprint-detects it
+        // against this record (see the pre-hwm check there).
+        val cur = currentCodesPath(spark, dir)
         val next = codesVersions(spark, dir).map(_._1).max + 1
-        writeGeneration(spark, dir, index, next, FitBatchId.toLong, absorbed = Seq.empty)
+        writeGeneration(spark, dir, index, next, FitBatchId.toLong, absorbed = absorbedBatchRows(spark, cur))
       }
     }
   }
@@ -710,10 +825,11 @@ object AnnIndex {
     * binaries loudly on a still-valid index — the safe direction.
     * Readers: v5 loads of the new generation resolve the generation's
     * own meta ([[fitRoot]]), never the root's; already-pinned readers
-    * collected their meta row at load time. One narrow LOUD race
-    * remains: a load() resolving a root-fit generation exactly while the
-    * one-file overwrite swaps `meta/` can fail transiently
-    * (FileNotFound) and should simply retry — never silent wrongness.
+    * collected their meta row at load time. The one narrow race — a
+    * [[load]] or [[maintenancePolicy]] resolving a root-fit generation
+    * exactly while the one-file overwrite swaps `meta/` — is transient
+    * (FileNotFound, never silent wrongness) and absorbed by the bounded
+    * [[retryTransientRead]] both readers wrap the meta read in.
     */
   private def tombstoneV4RootMeta(spark: SparkSession, dir: String): Unit = {
     val fs = hadoopFs(spark, dir)
@@ -880,7 +996,7 @@ object AnnIndex {
       // original batch (one batch-sized aggregate, no index scan), and
       // the no-op is correct even under strictReplay and even if a
       // delete() has since removed some of its rows.
-      val recorded = recordedBatchFingerprint(spark, cur, batchId)
+      val recorded = recordedBatchFingerprints(spark, cur, batchId)
       if (recorded.nonEmpty && recorded.contains(idFingerprint(batch, idCol))) {
         log.warn(
           s"append batchId=$batchId <= absorbed high-water mark $hwm at $dir: no-op " +
@@ -917,6 +1033,41 @@ object AnnIndex {
             "(post-compact replay; every arriving id is already indexed)"
         )
       return
+    }
+    // batchId is ABOVE the hwm here — but it can still be an
+    // already-absorbed batch: save() over a committed index resets the
+    // hwm to −1 while CARRYING the superseded generation's absorbed-batch
+    // fingerprints (round 18), so a post-resave at-least-once replay of a
+    // pre-resave batch arrives with batchId > hwm and a sidecar record.
+    // An exact id-fingerprint match certifies the replay (one batch-sized
+    // aggregate, no index scan) and NO-OPS — re-inserting would duplicate
+    // rows the re-save's corpus may already contain, and if the corpus
+    // intentionally dropped them, resurrect them. A MISMATCHING record is
+    // ambiguous: id reuse for NEW data (legitimate — the re-save IS the
+    // documented fresh-checkpoint remedy, so the default warns with the
+    // evidence and inserts) vs a full replay of a batch partially
+    // delete()d BEFORE the re-save (its record fingerprints the surviving
+    // subset — the insert then re-adds rows sharing already-indexed ids);
+    // strictReplay refuses the ambiguity, as everywhere else.
+    val carried = recordedBatchFingerprints(spark, cur, batchId)
+    if (carried.nonEmpty) {
+      if (carried.contains(idFingerprint(batch, idCol))) {
+        log.warn(
+          s"append batchId=$batchId at $dir: no-op (fingerprint-verified replay of a batch " +
+            "absorbed by a generation superseded by a re-save — the carried sidecar record matches)"
+        )
+        return
+      }
+      val msg =
+        s"append batchId=$batchId at $dir: this batch id was absorbed before a re-save but the " +
+          s"arriving content MISMATCHES its carried fingerprint(s) (recorded (rows, hash) = " +
+          s"${carried.mkString(", ")}) — inserting as NEW data (the post-resave id-reuse remedy). " +
+          "If this is instead a replay of a batch partially delete()d before the re-save, the " +
+          "insert duplicates its surviving ids — use fresh batch ids after a re-save of a " +
+          "delete-bearing index"
+      if (strictReplay)
+        throw new IllegalStateException(msg + " [strictReplay: refusing the ambiguous insert]")
+      log.warn(msg)
     }
     val layer = new Path(cur, s"__batch=$batchId")
     val fs = hadoopFs(spark, dir)
@@ -1333,11 +1484,15 @@ object AnnIndex {
     *     `fit_n > 0` (relative growth from a zero base is the empty-cell
     *     rule's job — without the `fit_n > 0` guard the growth rule is
     *     vacuously true for every post-fit cell and the mass floor would
-    *     be dead code; integer
-    *     cross-multiplications throughout — no floating-point boundary,
-    *     same contract as every auto-knob rule in this library; the
-    *     products stay far inside long range at any realistic scale:
-    *     rows ≤ 1e12 · cells ≤ 1e5 · den ≤ 1e2 < 2^63);
+    *     be dead code; integer cross-multiplications throughout — no
+    *     floating-point boundary, same contract as every auto-knob rule
+    *     in this library. The two-term growth products stay inside long
+    *     range (rows ≤ 1e12 · den ≤ 1e2 = 1e14 < 2^63), but the
+    *     THREE-term mass-floor product does NOT — 1e12 rows · 1e5 cells
+    *     · 1e2 den = 1e19 > 2^63 ≈ 9.2e18, and non-ANSI Spark wraps long
+    *     overflow SILENTLY — so the floor comparison runs in
+    *     decimal(38,0), round 18, where the reference overflow bound is
+    *     1e38);
     *   - `compact` when fragmentation dominates: `layers ≥ minLayers`;
     *   - `ok` otherwise (cells shrunk by [[delete]] report negative
     *     `added` and stay `ok` — removals do not invalidate a fit that
@@ -1371,8 +1526,10 @@ object AnnIndex {
     val gen = currentCodesPath(spark, dir)
     val root = fitRoot(spark, dir, gen)
     // plan literal, like every other knob: the configured cell count of
-    // the fit that anchors the ledger (one tiny meta read)
-    val cells = spark.read.parquet(s"$root/meta").head().getAs[Int]("cells")
+    // the fit that anchors the ledger (one tiny meta read; retried across
+    // a concurrent tombstone's transient swap window, like load)
+    val cells =
+      retryTransientRead(s"$root/meta")(spark.read.parquet(s"$root/meta").head()).getAs[Int]("cells")
     val fit = spark.read
       .parquet(s"$root/occupancy")
       .select(col("__cid").cast("int").as("cell"), col("fit_n"))
@@ -1395,7 +1552,13 @@ object AnnIndex {
         "decision",
         when(
           col("fit_n") === 0 && col("now_n") > 0 &&
-            col("now_n") * lit(cells.toLong) * lit(minMassDen.toLong) >= totalNow * lit(minMassNum.toLong),
+            // decimal(38,0), not long: the three-term product overflows
+            // int64 at realistic bounds (1e12 rows · 1e5 cells · 1e2 den
+            // = 1e19 > 2^63) and non-ANSI long arithmetic wraps silently
+            // — a hot cell would read a negative product and miss its
+            // refit flag
+            col("now_n").cast("decimal(38,0)") * lit(cells.toLong) * lit(minMassDen.toLong) >=
+            totalNow.cast("decimal(38,0)") * lit(minMassNum.toLong),
           lit("refit")
         )
           .when(
@@ -1420,7 +1583,10 @@ object AnnIndex {
     // that produced them
     val gen = currentCodesPath(spark, dir)
     val root = fitRoot(spark, dir, gen)
-    val meta = spark.read.parquet(s"$root/meta").head()
+    // bounded retry: a root-fit meta read can land exactly in a
+    // concurrent tombstone's one-file overwrite window (see
+    // tombstoneV4RootMeta) — transient, never silent wrongness
+    val meta = retryTransientRead(s"$root/meta")(spark.read.parquet(s"$root/meta").head())
     val version = meta.getAs[Int]("version")
     // v4 reads natively under the v5 resolution rules (a v4 index simply
     // has no per-generation fit layers, the exact fallback fitRoot takes),
@@ -1442,7 +1608,8 @@ object AnnIndex {
       // the __batch ingest-layer column (probe semantics are layer-blind);
       // only COMMITTED layers resolve — a half-written append is invisible
       codes = committedCodes(spark, gen)
-        .select("__cid", "__nid", "__codes")
+        .select("__cid", "__nid", "__codes"),
+      generation = gen.getName match { case CodesVersionRe(n) => n.toInt }
     )
   }
 

@@ -823,9 +823,13 @@ object StreamingQueries {
     // the two fits' replays — the exact oracle T16 uses, because
     // save(fitIvfPq(union)) must answer identically to refit(union).
     // Batch 0 answers from the frozen drifted fit, batches 1-2 from the
-    // fresh fit; a replayed batch 1 re-runs a deterministic save-over
-    // (same fit, next generation number) — same answers, the maintenance
-    // lease held and released per op.
+    // fresh fit; a replayed batch 1 SKIPS the maintenance block (the
+    // post-save generation already exists — retainedGenerations sees 2
+    // committed generations) instead of re-running it: an unguarded
+    // re-save would mint codes_v3 and the in-stream vacuum's
+    // keepGenerations=1 window would then slide past codes_v1, yanking
+    // the pinned pre-save reader's files — the replay guard is what
+    // makes the gate actually replay-tolerant (r17 ADVICE).
     QueryDef(
       "t17_stream_probe_across_resave_batch_eq",
       Some(LlmQueries.indexRefitUnionPrunedOracleSql),
@@ -855,7 +859,12 @@ object StreamingQueries {
           .parquet(in)
           .writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-            if (id == 1L) {
+            if (id == 1L && AnnIndex.retainedGenerations(spark, dir).size < 2) {
+              // the generation-count guard makes an at-least-once REPLAY of
+              // this batch skip the maintenance (the save-over already
+              // committed codes_v2) — re-running it would mint codes_v3 and
+              // the vacuum below would slide the retention window past the
+              // pinned reader's codes_v1
               val fresh = AnnIndex.fitIvfPq(fx, "vec_id", "v", cells = 8, iters = 2, seed = 42L, pqM = 8, pqKs = 32, pqIters = 2, dim = LlmQueries.EmbDim)
               AnnIndex.save(fresh, dir) // generational overwrite of the live index
               AnnIndex.vacuum(spark, dir) // retention default: superseded gen kept for pinned readers

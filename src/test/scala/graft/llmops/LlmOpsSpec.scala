@@ -1303,7 +1303,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(gen2.getName == "codes_v2")
     val v2Probe = probed
     assert(v2Probe != v1Probe, "the new fit must actually change answers on this fixture")
-    val marker = gen2.listFiles().find(_.getName.startsWith("_ABSORBED_")).get
+    val marker = gen2.listFiles().find(_.getName.matches("_ABSORBED_-?\\d+")).get // the numeric commit marker, not the _ABSORBED_BATCHES sidecar
     assert(marker.delete())
     assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v1", "markerless refit must be uncommitted")
     assert(probed == v1Probe, "readers must keep the committed generation's fit AND codes")
@@ -1487,7 +1487,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     AnnIndex.save(idx3, dir)
     val gen3 = new java.io.File(AnnIndex.currentCodesPath(spark, dir).toUri.getPath)
     assert(gen3.getName == "codes_v3")
-    val marker = gen3.listFiles().find(_.getName.startsWith("_ABSORBED_")).get
+    val marker = gen3.listFiles().find(_.getName.matches("_ABSORBED_-?\\d+")).get // the numeric commit marker, not the _ABSORBED_BATCHES sidecar
     assert(marker.delete())
     assert(AnnIndex.currentCodesPath(spark, dir).getName == "codes_v2", "a markerless save must be uncommitted")
     assert(probed == withAppend, "a crashed save must leave the working index answering exactly as before")
