@@ -81,11 +81,14 @@ object AnnIndex {
     * pinned to when it came from [[load]], and [[UnsavedGeneration]] (−1)
     * for an in-memory fit that was never loaded from disk. It exists so
     * an OPERATOR can answer "is anything still serving codes_vN?" with
-    * evidence before an aggressive `vacuum(keepGenerations = 0)`:
-    * compare each live handle's `generation` against
-    * [[retainedGenerations]] — the cheap inspection point for the
-    * count-window-vs-long-reader gap ([[vacuum]] retains N maintenance
-    * cycles, not "until my reader is done").
+    * evidence before an aggressive `vacuum(keepGenerations = K)`: the
+    * vacuum keeps only the last K+1 entries of [[retainedGenerations]],
+    * so it is safe iff every live handle's `generation` is in that
+    * SUFFIX (for K = 0: every handle equals the current, last entry —
+    * mere membership in the pre-vacuum list proves nothing). The cheap
+    * inspection point for the count-window-vs-long-reader gap
+    * ([[vacuum]] retains N maintenance cycles, not "until my reader is
+    * done").
     */
   final case class IvfPqIndex(
       dim: Int,
@@ -486,10 +489,13 @@ object AnnIndex {
   /** The committed generation numbers currently on disk under `dir`,
     * ascending — the last is the one a fresh [[load]] would pin
     * (round 18). The operator-facing inspection point paired with
-    * [[IvfPqIndex.generation]]: before a `vacuum(keepGenerations = 0)`,
-    * check that every live handle's `generation` is the current one —
-    * a pinned reader's generation missing from this list after a vacuum
-    * means its files are gone. One fs listing, no scan.
+    * [[IvfPqIndex.generation]]: `vacuum(keepGenerations = K)` retains
+    * only the LAST K+1 of these, so before running it check that every
+    * live handle's `generation` lies in that suffix (for K = 0: equals
+    * the current, last entry — mere membership in the pre-vacuum list
+    * proves nothing) — a pinned reader's generation missing from this
+    * list after a vacuum means its files are gone. One fs listing, no
+    * scan.
     */
   def retainedGenerations(spark: SparkSession, dir: String): Seq[Int] =
     committedVersions(spark, dir).map(_._1)
@@ -596,15 +602,41 @@ object AnnIndex {
     * folded now. Collected driver-side: bounded by the absorbed-batch
     * count, the same cardinality as the `__batch=` directory listing.
     */
+  /** Driver-side cache of parsed sidecars, keyed by file path and
+    * validated by (modificationTime, length): a generation's sidecar is
+    * immutable once its commit marker lands, but [[append]] consults it
+    * on EVERY call (both the below-hwm certification and the post-resave
+    * carried-record check), and a long-lived index under periodic
+    * compaction accumulates one line per batch ever absorbed — without
+    * the cache each micro-batch would re-read and re-parse the whole
+    * record (a full GET per micro-batch on an object store). With it, a
+    * serving driver pays one metadata stat per append and one full read
+    * per generation it ever touches. The stamp validation keeps an
+    * out-of-band wipe-and-recreate of the same path from serving stale
+    * records.
+    */
+  private val absorbedBatchesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Seq[(Long, Long, String)])]()
+
   private def readAbsorbedBatches(spark: SparkSession, gen: Path): Seq[(Long, Long, String)] = {
     val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(gen, AbsorbedBatchesName)
-    if (!fs.exists(p)) Seq.empty
-    else
-      readSmallFile(fs, p).linesIterator.filter(_.nonEmpty).map { line =>
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    val stamp = (st.getModificationTime, st.getLen)
+    val key = p.toString
+    val cached = absorbedBatchesCache.get(key)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val rows = readSmallFile(fs, p).linesIterator.filter(_.nonEmpty).map { line =>
         val Array(b, n, h) = line.split('\t')
         (b.toLong, n.toLong, h)
       }.toSeq
+      if (absorbedBatchesCache.size > 64) absorbedBatchesCache.clear() // bound: generations-touched, not time
+      absorbedBatchesCache.put(key, (stamp, rows))
+      rows
+    }
   }
 
   private def absorbedBatchRows(spark: SparkSession, cur: Path): Seq[(Long, Long, String)] = {
@@ -719,12 +751,17 @@ object AnnIndex {
     *     a post-resave at-least-once REPLAY of an old batch is
     *     fingerprint-detected in [[append]] and no-ops instead of
     *     silently re-inserting rows the fresh corpus may already carry,
-    *     while id REUSE for new data (mismatching content) still
-    *     inserts. Residual hazard: a batch partially [[delete]]d before
-    *     the re-save records its surviving subset, so a full replay of
-    *     its ORIGINAL content mismatches and inserts — after re-saving
-    *     a delete-bearing index, start new batch ids fresh (or run
-    *     `strictReplay`, which refuses the ambiguous insert).
+    *     while id REUSE for new data (mismatching id set) still inserts.
+    *     The record is IDS-ONLY by necessity (it must survive
+    *     re-encodes), so two shapes remain indistinguishable from a
+    *     replay/reuse: (1) a reused id carrying the SAME id set with
+    *     re-embedded vectors no-ops as a replay — re-embedded vectors
+    *     mean the corpus changed, which is a [[refit]]/re-save, never an
+    *     append; (2) a batch partially [[delete]]d before the re-save
+    *     records its surviving subset, so a full replay of its ORIGINAL
+    *     content mismatches and inserts. After re-saving a delete-bearing
+    *     index, start new batch ids fresh (or run `strictReplay`, which
+    *     refuses the ambiguous insert).
     *
     * Codes land under the fit layer `__batch=-1`, partitioned by cell id
     * — the probe-side pruning layout documented on the object. Also
@@ -1034,41 +1071,6 @@ object AnnIndex {
         )
       return
     }
-    // batchId is ABOVE the hwm here — but it can still be an
-    // already-absorbed batch: save() over a committed index resets the
-    // hwm to −1 while CARRYING the superseded generation's absorbed-batch
-    // fingerprints (round 18), so a post-resave at-least-once replay of a
-    // pre-resave batch arrives with batchId > hwm and a sidecar record.
-    // An exact id-fingerprint match certifies the replay (one batch-sized
-    // aggregate, no index scan) and NO-OPS — re-inserting would duplicate
-    // rows the re-save's corpus may already contain, and if the corpus
-    // intentionally dropped them, resurrect them. A MISMATCHING record is
-    // ambiguous: id reuse for NEW data (legitimate — the re-save IS the
-    // documented fresh-checkpoint remedy, so the default warns with the
-    // evidence and inserts) vs a full replay of a batch partially
-    // delete()d BEFORE the re-save (its record fingerprints the surviving
-    // subset — the insert then re-adds rows sharing already-indexed ids);
-    // strictReplay refuses the ambiguity, as everywhere else.
-    val carried = recordedBatchFingerprints(spark, cur, batchId)
-    if (carried.nonEmpty) {
-      if (carried.contains(idFingerprint(batch, idCol))) {
-        log.warn(
-          s"append batchId=$batchId at $dir: no-op (fingerprint-verified replay of a batch " +
-            "absorbed by a generation superseded by a re-save — the carried sidecar record matches)"
-        )
-        return
-      }
-      val msg =
-        s"append batchId=$batchId at $dir: this batch id was absorbed before a re-save but the " +
-          s"arriving content MISMATCHES its carried fingerprint(s) (recorded (rows, hash) = " +
-          s"${carried.mkString(", ")}) — inserting as NEW data (the post-resave id-reuse remedy). " +
-          "If this is instead a replay of a batch partially delete()d before the re-save, the " +
-          "insert duplicates its surviving ids — use fresh batch ids after a re-save of a " +
-          "delete-bearing index"
-      if (strictReplay)
-        throw new IllegalStateException(msg + " [strictReplay: refusing the ambiguous insert]")
-      log.warn(msg)
-    }
     val layer = new Path(cur, s"__batch=$batchId")
     val fs = hadoopFs(spark, dir)
     if (fs.exists(new Path(layer, "_SUCCESS"))) {
@@ -1122,6 +1124,50 @@ object AnnIndex {
           "must be stable per logical batch and distinct across different batches; overwriting " +
           "would silently lose the earlier batch's rows"
       )
+    }
+    // No committed layer holds this id, and batchId is above the hwm —
+    // but it can still be an already-absorbed batch: save() over a
+    // committed index resets the hwm to −1 while CARRYING the superseded
+    // generation's absorbed-batch fingerprints (round 18), so a
+    // post-resave at-least-once replay of a pre-resave batch arrives here
+    // with a carried sidecar record. An exact id-fingerprint match
+    // certifies the replay (one batch-sized aggregate, no index scan) and
+    // NO-OPS — re-inserting would duplicate rows the re-save's corpus may
+    // already contain, and if the corpus intentionally dropped them,
+    // resurrect them. The record is IDS-ONLY (it must survive re-encodes),
+    // so a reused id carrying the SAME id set with re-embedded vectors
+    // reads as a replay and is dropped too — re-embedded vectors mean the
+    // whole corpus changed, which is a refit/re-save, never an append. A
+    // MISMATCHING record is ambiguous: id reuse for NEW data (legitimate —
+    // the re-save IS the documented fresh-checkpoint remedy, so the
+    // default warns with the evidence and inserts) vs a full replay of a
+    // batch partially delete()d BEFORE the re-save (its record
+    // fingerprints the surviving subset — the insert then re-adds rows
+    // sharing already-indexed ids); strictReplay refuses the ambiguity, as
+    // everywhere else. This check runs ONLY when no committed layer holds
+    // the id: a committed layer's content comparison above is strictly
+    // stronger evidence (codes included), and consulting the carried
+    // record first would mis-handle an exact replay of a post-resave
+    // REUSED layer as "ambiguous".
+    val carried = recordedBatchFingerprints(spark, cur, batchId)
+    if (carried.nonEmpty) {
+      if (carried.contains(idFingerprint(batch, idCol))) {
+        log.warn(
+          s"append batchId=$batchId at $dir: no-op (fingerprint-verified replay of a batch " +
+            "absorbed by a generation superseded by a re-save — the carried sidecar record matches)"
+        )
+        return
+      }
+      val msg =
+        s"append batchId=$batchId at $dir: this batch id was absorbed before a re-save but the " +
+          s"arriving content MISMATCHES its carried fingerprint(s) (recorded (rows, hash) = " +
+          s"${carried.mkString(", ")}) — inserting as NEW data (the post-resave id-reuse remedy). " +
+          "If this is instead a replay of a batch partially delete()d before the re-save, the " +
+          "insert duplicates its surviving ids — use fresh batch ids after a re-save of a " +
+          "delete-bearing index"
+      if (strictReplay)
+        throw new IllegalStateException(msg + " [strictReplay: refusing the ambiguous insert]")
+      log.warn(msg)
     }
     encodeAgainst(load(spark, dir), batch, idCol, vecCol)
       .write

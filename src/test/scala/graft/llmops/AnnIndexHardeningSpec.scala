@@ -221,6 +221,13 @@ class AnnIndexHardeningSpec extends AnyFunSuite with SparkTestSession {
       AnnIndex.load(spark, dir).codes.count() == 61,
       "mismatching content under a carried id is new data and must insert"
     )
+    // (b2) an exact replay of the REUSED committed layer certifies against
+    // the LAYER's content fingerprint (codes included — strictly stronger
+    // evidence than the carried ids-only record, which mismatches): no-op
+    // even under strictReplay — the committed-layer check must run BEFORE
+    // the carried-record ambiguity check
+    AnnIndex.append(spark, dir, freshData, "vec_id", "v", batchId = 0L, strictReplay = true)
+    assert(AnnIndex.load(spark, dir).codes.count() == 61, "an exact replay of the reused layer must certify and no-op")
     // (c) a compact then records BOTH incarnations of batch 0 (the carried
     // pre-resave record and the reused layer's fingerprint) — a replay of
     // EITHER certifies and no-ops, even under strictReplay
