@@ -50,6 +50,12 @@ object native {
 
   def arrayL2Sq(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayL2Sq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def cellTopK(vec: Column, cents: Column, upTo: Int): Column =
+    ExpressionUtils.column(CellTopK(ExpressionUtils.expression(vec), ExpressionUtils.expression(cents), upTo))
+
+  def codewordArgmin(sv: Column, entries: Column): Column =
+    ExpressionUtils.column(CodewordArgmin(ExpressionUtils.expression(sv), ExpressionUtils.expression(entries)))
 }
 
 private[functions] object GenUtil {
@@ -247,6 +253,99 @@ final case class ArrayL2Sq(left: Expression, right: Expression) extends ArrayNum
     NativeMath.l2sq(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], codeA, codeB)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Top-`upTo` centroids by (cosine desc, ncid desc ⇔ cid asc) — the IVF
+  * cell-ranking pass as ONE static kernel call per row (see
+  * [[NativeMath.cellTopK]] for the exact ordering contract). `left` is
+  * the vector column, `right` the broadcast single-row centroid entries
+  * array<struct<__ncid: long, __cv: array<double>>>; output
+  * array<struct<__csim: double, __ncid: long>>, ordered, length
+  * min(upTo, cells).
+  */
+final case class CellTopK(left: Expression, right: Expression, upTo: Int) extends BinaryExpression {
+
+  require(upTo > 0, "upTo must be positive")
+
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override def dataType: DataType = ArrayType(
+    StructType(
+      StructField("__csim", DoubleType, nullable = true) ::
+        StructField("__ncid", LongType, nullable = false) :: Nil
+    ),
+    containsNull = false
+  )
+
+  override def prettyName: String = "cell_top_k"
+
+  @transient private lazy val vcode: Int = NativeMath.typeCode(left.dataType)
+  @transient private lazy val ccode: Int = NativeMath.typeCode(
+    right.dataType
+      .asInstanceOf[ArrayType]
+      .elementType
+      .asInstanceOf[StructType](1)
+      .dataType
+  )
+
+  override protected def nullSafeEval(vec: Any, cents: Any): Any =
+    NativeMath.cellTopK(vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], vcode, ccode, upTo)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"${ev.value} = ${GenUtil.M}.cellTopK($a, $b, $vcode, $ccode, $upTo);"
+    )
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CellTopK =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Argmin codeword by (l2sq asc, cid asc) — the PQ assignment/encode
+  * inner loop as ONE static kernel call per (row, subspace) (see
+  * [[NativeMath.codewordArgmin]]). `left` is the subvector, `right` the
+  * subspace's codeword entries array<struct<__cid: int, __cv:
+  * array<double>>>; output is the winning entry (same struct type), null
+  * when the entries array is empty.
+  */
+final case class CodewordArgmin(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override def dataType: DataType = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def prettyName: String = "codeword_argmin"
+
+  @transient private lazy val scode: Int = NativeMath.typeCode(left.dataType)
+  @transient private lazy val ccode: Int = NativeMath.typeCode(
+    right.dataType
+      .asInstanceOf[ArrayType]
+      .elementType
+      .asInstanceOf[StructType](1)
+      .dataType
+  )
+
+  override protected def nullSafeEval(sv: Any, entries: Any): Any =
+    NativeMath.codewordArgmin(sv.asInstanceOf[ArrayData], entries.asInstanceOf[ArrayData], scode, ccode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val tmp = ctx.freshName("win")
+        s"""
+           |Object $tmp = ${GenUtil.M}.codewordArgmin($a, $b, $scode, $ccode);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $tmp; }
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CodewordArgmin =
     copy(left = newLeft, right = newRight)
 }
 

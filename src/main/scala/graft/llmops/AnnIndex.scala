@@ -706,12 +706,6 @@ object AnnIndex {
     val cb = Similarity
       .pqCodebooks(df, idCol, vecCol, d, pqM, pqKs, pqIters, seed)
       .localCheckpoint(true) // feeds encode AND save
-    val assigned = Similarity
-      .cellRanks(Similarity.quantizedBase(df, idCol, vecCol), broadcast(centroids), 1)
-      .select(col("__id").as("__nid"), col("__cid"))
-    val codes = Similarity
-      .pqEncode(df, idCol, vecCol, cb, d, pqM)
-      .select(col("__id").as("__nid"), col("__codes"))
     IvfPqIndex(
       dim = d,
       cells = cells,
@@ -720,7 +714,13 @@ object AnnIndex {
       seed = seed,
       centroids = centroids,
       codebooks = cb,
-      codes = assigned.join(codes, Seq("__nid")).select("__cid", "__nid", "__codes")
+      // ONE fused map-side pass (round 18): nearest cell and the m code
+      // ids are pure per-row functions of the broadcast fit tables — the
+      // pre-r18 shape computed them as two corpus passes equi-joined on
+      // vector id (two corpus-sized shuffle sides for zero information)
+      codes = Similarity
+        .assignAndEncode(df, idCol, vecCol, centroids, cb, d, pqM)
+        .select("__cid", "__nid", "__codes")
     )
   }
 
@@ -786,6 +786,11 @@ object AnnIndex {
         writeFitTables(index, dir)
         index.codes
           .withColumn("__batch", lit(FitBatchId))
+          // one file per cell (round 18, matching [[writeGeneration]]):
+          // without the repartition every upstream task writes its own
+          // fragment into every cell's partition — tasks × cells files
+          // per fresh save at scale, guide §6's small-files failure mode
+          .repartition(col("__cid"))
           .write
           .mode("overwrite")
           .partitionBy("__batch", "__cid")
@@ -939,15 +944,13 @@ object AnnIndex {
       batch: DataFrame,
       idCol: String,
       vecCol: String
-  ): DataFrame = {
-    val assigned = Similarity
-      .cellRanks(Similarity.quantizedBase(batch, idCol, vecCol), broadcast(index.centroids), 1)
-      .select(col("__id").as("__nid"), col("__cid"))
-    val codes = Similarity
-      .pqEncode(batch, idCol, vecCol, index.codebooks, index.dim, index.pqM)
-      .select(col("__id").as("__nid"), col("__codes"))
-    assigned.join(codes, Seq("__nid")).select("__cid", "__nid", "__codes")
-  }
+  ): DataFrame =
+    // the same fused map-side pass as [[fitIvfPq]]'s codes (round 18) —
+    // an arriving batch is assigned and encoded in one projection against
+    // the broadcast frozen fit, no batch-sized shuffle or join
+    Similarity
+      .assignAndEncode(batch, idCol, vecCol, index.centroids, index.codebooks, index.dim, index.pqM)
+      .select("__cid", "__nid", "__codes")
 
   /** Incremental index maintenance: encode `batch` against the persisted
     * index's frozen centroids/codebooks ([[encodeAgainst]]) and write the
@@ -1699,13 +1702,14 @@ object AnnIndex {
       rerank <= k || rerankFrom.nonEmpty,
       "rerank > k needs rerankFrom (id, vector) to fetch originals from"
     )
+    // no snapshot needed (round 18): the map-side cell-rank pass is read
+    // exactly once here, and it no longer hides a cells× corpus shuffle
     val probed = Similarity
       .cellRanks(
         Similarity.quantizedBase(queries, idCol, vecCol),
-        broadcast(index.centroids),
+        index.centroids,
         nprobe
       )
-      .localCheckpoint(true) // snapshot the broadcast-scoring pass (the ivfPqTopK idiom)
     val orig = rerankFrom
       .getOrElse(queries)
       .select(col(idCol).as("__oid"), col(vecCol).as("__ov"))
@@ -1763,7 +1767,7 @@ object AnnIndex {
     val probed = Similarity
       .cellRanks(
         Similarity.quantizedBase(queries, idCol, vecCol),
-        broadcast(index.centroids),
+        index.centroids,
         nprobe
       )
       .localCheckpoint(true) // read by the cell-list collect AND the rank

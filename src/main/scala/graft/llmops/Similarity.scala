@@ -358,8 +358,11 @@ object Similarity {
     val candidates = lshCandidates(base, tables, planes, seed, math.min(probeBits, planes), probeDepth, dim)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     candidates
-      .join(base.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
+      // candidate-vector fetch first, query-vector fetch LAST: the final
+      // join's hash(qid) partitioning satisfies the rank window — one
+      // exchange fewer per top-k (round 18; inner joins commute)
       .join(base.select(col("__id").as("nid"), col("__v").as("__cv")), "nid")
+      .join(base.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -433,8 +436,10 @@ object Similarity {
       lshCandidatesAgainst(qbase, cbase, tables, planesPerTable, seed, probeBits, probeDepth, targetBucket, dim)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     candidates
-      .join(qbase.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
+      // corpus-vector fetch first, query-vector fetch LAST — the window
+      // rides the final join's hash(qid) exchange (round 18)
       .join(cbase.select(col("__id").as("nid"), col("__v").as("__cv")), "nid")
+      .join(qbase.select(col("__id").as("qid"), col("__v").as("__qv")), "qid")
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -462,18 +467,14 @@ object Similarity {
       nprobe: Int = 2
   ): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val centroids = broadcast(
+    val centroids =
       base.orderBy("__id").limit(cells)
         .select(col("__id").as("__cid"), col("__v").as("__cv"))
-    )
-    // nearest `nprobe` cells per vector (rank 1 = home cell for indexing);
-    // snapshotted because both the index side and the query side read it.
-    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
-    val probed = base
-      .crossJoin(centroids)
-      .withColumn("__csim", cosine(col("__v"), col("__cv")))
-      .withColumn("__crank", row_number().over(wCell))
-      .filter(col("__crank") <= nprobe)
+    // nearest `nprobe` cells per vector (rank 1 = home cell for indexing),
+    // map-side since round 18 (no cells× corpus shuffle — see the
+    // assignment block comment below); snapshotted because both the index
+    // side and the query side read it.
+    val probed = explodeTopCells(base, centroids, col("__v"), nprobe, Seq(col("__id"), col("__v")))
       .select(col("__id"), col("__v"), col("__cid"), col("__crank"))
       .localCheckpoint(true)
     ivfProbeRank(probed, k)
@@ -504,18 +505,13 @@ object Similarity {
   ): DataFrame = {
     val cbase = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val qbase = queries.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val centroids = broadcast(
+    val centroids =
       cbase.orderBy("__id").limit(cells)
         .select(col("__id").as("__cid"), col("__v").as("__cv"))
-    )
-    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
-    def assign(b: DataFrame, n: Int): DataFrame = b
-      .crossJoin(centroids)
-      .withColumn("__csim", cosine(col("__v"), col("__cv")))
-      .withColumn("__crank", row_number().over(wCell))
-      .filter(col("__crank") <= n)
-      .select(col("__id"), col("__v"), col("__cid"))
-      .localCheckpoint(true)
+    def assign(b: DataFrame, n: Int): DataFrame =
+      explodeTopCells(b, centroids, col("__v"), n, Seq(col("__id"), col("__v")))
+        .select(col("__id"), col("__v"), col("__cid"))
+        .localCheckpoint(true)
     val indexed = assign(cbase, 1).select(col("__cid"), col("__id").as("nid"), col("__v").as("__cvv"))
     val probes = assign(qbase, nprobe).select(col("__cid").as("__qcid"), col("__id").as("qid"), col("__v").as("__qv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
@@ -641,16 +637,21 @@ object Similarity {
     // and bought nothing at practical `iters`. qbase (read every round)
     // stays checkpointed above; callers broadcast the returned centroids,
     // which materializes the fit exactly once.
+    //
+    // Assignment is MAP-SIDE since round 18: the pre-r18 round scored
+    // cells via crossJoin(broadcast) and re-grouped by vector id (map-
+    // side max_by, but still one full-corpus exchange per round, vector
+    // payload included). The argmax is a pure per-row function of the
+    // broadcast centroids, so it now rides a transform lambda
+    // ([[bestCellCol]] — identical (sim desc, cid asc) ordering as the
+    // former max_by struct) and the only exchange per round is the
+    // (cells × dim)-row partial-aggregated update — the corpus is read,
+    // never shuffled.
     (1 to iters).foldLeft(init) { (centroids, _) =>
       val assigned = qbase
-        .crossJoin(broadcast(centroids))
-        .withColumn("__sim", cosine(col("__qv"), col("__cv")))
-        .groupBy("__id")
-        .agg(
-          max_by(col("__cid"), struct(col("__sim"), (-col("__cid")).as("__nc"))).as("__cid"),
-          // all rows of a group carry the same __qv — any_value is exact
-          any_value(col("__qv")).as("__qv")
-        )
+        .withColumn("__one", oneKey(col("__id")))
+        .join(centroidEntriesRow(centroids), Seq("__one"))
+        .select((-bestCellCol(col("__qv")).getField("__ncid")).cast("int").as("__cid"), col("__qv"))
       assigned
         .select(col("__cid"), posexplode(col("__qv")).as(Seq("__dim", "__x")))
         .groupBy("__cid", "__dim")
@@ -701,13 +702,8 @@ object Similarity {
       transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double")).as("__qv")
     )
     val centroids =
-      broadcast(kmeansCentroids(df, idCol, vecCol, cells, iters, seed, fitSamplePercent))
-    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
-    val probed = base
-      .crossJoin(centroids)
-      .withColumn("__csim", cosine(col("__qv"), col("__cv")))
-      .withColumn("__crank", row_number().over(wCell))
-      .filter(col("__crank") <= nprobe)
+      kmeansCentroids(df, idCol, vecCol, cells, iters, seed, fitSamplePercent)
+    val probed = explodeTopCells(base, centroids, col("__qv"), nprobe, Seq(col("__id"), col("__v")))
       .select(col("__id"), col("__v"), col("__cid"), col("__crank"))
       .localCheckpoint(true)
     ivfProbeRank(probed, k)
@@ -795,13 +791,8 @@ object Similarity {
       transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double")).as("__qv")
     )
     val centroids =
-      broadcast(kmeansCentroids(df, idCol, vecCol, resolvedCells, iters, seed, fitSamplePercent))
-    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
-    val asg = base
-      .crossJoin(centroids)
-      .withColumn("__csim", cosine(col("__qv"), col("__cv")))
-      .withColumn("__crank", row_number().over(wCell))
-      .filter(col("__crank") === 1)
+      kmeansCentroids(df, idCol, vecCol, resolvedCells, iters, seed, fitSamplePercent)
+    val asg = explodeTopCells(base, centroids, col("__qv"), 1, Seq(col("__id"), col("__v")))
       .select(col("__id"), col("__v"), col("__cid"), col("__csim"))
       .localCheckpoint(true) // both sides of the pair join + the survivor anti-join read it
     // skew cap: block key = rank within cell / maxCell (similarity-ordered
@@ -1035,15 +1026,25 @@ object Similarity {
     // at `iters` this small. The one materialization that matters (subs,
     // read iters+1 times) is checkpointed above; the CALLER checkpoints
     // the returned codebooks if it reads them more than once.
+    // Assignment is MAP-SIDE since round 18 (the k-means round's move,
+    // see [[kmeansCentroids]]): the pre-r18 round broadcast-joined the
+    // codebooks onto the n·m subvector rows and re-grouped by (id, m) —
+    // a full corpus-sized exchange per round just to take each row's own
+    // argmin. The per-m codeword lists ride in one broadcast map and the
+    // argmin is a transform lambda with the identical (d, cid) ordering
+    // as the former min_by struct; the only exchange per round is the
+    // (m·ks × dim)-row partial-aggregated update.
     (1 to iters).foldLeft(init) { (cb, _) =>
       subs
-        .join(broadcast(cb), Seq("__m"))
-        .withColumn("__d", l2sq(col("__sv"), col("__cv")))
-        .groupBy("__id", "__m")
-        .agg(
-          min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("__cid"),
-          // all rows of an (id, m) group carry the same __sv — exact
-          any_value(col("__sv")).as("__sv")
+        .withColumn("__one", oneKey(col("__id")))
+        .join(codebookEntriesByM(cb), Seq("__one"))
+        .select(
+          col("__m"),
+          graft.functions.native
+            .codewordArgmin(col("__sv"), element_at(col("__cbm"), col("__m")))
+            .getField("__cid")
+            .as("__cid"),
+          col("__sv")
         )
         .select(col("__m"), col("__cid"), posexplode(col("__sv")).as(Seq("__dim", "__x")))
         .groupBy("__m", "__cid", "__dim")
@@ -1078,27 +1079,95 @@ object Similarity {
   ): DataFrame = {
     val sub = dim / m
     val qvd = transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double"))
+    // Map-side since round 18: the pre-r18 shape exploded every vector to
+    // m subvector rows, broadcast-joined the codebooks, and re-grouped
+    // TWICE (argmin per (id, m), then collect per id) — two full-corpus
+    // shuffles per encode pass for a decision that is a pure function of
+    // the row. The per-m codeword lists now ride in one broadcast map
+    // ([[codebookEntriesByM]]) and each row computes its m argmins in a
+    // transform lambda (same native l2sq kernel, same (d, cid) ordering
+    // as the former min_by struct) — encode is now genuinely "one
+    // broadcast join, no shuffle" at any corpus size.
     df.select(col(idCol).as("__id"), qvd.as("__qv"))
+      .withColumn("__one", oneKey(col("__id")))
+      .join(codebookEntriesByM(codebooks), Seq("__one"))
+      .withColumn("__mc", pqBestPerSubspace(col("__qv"), m, sub))
       .select(
         col("__id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(m - 1)),
-            mm => struct(mm.as("m"), slice(col("__qv"), mm * sub + 1, lit(sub)).as("sv"))
-          )
-        ).as("__e")
+        transform(col("__mc"), s => s.getField("__cid")).as("__codes"),
+        flatten(transform(col("__mc"), s => s.getField("__cv"))).as("__rv")
       )
-      .select(col("__id"), col("__e.m").as("__m"), col("__e.sv").as("__sv"))
-      .join(broadcast(codebooks), Seq("__m"))
-      .withColumn("__d", l2sq(col("__sv"), col("__cv")))
-      .groupBy("__id", "__m")
-      .agg(min_by(struct(col("__cid"), col("__cv")), struct(col("__d"), col("__cid"))).as("__best"))
-      .groupBy("__id")
-      .agg(collect_list(struct(col("__m"), col("__best"))).as("__mc"))
+  }
+
+  /** The PQ codebooks as ONE broadcastable row: (`__cbm` map from
+    * subspace id to its codeword entries array<struct<__cid, __cv>>
+    * sorted by cid, `__one` = 0). The per-m MAP (not a positional array)
+    * for the same reason as [[pqCodebookMap]]: Lloyd's can drop emptied
+    * cells, so (m, cid) keys may be sparse.
+    */
+  private def codebookEntriesByM(cb: DataFrame): DataFrame =
+    broadcast(
+      cb.groupBy(col("__m"))
+        .agg(array_sort(collect_list(struct(col("__cid").as("__cid"), col("__cv").as("__cv")))).as("__es"))
+        .groupBy()
+        .agg(
+          map_from_entries(collect_list(struct(col("__m").as("k"), col("__es").as("v")))).as("__cbm"),
+          min(lit(0)).as("__one")
+        )
+    )
+
+  /** Per-row array of the m winning codewords:
+    * array<struct<__cid, __cv>> in subspace order, each the argmin
+    * codeword by (exact squared L2, cid) of that subspace's slice of
+    * `vec` — exactly the former min_by(struct(cid, cv), struct(d, cid))
+    * per (id, m) group, evaluated without the explode/join/regroup.
+    * Requires `__cbm` in scope (join [[codebookEntriesByM]] first).
+    *
+    * Two-level transform so each subspace SLICE materializes once per
+    * (row, subspace): with the slice inline in the inner lambda it is
+    * re-evaluated (and re-allocated) once per CODEWORD — m·ks slices per
+    * row instead of m, measured at ~1.5× the whole encode pass. The
+    * per-subspace argmin is the native [[graft.functions.CodewordArgmin]]
+    * kernel — one compiled ks×sub loop per (row, subspace) instead of an
+    * interpreted lambda dispatch per codeword.
+    */
+  private def pqBestPerSubspace(vec: Column, m: Int, sub: Int): Column =
+    transform(
+      transform(
+        sequence(lit(0), lit(m - 1)),
+        mm => struct(mm.as("__m"), slice(vec, mm * sub + 1, lit(sub)).as("__sv"))
+      ),
+      p =>
+        graft.functions.native
+          .codewordArgmin(p.getField("__sv"), element_at(col("__cbm"), p.getField("__m")))
+    )
+
+  /** (`__cid`, `__nid`, `__codes`) for every row of `df` in ONE map-side
+    * projection against the broadcast fit tables — the fused
+    * assignment+encode pass shared by [[graft.llmops.AnnIndex.fitIvfPq]]
+    * and [[graft.llmops.AnnIndex.encodeAgainst]]. Replaces the pre-r18
+    * assignment⋈encode equi-join on vector id (two corpus-sized shuffle
+    * sides) with zero exchanges: nearest cell and the m code ids are both
+    * pure functions of (vector, centroids, codebooks).
+    */
+  private[llmops] def assignAndEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int
+  ): DataFrame = {
+    val sub = dim / m
+    quantizedBase(df, idCol, vecCol)
+      .withColumn("__one", oneKey(col("__id")))
+      .join(centroidEntriesRow(centroids), Seq("__one"))
+      .join(codebookEntriesByM(codebooks), Seq("__one"))
       .select(
-        col("__id"),
-        transform(array_sort(col("__mc")), s => s.getField("__best").getField("__cid")).as("__codes"),
-        flatten(transform(array_sort(col("__mc")), s => s.getField("__best").getField("__cv"))).as("__rv")
+        (-bestCellCol(col("__qv")).getField("__ncid")).cast(centroids.schema("__cid").dataType).as("__cid"),
+        col("__id").as("__nid"),
+        transform(pqBestPerSubspace(col("__qv"), m, sub), s => s.getField("__cid")).as("__codes")
       )
   }
 
@@ -1145,21 +1214,28 @@ object Similarity {
   ): DataFrame = {
     val d = resolveDim(df.select(col(idCol).as("__id"), col(vecCol).as("__v")), dim)
     val base = quantizedBase(df, idCol, vecCol)
-    val centroids = broadcast(kmeansCentroids(df, idCol, vecCol, cells, iters, seed))
+    val centroids = kmeansCentroids(df, idCol, vecCol, cells, iters, seed)
     // ONE nprobe-deep centroid scoring pass serves both roles of the
     // self-probe: crank = 1 assigns index cells, crank ≤ nprobe probes
     val probed = cellRanks(base, centroids, nprobe).localCheckpoint(true)
     // read twice (encode + the post-join reconstruction map): snapshot
     // per this file's cache-lifecycle idiom
     val cb = pqCodebooks(df, idCol, vecCol, d, pqM, pqKs, pqIters, seed).localCheckpoint(true)
-    val codes = pqEncode(df, idCol, vecCol, cb, d, pqM)
-      .select(col("__id"), col("__codes"))
     // the INDEX side of the probe join: (cell, id, m code ids) — nothing
-    // vector-sized rides the shuffle
+    // vector-sized rides the shuffle. Codes are computed MAP-SIDE on the
+    // home-cell rows (round 18): the pre-r18 shape pqEncode'd the corpus
+    // separately and equi-joined it back on vector id — a two-sided
+    // corpus shuffle for a per-row pure function of the broadcast
+    // codebooks.
     val index = probed
       .filter(col("__crank") === 1)
-      .select(col("__id").as("__nid"), col("__cid"))
-      .join(codes.withColumnRenamed("__id", "__nid"), Seq("__nid"))
+      .withColumn("__one", oneKey(col("__id")))
+      .join(codebookEntriesByM(cb), Seq("__one"))
+      .select(
+        col("__id").as("__nid"),
+        col("__cid"),
+        transform(pqBestPerSubspace(col("__qv"), pqM, d / pqM), s => s.getField("__cid")).as("__codes")
+      )
     pqAdcRank(
       probed.select(col("__id").as("__qid"), col("__qv"), col("__cid")),
       index,
@@ -1187,20 +1263,146 @@ object Similarity {
       transform(Embeddings.quantizeInt8(col(vecCol)), x => x.cast("double")).as("__qv")
     )
 
+  // -------------------------------------------------------------------
+  // Map-side cell assignment (round 18). The pre-r18 shape scored cells
+  // via crossJoin(broadcast centroids) and ranked them with a
+  // row_number() window partitioned by vector id — which SHUFFLES the
+  // cells×-expanded corpus (vector payload included) once per
+  // assignment/probe pass, purely to pick each row's own top cells. The
+  // decision needs nothing from other rows, so it is computable per row:
+  // attach ALL centroids as one broadcast single-row array (the
+  // pqCodebookMap idiom), score them in a `transform` lambda (the same
+  // native `cosine` kernel — interpreted dispatch per centroid, compiled
+  // loop per evaluation), order with the struct that replicates the
+  // window's (csim DESC, cid ASC) exactly, and posexplode the top slice.
+  // Zero exchanges where the window form shuffled cells× corpus bytes
+  // (guide §2.4: remove shuffles outright). Bit-identical ordering:
+  // sort_array(struct(csim, −cid), desc) compares csim desc then −cid
+  // desc ⇔ cid asc, with Spark's total double ordering (NaN greatest =
+  // first under desc) — the same ordering the window used.
+  // -------------------------------------------------------------------
+
+  /** Non-foldable always-0 join key derived from an attribute — a literal
+    * key would be pushed down as a filter and degrade the attach join to
+    * a nested loop (see [[pqCodebookMap]]).
+    */
+  private def oneKey(c: Column): Column = pmod(xxhash64(c), lit(1)).cast("int")
+
+  /** All centroids as ONE broadcastable row:
+    * (`__cents` array<struct<__ncid, __cv>> sorted, `__one` = 0). `__ncid`
+    * is the NEGATED cell id so the per-row top-k sort is a plain struct
+    * sort_array desc (csim desc, cid asc) with no per-element negation.
+    */
+  private def centroidEntriesRow(centroids: DataFrame): DataFrame =
+    broadcast(
+      centroids
+        .groupBy()
+        .agg(
+          array_sort(
+            collect_list(struct((-col("__cid")).cast("long").as("__ncid"), col("__cv").as("__cv")))
+          ).as("__cents"),
+          min(lit(0)).as("__one")
+        )
+    )
+
+  /** Per-row top-`upTo` cells of `__cents` by (cosine desc, cid asc) —
+    * array<struct<__csim, __ncid>>, already ordered. Requires `__cents`
+    * in scope (join [[centroidEntriesRow]] first). Native kernel (one
+    * compiled loop per row); the interpreted HOF form
+    * `slice(sort_array(transform(cents, struct(cosine, ncid)), desc), 1,
+    * upTo)` is bit-identical but pays a lambda dispatch per CENTROID —
+    * measured ~0.4 µs each, which at the √n production cell-count rule
+    * would dominate the pass (LlmOpsSpec pins kernel ≡ HOF equality).
+    */
+  private def topCellsCol(vec: Column, upTo: Int): Column =
+    graft.functions.native.cellTopK(vec, col("__cents"), upTo)
+
+  /** HOF reference formulation of [[topCellsCol]] — spec-only, the
+    * bit-identity oracle for the native kernel.
+    */
+  private[llmops] def topCellsHof(vec: Column, cents: Column, upTo: Int): Column =
+    slice(
+      sort_array(
+        transform(
+          cents,
+          e => struct(cosine(vec, e.getField("__cv")).as("__csim"), e.getField("__ncid").as("__ncid"))
+        ),
+        asc = false
+      ),
+      1,
+      upTo
+    )
+
+  /** The single best cell by (cosine desc, cid asc) as one
+    * struct<__csim, __ncid> — [[topCellsCol]] at upTo = 1. Requires
+    * `__cents` in scope.
+    */
+  private def bestCellCol(vec: Column): Column =
+    element_at(graft.functions.native.cellTopK(vec, col("__cents"), 1), 1)
+
+  /** Explicit partition count for the probe-side repartition below:
+    * the configured shuffle width, floored at the cluster's core count.
+    * Derived from the session, never a constant — scales with the
+    * deployment, and an explicit count is exactly what keeps AQE from
+    * coalescing it away (see [[explodeTopCells]]).
+    */
+  private def probeParallelism(df: DataFrame): Int = {
+    val ss = df.sparkSession
+    math.max(ss.sparkContext.defaultParallelism, ss.sessionState.conf.numShufflePartitions)
+  }
+
+  /** Append (`__cid`, `__crank`, `__csim`) per kept row by exploding the
+    * per-row top-`upTo` cells — the shared assignment/probe pass. `keep`
+    * lists the base columns to carry through; `vec` is the column scored
+    * against the centroids (quantized or original, caller's contract).
+    *
+    * Ends with ONE explicit-width repartition on `__cid` — the key every
+    * downstream candidate join uses. This is the pass's only exchange,
+    * and it REPLACES exchanges rather than adding one: the pre-r18 shape
+    * paid the window's cells×-payload exchange here PLUS the candidate
+    * join's own two exchanges; now both join sides inherit this
+    * hash(__cid) partitioning and the join plans with no exchange at
+    * all. The width is explicit ([[probeParallelism]]) because AQE's
+    * byte-based coalescing would fold the compact probe table into one
+    * partition and serialize the candidate-pair expansion downstream —
+    * the classic AQE blind spot: it sizes by exchange bytes, not by the
+    * join fan-out behind them (measured: the whole IVF pair join ran as
+    * a single task at bench scale, 1.5× the query's wall time).
+    */
+  private def explodeTopCells(
+      base: DataFrame,
+      centroids: DataFrame,
+      vec: Column,
+      upTo: Int,
+      keep: Seq[Column]
+  ): DataFrame = {
+    // the kernel's ncid rides as long; restore the caller's cid type
+    // (int for k-means fits, long for the identity quantizer) exactly
+    val cidType = centroids.schema("__cid").dataType
+    base
+      .withColumn("__one", oneKey(col("__id")))
+      .join(centroidEntriesRow(centroids), Seq("__one"))
+      .select(keep :+ posexplode(topCellsCol(vec, upTo)).as(Seq("__pos", "__tc")): _*)
+      .select(
+        keep ++ Seq(
+          (-col("__tc.__ncid")).cast(cidType).as("__cid"),
+          (col("__pos") + 1).as("__crank"),
+          col("__tc.__csim").as("__csim")
+        ): _*
+      )
+      .repartition(probeParallelism(base), col("__cid"))
+  }
+
   /** Rank centroids per vector by quantized cosine (deterministic cid
     * tie-break) and keep ranks ≤ `upTo`: `upTo = 1` is index-side cell
-    * assignment, `upTo = nprobe` is query-side probing. Centroids ride
-    * in broadcast; the output is (`__id`, `__qv`, `__cid`, `__crank`).
+    * assignment, `upTo = nprobe` is query-side probing. Map-side since
+    * round 18 (see the block comment above); the output is
+    * (`__id`, `__qv`, `__cid`, `__crank`), bit-identical to the former
+    * crossJoin+window form.
     */
-  private[llmops] def cellRanks(base: DataFrame, centroids: DataFrame, upTo: Int): DataFrame = {
-    val wCell = Window.partitionBy("__id").orderBy(col("__csim").desc, col("__cid"))
-    base
-      .crossJoin(centroids)
-      .withColumn("__csim", cosine(col("__qv"), col("__cv")))
-      .withColumn("__crank", row_number().over(wCell))
-      .filter(col("__crank") <= upTo)
+  private[llmops] def cellRanks(base: DataFrame, centroids: DataFrame, upTo: Int): DataFrame =
+    explodeTopCells(base, centroids, col("__qv"), upTo, Seq(col("__id"), col("__qv")))
       .select(col("__id"), col("__qv"), col("__cid"), col("__crank"))
-  }
 
   /** The PQ codebooks as a single-row broadcast (m·ks)-entry map keyed by
     * `m·ks + cid` (a MAP, not a positional array — Lloyd's can drop
@@ -1256,7 +1458,12 @@ object Similarity {
     // wall-clock at sf0.1. The candidate join reuses this partitioning
     // (same key), so the repartition adds no extra exchange.
     val reconIndex = index
-      .repartition(col("__cid"))
+      // explicit width (round 18): matches the probe side's hash(__cid, P)
+      // from [[explodeTopCells]], so the candidate join plans with no
+      // exchange on either side; a width-less repartition here would be
+      // AQE-coalesced to one partition at small exchange sizes and
+      // serialize the pair expansion (see [[explodeTopCells]])
+      .repartition(probeParallelism(index), col("__cid"))
       // non-foldable constant key on BOTH sides (pmod(attr, 1) ≡ 0): see
       // [[pqCodebookMap]] — plans as a 1-row BroadcastHashJoin,
       // constant-cost at any scale
@@ -1289,8 +1496,14 @@ object Similarity {
       val wr = Window.partitionBy("__qid").orderBy(col("__exact").desc, col("__nid"))
       adcTop
         .select(col("__qid"), col("__nid"))
-        .join(orig.withColumnRenamed("__oid", "__qid").withColumnRenamed("__ov", "__qfull"), Seq("__qid"))
+        // candidate-vector fetch FIRST, query-vector fetch LAST (round 18):
+        // the final join's hash(__qid) partitioning satisfies the rank
+        // window's partitionBy(__qid), so the window rides the join's
+        // exchange instead of adding its own (guide §2.4 — two operations
+        // keyed the same way share one exchange). Inner joins commute;
+        // results are identical.
         .join(orig.withColumnRenamed("__oid", "__nid").withColumnRenamed("__ov", "__nfull"), Seq("__nid"))
+        .join(orig.withColumnRenamed("__oid", "__qid").withColumnRenamed("__ov", "__qfull"), Seq("__qid"))
         .withColumn("__exact", cosine(col("__qfull"), col("__nfull")))
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= k)
