@@ -16,10 +16,13 @@ import org.apache.spark.sql.SparkSession
   * the query list, not 3 back-to-back runs per query) so a minutes-long
   * host-contention spike lands on at most one of a query's runs and the
   * median votes it out. min/max per query are kept in "stats". Queries
-  * that measure heavy (median ≥ 5 s) or noisy (spread > 1.5×) after the
-  * base passes are topped up to 5 samples (round-12 stabilization of the
-  * expensive ANN tier), and the compact line carries the 5 slowest
-  * queries' [min, median, max, runs] as "top_spread".
+  * that measure heavy (median ≥ 5 s) or noisy (spread > 1.5× at a ≥ 2 s
+  * median) after the base passes are topped up to 5 samples (round-12
+  * stabilization of the expensive ANN tier; round 19 bounds the phase to
+  * a global [[TOPUP_BUDGET]] allocated slowest-first after the unbounded
+  * phase blew the round-18 wall-clock window — see the constants' docs),
+  * and the compact line carries the 5 slowest queries'
+  * [min, median, max, runs] as "top_spread".
   *
   * Two tiers:
   *   - `headline` — the scale-representative entry per operator family;
@@ -75,8 +78,37 @@ object Bench {
     * sub-second queries that way, paying ~160 extra runs for noise
     * nobody was misled by. Heavy (≥ [[HEAVY_SECONDS]]) queries top up
     * regardless of spread.
+    *
+    * Round 19 (VERDICT r18 #1): raised 0.5 → 2.0 s. On the round-18 box
+    * the 0.5 s floor let ~90 sub-2 s queries trip the spread rule (105
+    * top-ups vs 52 in r17 — ~2 extra passes over half the suite), and the
+    * driver's bench run blew its wall-clock window: rc=124, NO official
+    * perf numbers for the round. A sub-2 s query's spread moves no tier
+    * total a reader acts on; the heavy rule (≥ 5 s, spread-independent)
+    * is untouched.
     */
-  val NOISE_FLOOR_SECONDS = 0.5
+  val NOISE_FLOOR_SECONDS = 2.0
+
+  /** Global top-up budget (round 19, VERDICT r18 #1): the adaptive top-up
+    * phase may add at most this many EXTRA runs in total, allocated
+    * slowest-first (by base-pass median) — the queries whose medians move
+    * the totals most get their 5-sample noise protection first, and the
+    * phase's wall-clock is bounded by construction instead of scaling
+    * with however noisy the box happens to be (the r18 failure mode: an
+    * unbounded phase re-ran half the suite and the driver killed the
+    * whole bench, losing every number). The base timing protocol (3/5
+    * interleaved passes, medians, noop sink) is unchanged.
+    */
+  val TOPUP_BUDGET = 40
+
+  /** Verification-only queries top up to 3 samples, not 5 (round 19):
+    * their single base run exists to document a baseline's cost, not to
+    * make a throughput claim — a median-of-3 votes out one host outlier,
+    * which is what the round-13 phantom-regression fix actually needed,
+    * and the 2 saved runs each are exactly the bench's most expensive
+    * rows (20–40 s O(n²) ledgers).
+    */
+  val VONLY_HEAVY_RUNS = 3
 
   /** Streaming/stateful queries (t2-t9) run 5 passes instead of 3: round 8
     * showed a single host-contention spike can drag a 3-run median (t7 ran
@@ -123,6 +155,29 @@ object Bench {
   private[graft] def needsTopUp(xs: List[Double]): Boolean =
     median(xs) >= HEAVY_SECONDS ||
       (median(xs) >= NOISE_FLOOR_SECONDS && xs.max > NOISE_SPREAD * xs.min)
+
+  /** Slowest-first bounded allocation of the top-up budget (round 19):
+    * given the top-up candidates with their base samples, returns
+    * (name → extra runs) in execution order — sorted by base median
+    * descending (name tie-break), each taking up to its target
+    * ([[VONLY_HEAVY_RUNS]] for verification-only, else [[HEAVY_RUNS]])
+    * minus what it already holds, until `budget` runs are spent.
+    */
+  private[graft] def allocateTopUp(
+      candidates: Seq[(String, List[Double])],
+      isVonly: String => Boolean,
+      budget: Int
+  ): Seq[(String, Int)] = {
+    var left = budget
+    candidates
+      .sortBy { case (n, xs) => (-median(xs), n) }
+      .flatMap { case (n, xs) =>
+        val target = if (isVonly(n)) VONLY_HEAVY_RUNS else HEAVY_RUNS
+        val take = math.min(target - xs.length, left)
+        if (take > 0) { left -= take; Some(n -> take) }
+        else None
+      }
+  }
 
   /** Both tier totals — median-sum (the headline) and min-sum (the
     * noise-robust floor: a median inflated by host contention moves the
@@ -282,6 +337,23 @@ object Bench {
     // information
     "llm_ann_index_resave",
     "t17_stream_probe_across_resave_batch_eq",
+    // round 19 (VERDICT r18 #6): three more gates whose TIMED shape is a
+    // strict duplicate of an already-timed gate plus a sub-second
+    // metadata ledger — multi-run timing re-measures the duplicate, not
+    // the gate's own semantics:
+    //   - staleness = append's exact fit+save+append construction (same
+    //     fixture, knobs, split) + the occupancy-diff ledger;
+    //   - policy = compact's exact fit+save+3×append construction + the
+    //     threshold-rule ledger (reads the same occupancy + layer
+    //     listing);
+    //   - pruned = lifecycle's exact fit(full)+save+load + the pruned
+    //     probe that llm_ann_index_filtered times WITH its extra
+    //     predicate on the same batch (the no-filter branch differs by
+    //     one filter expression only).
+    // All three stay registered, oracle-gated, and timed once.
+    "llm_ann_index_staleness",
+    "llm_ann_index_policy",
+    "llm_ann_index_pruned",
     "llm_ann_recall",
     "llm_ann_ivf_auto_recall",
     "llm_ann_kmeans_recall",
@@ -402,20 +474,30 @@ object Bench {
     plan.foreach { case (name, pass) => execute(name, s"pass $pass") }
 
     // adaptive heavy-tier top-up: interleaved extra passes until every
-    // heavy/noisy query holds HEAVY_RUNS samples (selection is sticky on
-    // the base-pass measurement so a lucky extra run can't drop a query
-    // out of its own top-up mid-flight). Covers BOTH tiers including
-    // heavy verification-only ledgers (see needsTopUp); queries already
-    // holding HEAVY_RUNS samples (the streaming tier) are not re-listed
+    // heavy/noisy query holds its target sample count (selection is
+    // sticky on the base-pass measurement so a lucky extra run can't drop
+    // a query out of its own top-up mid-flight). Covers BOTH tiers
+    // including heavy verification-only ledgers (see needsTopUp); queries
+    // already holding their target (the streaming tier) are not re-listed
     // (ADVICE r12: heavy_topped_up must name what actually topped up).
-    val heavy: Seq[String] = (selHead ++ selSec)
+    // Round 19: the phase is BOUNDED — extra runs are allocated
+    // slowest-first from a global TOPUP_BUDGET, so a noisy box inflates
+    // nothing beyond the budget (see the constant's doc).
+    val candidates: Seq[(String, List[Double])] = (selHead ++ selSec)
       .filter(n => !skippedAtBench(n))
       .filter(n => samples.contains(n) && !errors.contains(n))
-      .filter(n => samples(n).length < HEAVY_RUNS)
       .filter(n => needsTopUp(samples(n)))
+      .map(n => n -> samples(n))
+    val allocation = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    allocateTopUp(candidates, verificationOnly, TOPUP_BUDGET).foreach { case (n, k) => allocation(n) = k }
+    val heavy: Seq[String] = allocation.keys.toSeq
+    val topupRunsUsed = allocation.values.sum
     (1 to HEAVY_RUNS).foreach { extra =>
       heavy.foreach { n =>
-        if (samples.get(n).exists(_.length < HEAVY_RUNS)) execute(n, s"top-up $extra", isTopUp = true)
+        if (allocation(n) > 0) {
+          allocation(n) -= 1
+          execute(n, s"top-up $extra", isTopUp = true)
+        }
       }
     }
 
@@ -457,7 +539,7 @@ object Bench {
           .format(totalMin)},"queries":$qs,"stats":$headStats,"secondary":$secQs,"secondary_stats":$secStats,"secondary_total":${"%.3f"
           .format(secTotal)},"secondary_total_min":${"%.3f".format(secTotalMin)},"heavy_topped_up":${heavy.sorted
           .map(jstr)
-          .mkString("[", ",", "]")},"noise_outliers":${outliers
+          .mkString("[", ",", "]")},"topup_budget":$TOPUP_BUDGET,"topup_runs_used":$topupRunsUsed,"noise_outliers":${outliers
           .map(jstr)
           .mkString("[", ",", "]")},"verification_only":${verificationOnly.toSeq.sorted
           .map(jstr)
@@ -507,7 +589,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val prefix =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","total_min":${"%.3f".format(totalMin)},"runs":$RUNS,""" +
-        s""""stream_runs":$STREAM_RUNS,"heavy_runs":$HEAVY_RUNS,"heavy_n":${heavy.length},"top_spread":$topSpread,"noise_outliers_n":${outliers.length},""" +
+        s""""stream_runs":$STREAM_RUNS,"heavy_runs":$HEAVY_RUNS,"heavy_n":${heavy.length},"topup_budget":$TOPUP_BUDGET,"topup_runs_used":$topupRunsUsed,"top_spread":$topSpread,"noise_outliers_n":${outliers.length},""" +
         s""""queries_timed":${slowest.length},"errors_n":${errors.size},"topup_errors_n":${topupErrors.size},""" +
         s""""secondary_total":${"%.3f".format(secTotal)},"secondary_total_min":${"%.3f".format(secTotalMin)},""" +
         s""""skipped":${skippedAtBench.toSeq.sorted.map(jstr).mkString("[", ",", "]")},""" +

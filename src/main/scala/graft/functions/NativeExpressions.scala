@@ -56,6 +56,17 @@ object native {
 
   def codewordArgmin(sv: Column, entries: Column): Column =
     ExpressionUtils.column(CodewordArgmin(ExpressionUtils.expression(sv), ExpressionUtils.expression(entries)))
+
+  /** Per-group bottom-`k` of `e` by its natural (struct) ordering, as ONE
+    * partially-aggregated pass — Spark's own bounded-top-k collector
+    * (`CollectTopK`), exposed via the aggregate-package shim. The result
+    * array's order is undefined; `sort_array` it before using positions.
+    */
+  def collectBottomK(e: Column, k: Int): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectShim
+        .collectBottomK(ExpressionUtils.expression(e), k)
+    )
 }
 
 private[functions] object GenUtil {

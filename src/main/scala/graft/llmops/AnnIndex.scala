@@ -615,10 +615,26 @@ object AnnIndex {
     * out-of-band wipe-and-recreate of the same path from serving stale
     * records.
     */
-  private val absorbedBatchesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Seq[(Long, Long, String)])]()
+  /** LRU, bounded at [[AbsorbedCacheMaxEntries]] (round 19, VERDICT r18
+    * #8): the former clear-all-at-65 wiped every hot generation's record
+    * whenever a 65th distinct generation was touched — correct (the next
+    * read re-parses) but O(all-hot-paths re-read) on exactly the
+    * long-lived multi-index drivers the cache exists for. Access-ordered
+    * LinkedHashMap evicts only the coldest entry; all access goes through
+    * the map's own synchronized wrapper (reads mutate LRU order, so a
+    * ConcurrentHashMap would not be safe here anyway).
+    */
+  private[llmops] val AbsorbedCacheMaxEntries = 64
+  private[llmops] val absorbedBatchesCache: java.util.Map[String, ((Long, Long), Seq[(Long, Long, String)])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, ((Long, Long), Seq[(Long, Long, String)])](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, ((Long, Long), Seq[(Long, Long, String)])]
+        ): Boolean = size() > AbsorbedCacheMaxEntries
+      }
+    )
 
-  private def readAbsorbedBatches(spark: SparkSession, gen: Path): Seq[(Long, Long, String)] = {
+  private[llmops] def readAbsorbedBatches(spark: SparkSession, gen: Path): Seq[(Long, Long, String)] = {
     val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(gen, AbsorbedBatchesName)
     val st =
@@ -633,7 +649,6 @@ object AnnIndex {
         val Array(b, n, h) = line.split('\t')
         (b.toLong, n.toLong, h)
       }.toSeq
-      if (absorbedBatchesCache.size > 64) absorbedBatchesCache.clear() // bound: generations-touched, not time
       absorbedBatchesCache.put(key, (stamp, rows))
       rows
     }

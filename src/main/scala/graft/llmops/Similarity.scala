@@ -607,28 +607,44 @@ object Similarity {
     val qbase = sampled.select(col(idCol).as("__id"), qvd.as("__qv")).localCheckpoint(true)
     // Enforce the documented invariant instead of silently degrading: a
     // too-aggressive fitSamplePercent (or an empty input) would otherwise
-    // produce fewer than `cells` centroids via the limit() below and
-    // quietly change ivfTopKKmeans' nprobe semantics. One cheap count job
-    // on the already-checkpointed (ids + quantized vecs) sample.
-    val sampleRows = qbase.limit(cells).count()
+    // produce fewer than `cells` centroids via the init below and quietly
+    // change ivfTopKKmeans' nprobe semantics. One cheap guard job on the
+    // already-checkpointed sample — it ships `cells` INTs (the projected
+    // vector sizes), and the first row doubles as the dimensionality
+    // probe the fused update aggregation below needs (round 19): same
+    // single job the former `limit(cells).count()` guard paid.
+    val guard = qbase.limit(cells).select(size(col("__qv")).as("__d")).collect()
+    val sampleRows = guard.length
     require(
       sampleRows == cells,
       s"kmeansCentroids: fit sample has only $sampleRows rows but cells=$cells — " +
         s"raise fitSamplePercent (=$fitSamplePercent) or lower cells"
     )
+    val d = guard.head.getInt(0)
     val h = conv(
       substring(md5(concat_ws(":", lit(seed.toString), col("__id").cast("string"))), 1, 8),
       16,
       10
     ).cast("long")
-    // cells rows: the single-partition window is bounded by `cells`
-    val winit = Window.orderBy(col("__h"), col("__id"))
+    // Seeded init = the `cells` smallest rows by (md5 hash, id), cid in
+    // that order. One bounded aggregation pass (round 19): Spark's own
+    // bottom-k collector with map-side partial aggregation — ≤ cells
+    // rows of state per task, ONE exchange of tasks×cells rows — where
+    // the former orderBy+limit+window form paid a TakeOrdered pass PLUS
+    // a single-partition window (two plan stages for the same rows).
+    // Ordering is identical: struct (h, id, qv) compares h then the
+    // unique id, so the selected set and its order match
+    // orderBy(__h, __id).limit(cells) exactly.
     val init = qbase
       .withColumn("__h", h)
-      .orderBy(col("__h"), col("__id"))
-      .limit(cells)
-      .withColumn("__cid", (row_number().over(winit) - 1).cast("int"))
-      .select(col("__cid"), col("__qv").as("__cv"))
+      .groupBy()
+      .agg(
+        sort_array(
+          graft.functions.native.collectBottomK(struct(col("__h"), col("__id"), col("__qv")), cells)
+        ).as("__top")
+      )
+      .select(posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("__p").cast("int").as("__cid"), col("__e.__qv").as("__cv"))
     // NO eager checkpoint between rounds (round 11): each round's
     // centroid table is `cells` rows and rides into the next round as a
     // broadcast exchange, so the whole fit collapses into the consumer's
@@ -645,26 +661,28 @@ object Similarity {
     // broadcast centroids, so it now rides a transform lambda
     // ([[bestCellCol]] — identical (sim desc, cid asc) ordering as the
     // former max_by struct) and the only exchange per round is the
-    // (cells × dim)-row partial-aggregated update — the corpus is read,
-    // never shuffled.
+    // partial-aggregated update — the corpus is read, never shuffled.
+    //
+    // Update aggregation is ONE exchange per round (round 19): per-dim
+    // running sums as `d` codegen'd sum() aggregates over element_at —
+    // the former posexplode + groupBy(cid, dim) + regroup-to-array shape
+    // paid TWO exchanges per round and pushed dim× the rows through the
+    // partial hash agg just to reassemble the array it exploded. Shuffled
+    // state per task: cells rows × (d sums + count) — the same bytes as
+    // before in dim× fewer rows.
+    // int8 values summed as integral doubles: exact below 2^53 — no
+    // reduction-order dependence (per-dim sums are identical to the
+    // exploded form's), and the single division is the only rounding
+    // step, performed once per (cell, dim) in both shapes.
+    val sumCols = (0 until d).map(i => sum(element_at(col("__qv"), i + 1)).as(s"__s$i"))
     (1 to iters).foldLeft(init) { (centroids, _) =>
-      val assigned = qbase
+      qbase
         .withColumn("__one", oneKey(col("__id")))
         .join(centroidEntriesRow(centroids), Seq("__one"))
         .select((-bestCellCol(col("__qv")).getField("__ncid")).cast("int").as("__cid"), col("__qv"))
-      assigned
-        .select(col("__cid"), posexplode(col("__qv")).as(Seq("__dim", "__x")))
-        .groupBy("__cid", "__dim")
-        // int8 values summed as integral doubles: exact below 2^53 — no
-        // reduction-order dependence; the single division is the only
-        // rounding step and both engines perform it once
-        .agg((sum(col("__x")) / count(lit(1))).as("__m"))
         .groupBy("__cid")
-        .agg(collect_list(struct(col("__dim"), col("__m"))).as("__dm"))
-        .select(
-          col("__cid"),
-          transform(array_sort(col("__dm")), s => s.getField("__m")).as("__cv")
-        )
+        .agg(count(lit(1)).as("__n"), sumCols: _*)
+        .select(col("__cid"), array((0 until d).map(i => col(s"__s$i") / col("__n")): _*).as("__cv"))
     }
   }
 
@@ -1002,22 +1020,29 @@ object Similarity {
       16,
       10
     ).cast("long")
-    // per-subspace seeded init as m distributed top-ks jobs (orderBy+limit
-    // = TakeOrdered — no single-task global sort at any n)
-    val init = (0 until m)
-      .map(mm =>
-        subs
-          .filter(col("__m") === mm)
-          .withColumn("__h", h)
-          .orderBy(col("__h"), col("__id"))
-          .limit(ks)
+    // Per-subspace seeded init = the ks smallest (md5 hash, id) rows of
+    // EACH subspace, cid in that order. ONE bounded aggregation pass over
+    // `subs` (round 19): groupBy(__m) with Spark's bottom-k collector —
+    // map-side partial aggregation keeps ≤ ks rows of state per (task,
+    // subspace), the only exchange ships tasks×m×ks rows. The former
+    // shape ran m SEPARATE TakeOrdered passes (each a full scan of the
+    // n·m-row subs table: m reads of the corpus bytes where one
+    // suffices) unioned into a window that re-shuffled by __m anyway —
+    // at bench scale ~2·m extra plan stages per fit, at 100 TB m−1
+    // redundant corpus scans. Ordering is identical: struct
+    // (h, id, sv) compares h then the unique-per-subspace id, so each
+    // subspace's selected set and order match orderBy(__h, __id).limit(ks)
+    // exactly, and cid = position matches the former per-__m row_number.
+    val init = subs
+      .withColumn("__h", h)
+      .groupBy(col("__m"))
+      .agg(
+        sort_array(
+          graft.functions.native.collectBottomK(struct(col("__h"), col("__id"), col("__sv")), ks)
+        ).as("__top")
       )
-      .reduce(_ unionByName _)
-      .withColumn(
-        "__cid",
-        (row_number().over(Window.partitionBy("__m").orderBy(col("__h"), col("__id"))) - 1).cast("int")
-      )
-      .select(col("__m"), col("__cid"), col("__sv").as("__cv"))
+      .select(col("__m"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("__m"), col("__p").cast("int").as("__cid"), col("__e.__sv").as("__cv"))
     // NO eager checkpoint between rounds: each round's codebook is tiny
     // (m·ks rows) and rides into the next round as a broadcast exchange,
     // so the whole fit collapses into the consumer's single job DAG —
@@ -1033,7 +1058,15 @@ object Similarity {
     // argmin. The per-m codeword lists ride in one broadcast map and the
     // argmin is a transform lambda with the identical (d, cid) ordering
     // as the former min_by struct; the only exchange per round is the
-    // (m·ks × dim)-row partial-aggregated update.
+    // partial-aggregated update.
+    // Update aggregation is ONE exchange per round (round 19, the k-means
+    // round's move — see [[kmeansCentroids]]): `sub` codegen'd per-dim
+    // sum() aggregates over element_at replace the posexplode +
+    // groupBy(m, cid, dim) + regroup-to-array pair of exchanges.
+    // Integer-valued doubles summed exactly (per-dim sums identical to
+    // the exploded form's); the single division is the only rounding
+    // step, performed once on both engines.
+    val sumCols = (0 until sub).map(i => sum(element_at(col("__sv"), i + 1)).as(s"__s$i"))
     (1 to iters).foldLeft(init) { (cb, _) =>
       subs
         .withColumn("__one", oneKey(col("__id")))
@@ -1046,17 +1079,12 @@ object Similarity {
             .as("__cid"),
           col("__sv")
         )
-        .select(col("__m"), col("__cid"), posexplode(col("__sv")).as(Seq("__dim", "__x")))
-        .groupBy("__m", "__cid", "__dim")
-        // integer-valued doubles summed exactly; the single division is
-        // the only rounding step, performed once on both engines
-        .agg((sum(col("__x")) / count(lit(1))).as("__mn"))
         .groupBy("__m", "__cid")
-        .agg(collect_list(struct(col("__dim"), col("__mn"))).as("__dm"))
+        .agg(count(lit(1)).as("__n"), sumCols: _*)
         .select(
           col("__m"),
           col("__cid"),
-          transform(array_sort(col("__dm")), s => s.getField("__mn")).as("__cv")
+          array((0 until sub).map(i => col(s"__s$i") / col("__n")): _*).as("__cv")
         )
     }
   }
@@ -1312,7 +1340,8 @@ object Similarity {
     * `slice(sort_array(transform(cents, struct(cosine, ncid)), desc), 1,
     * upTo)` is bit-identical but pays a lambda dispatch per CENTROID —
     * measured ~0.4 µs each, which at the √n production cell-count rule
-    * would dominate the pass (LlmOpsSpec pins kernel ≡ HOF equality).
+    * would dominate the pass (KernelEquivalenceSpec pins kernel ≡ HOF
+    * equality on adversarial inputs, interpreted AND codegen).
     */
   private def topCellsCol(vec: Column, upTo: Int): Column =
     graft.functions.native.cellTopK(vec, col("__cents"), upTo)

@@ -77,17 +77,68 @@ class BenchAccountingSpec extends AnyFunSuite {
     // noisy: spread beyond 1.5x even when fast — the round-11 ivf_kmeans
     // shape (min 4.8, max 13.2) that a 3-run median couldn't de-noise
     assert(Bench.needsTopUp(List(4.8, 10.8, 13.2)))
-    assert(Bench.needsTopUp(List(1.0, 1.0, 1.6)))
+    assert(Bench.needsTopUp(List(2.5, 2.5, 4.0)))
     // fast and stable: stays at 3 runs
     assert(!Bench.needsTopUp(List(1.0, 1.1, 1.2)))
-    // sub-floor jitter is not noise worth 2 extra runs: a 0.2 s query
-    // tripping the 1.5x ratio moves no total a reader can see
+    // sub-floor jitter is not noise worth 2 extra runs (round 19: floor
+    // raised to 2 s after the 0.5 s floor topped up ~90 sub-2 s queries
+    // on the r18 box and the driver bench blew its wall-clock window)
     assert(!Bench.needsTopUp(List(0.2, 0.25, 0.35)))
+    assert(!Bench.needsTopUp(List(1.0, 1.0, 1.6)))
     // even-length median (interrupted top-up) takes the upper median
     assert(math.abs(Bench.median(List(1.0, 2.0, 3.0, 4.0)) - 3.0) < 1e-9)
     // round 13: a single-run verification ledger tops up iff heavy — the
     // r12 hole was exactly 40.9/35.9/29.8/20.5 s queries with runs: 1
     assert(Bench.needsTopUp(List(20.5)))
     assert(!Bench.needsTopUp(List(1.7)))
+  }
+
+  test("top-up allocation is slowest-first, bounded by the global budget (round 19)") {
+    val cands = Seq(
+      "fast_noisy" -> List(2.1, 2.2, 4.0), // median 2.2, wants 2
+      "vonly_heavy" -> List(20.5), // vonly, target 3: wants 2
+      "heavy_a" -> List(9.0, 9.1, 9.2), // wants 2
+      "heavy_b" -> List(6.0, 6.1, 6.2) // wants 2
+    )
+    val vonly: String => Boolean = _ == "vonly_heavy"
+    // unbounded: everyone reaches target, ordered by median desc
+    assert(
+      Bench.allocateTopUp(cands, vonly, 100) ==
+        Seq("vonly_heavy" -> 2, "heavy_a" -> 2, "heavy_b" -> 2, "fast_noisy" -> 2)
+    )
+    // budget 5: slowest-first, the last taker gets the remainder
+    assert(
+      Bench.allocateTopUp(cands, vonly, 5) ==
+        Seq("vonly_heavy" -> 2, "heavy_a" -> 2, "heavy_b" -> 1)
+    )
+    // budget 0: nothing tops up
+    assert(Bench.allocateTopUp(cands, vonly, 0).isEmpty)
+    // a query already holding its target takes nothing (streaming tier at
+    // 5 samples; vonly at 3)
+    assert(
+      Bench.allocateTopUp(Seq("t_stream" -> List(9.0, 9.0, 9.0, 9.0, 9.1)), _ => false, 10).isEmpty
+    )
+    assert(
+      Bench.allocateTopUp(Seq("vonly3" -> List(20.0, 21.0, 22.0)), _ => true, 10).isEmpty
+    )
+  }
+
+  test("round-19 bench-cost gates: redundant-shape index gates are verification-only") {
+    // VERDICT r18 #6: staleness/policy/pruned time constructions already
+    // timed by append/compact/lifecycle+filtered — they stay registered
+    // and timed ONCE; the multi-run tier must not re-pay their duplicate
+    // fits (llm_ann_index_resave / t17 are the round-17 precedent).
+    for (
+      n <- Seq(
+        "llm_ann_index_staleness",
+        "llm_ann_index_policy",
+        "llm_ann_index_pruned",
+        "llm_ann_index_resave",
+        "t17_stream_probe_across_resave_batch_eq"
+      )
+    ) assert(Bench.runsFor(n) == 1, n)
+    // ...while the gates that time those shapes stay multi-run
+    for (n <- Seq("llm_ann_index_append", "llm_ann_index_compact", "llm_ann_index_lifecycle", "llm_ann_index_filtered"))
+      assert(Bench.runsFor(n) == Bench.RUNS, n)
   }
 }
